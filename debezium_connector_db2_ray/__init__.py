@@ -1,0 +1,44 @@
+"""debezium_connector_db2_ray — a Ray-Data-native CDC / incremental-ingest engine.
+
+A from-scratch reimplementation of the *semantics* of the Debezium Db2
+connector (reference at /root/reference) on idiomatic Ray Data:
+
+- change events (Debezium envelope ops READ/CREATE/UPDATE/DELETE with
+  before/after images) replayed against a Parquet lake of agent transcripts
+  keyed by ``(conv_id, turn_idx)``;
+- snapshot-then-stream lifecycle with an LSN fence
+  (reference: Db2SnapshotChangeEventSource.java:125-137,
+  Db2StreamingChangeEventSource.java:129-160);
+- LSN total order per key — 16-byte LSNs modeled as two uint64 columns
+  (reference: Lsn.java:21-48,133-181; TxLogPosition.java:10-17);
+- hash-partitioned groupby shuffle on conv_id + stateless/stateful apply with
+  last-writer-wins per-key max-LSN dedup (the parallel-legal equivalent of the
+  reference's single-threaded k-way merge,
+  Db2StreamingChangeEventSource.java:176-292);
+- additive schema evolution (new columns null-backfilled, type widening;
+  reference: Db2StreamingChangeEventSource.java:374-409);
+- exactly-once via an idempotent two-phase Parquet sink: staged partition
+  files + committed LSN-watermark manifest (reference offset semantics:
+  Db2OffsetContext.java:66-80, restart skip
+  Db2StreamingChangeEventSource.java:208-223).
+
+Nothing here is a code port: execution is ray.data.Dataset pipelines of
+map_batches over zero-copy Arrow, groupby shuffles, and actor pools.
+"""
+
+from debezium_connector_db2_ray.lsn import (  # noqa: F401
+    LSN_COLUMNS,
+    Lsn,
+    lsn_hex,
+    lsn_increment,
+)
+from debezium_connector_db2_ray.ops import (  # noqa: F401
+    OP_DELETE,
+    OP_INSERT,
+    OP_READ,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    OP_UPDATE_SINGLE,
+)
+
+__version__ = "0.1.0"

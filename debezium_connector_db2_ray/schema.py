@@ -1,0 +1,113 @@
+"""Payload / changelog schemas + Debezium-style additive schema evolution.
+
+The target lake table (BASELINE.json input_hint) is a Parquet table of agent
+transcripts keyed by ``(conv_id, turn_idx)``. The change log mirrors the Db2
+CD-table layout — capture metadata columns prepended to the payload image
+(reference: src/test/docker/db2-cdc-docker/asncdcaddremove.sql:77-99;
+metadata-column stripping CHANGE_TABLE_DATA_COLUMN_OFFSET
+Db2Connection.java:70,385-424).
+
+Schema evolution follows the reference's additive protocol: Db2 has no DDL in
+the log, so a schema change creates a second capture instance and the
+connector switches at a boundary LSN, re-reading the schema and emitting ALTER
+(reference: Db2StreamingChangeEventSource.java:51-56,324-336,374-409). Our
+equivalent: change-log batches may carry a WIDER schema; apply unifies with
+``unify_payload_schemas`` — new columns null-backfilled, types widened
+(int32->int64, float32->float64), never dropped or narrowed.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+#: primary key of the transcript lake
+KEY_COLUMNS = ("conv_id", "turn_idx")
+
+#: authoritative payload schema (BASELINE.json input_hint). Timestamps are
+#: tz-naive to match the driver-generated parquet fixtures (DuckDB semantics).
+PAYLOAD_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+#: change-log metadata columns (prepended, like IBMSNAP_* in the reference)
+CHANGELOG_META_FIELDS = [
+    ("commit_lsn_hi", pa.uint64()),
+    ("commit_lsn_lo", pa.uint64()),
+    ("intent_lsn_hi", pa.uint64()),
+    ("intent_lsn_lo", pa.uint64()),
+    ("op", pa.int8()),
+]
+CHANGELOG_META_COLUMNS = tuple(n for n, _ in CHANGELOG_META_FIELDS)
+
+
+def changelog_schema(payload: pa.Schema = PAYLOAD_SCHEMA) -> pa.Schema:
+    return pa.schema(list(CHANGELOG_META_FIELDS) + list(payload))
+
+
+_WIDENINGS: dict[tuple[str, str], pa.DataType] = {}
+
+
+def _widened(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """Smallest common type under the additive-widening rule, or None."""
+    if a.equals(b):
+        return a
+    ints = [pa.int8(), pa.int16(), pa.int32(), pa.int64()]
+    floats = [pa.float32(), pa.float64()]
+    for fam in (ints, floats):
+        ids = [t.id for t in fam]
+        if a.id in ids and b.id in ids:
+            return fam[max(ids.index(a.id), ids.index(b.id))]
+    # int -> float widening
+    if a.id in [t.id for t in ints] and b.id in [t.id for t in floats]:
+        return pa.float64()
+    if b.id in [t.id for t in ints] and a.id in [t.id for t in floats]:
+        return pa.float64()
+    return None
+
+
+def unify_payload_schemas(old: pa.Schema, new: pa.Schema) -> pa.Schema:
+    """Additive unification: every column of either schema survives; common
+    columns take the widened type; column order = old columns first, then new
+    columns in their order of appearance (Debezium additive ALTER)."""
+    fields: list[pa.Field] = []
+    new_names = {f.name: f for f in new}
+    for f in old:
+        g = new_names.get(f.name)
+        if g is None:
+            fields.append(f)
+        else:
+            t = _widened(f.type, g.type)
+            if t is None:
+                raise TypeError(
+                    f"illegal (non-additive) schema change on column {f.name!r}: "
+                    f"{f.type} -> {g.type}"
+                )
+            fields.append(pa.field(f.name, t))
+    old_names = {f.name for f in old}
+    for g in new:
+        if g.name not in old_names:
+            fields.append(g)
+    return pa.schema(fields)
+
+
+def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
+    """Cast/backfill a table to ``target``: missing columns become all-null,
+    existing columns are cast (widening only). Column order = target order.
+    Extra columns not in ``target`` are dropped (caller unifies first if it
+    wants to keep them)."""
+    n = table.num_rows
+    cols = []
+    names = set(table.column_names)
+    for f in target:
+        if f.name in names:
+            cols.append(table.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    return pa.Table.from_arrays(cols, schema=target)

@@ -1,0 +1,267 @@
+"""Last-writer-wins apply — the parallel core of the engine.
+
+The reference converges table state through ONE serial consumer of a global
+k-way LSN merge (Db2StreamingChangeEventSource.java:176-292; single task
+enforced at Db2Connector.java:55-61). Final state only depends on per-key
+order, so the parallel-legal equivalent is: hash-partition events by key,
+then per key take the image of the maximum ``(commit_lsn, intent_lsn)``
+position — delete means tombstone. That argmax is commutative/associative,
+which makes partial (per-batch combiner) + final aggregation legal and the
+whole apply shuffle-parallel and delivery-order-insensitive.
+
+Semantics pinned against the reference:
+- update pairs: op 3 must be immediately followed by op 4, same commit, same
+  key; orphans raise (IllegalStateException at
+  Db2StreamingChangeEventSource.java:254-264);
+- op 5 is a standalone single-image update (:266-274);
+- snapshot fence: events with commit_lsn <= snapshot watermark are skipped
+  only once the snapshot completed (:129-131,157-160);
+- restart skip: position < saved offset skipped; == offset skipped while
+  event_serial_no <= saved serial (:208-223);
+- DELETE tombstones the key; a PK change arrives as DELETE+INSERT
+  (Db2ConnectorIT.java:161-257).
+
+All kernels are vectorized numpy / pyarrow over Arrow tables; no Python
+row loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_connector_db2_ray.lsn import Lsn
+from debezium_connector_db2_ray.ops import (
+    OP_DELETE,
+    OP_READ,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+)
+from debezium_connector_db2_ray.pipelines.oracle import OrphanBeforeImageError
+from debezium_connector_db2_ray.schema import (
+    CHANGELOG_META_COLUMNS,
+    conform_table,
+    unify_payload_schemas,
+)
+
+META = set(CHANGELOG_META_COLUMNS)
+
+
+def partition_ids(
+    conv_id: pa.ChunkedArray | pa.Array | np.ndarray,
+    turn_idx: np.ndarray | None,
+    num_partitions: int,
+    salt: int = 1,
+) -> np.ndarray:
+    """Stable hash partition of the key. With ``salt > 1`` a hot conv_id is
+    split across ``salt`` sub-partitions keyed by ``turn_idx % salt`` — legal
+    because last-writer-wins is per (conv_id, turn_idx) and turn_idx
+    determines the sub-key (SURVEY.md §4 skew row)."""
+    if isinstance(conv_id, (pa.ChunkedArray, pa.Array)):
+        conv_id = conv_id.to_pandas()
+    h = pd.util.hash_pandas_object(pd.Series(conv_id), index=False).to_numpy()
+    if salt > 1:
+        if turn_idx is None:
+            raise ValueError("salting requires turn_idx")
+        t = np.asarray(turn_idx, dtype=np.uint64)
+        h = h * np.uint64(1_000_003) + (t % np.uint64(salt))
+    return (h % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _key_position_order(table: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort order by (conv_id, turn_idx, commit_lsn, intent_lsn).
+    Returns (order, conv_codes, turn) where conv_codes are dictionary indices
+    (consistent within this table — used for grouping, not for global order).
+    """
+    conv = table["conv_id"].combine_chunks()
+    if isinstance(conv, pa.ChunkedArray):  # 0-chunk edge
+        conv = pa.concat_arrays(conv.chunks) if conv.num_chunks else pa.array([], pa.string())
+    codes = conv.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    turn = table["turn_idx"].to_numpy(zero_copy_only=False)
+    order = np.lexsort(
+        (
+            table["intent_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            table["intent_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            table["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            table["commit_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            turn,
+            codes,
+        )
+    )
+    return order, codes, turn
+
+
+def validate_update_pairs(sorted_codes, sorted_turn, sorted_chi, sorted_clo, sorted_op):
+    """On a (key, position)-sorted view: every op-3 row must be immediately
+    followed by an op-4 row with the same key and commit; every op-4 row must
+    be immediately preceded by its op-3. Raises OrphanBeforeImageError."""
+    n = len(sorted_op)
+    is3 = sorted_op == OP_UPDATE_BEFORE
+    is4 = sorted_op == OP_UPDATE_AFTER
+    if not (is3.any() or is4.any()):
+        return
+    ok_next = np.zeros(n, dtype=bool)
+    if n > 1:
+        ok_next[:-1] = (
+            (sorted_codes[:-1] == sorted_codes[1:])
+            & (sorted_turn[:-1] == sorted_turn[1:])
+            & (sorted_chi[:-1] == sorted_chi[1:])
+            & (sorted_clo[:-1] == sorted_clo[1:])
+            & is4[1:]
+        )
+    bad3 = is3 & ~ok_next
+    prev_is3 = np.zeros(n, dtype=bool)
+    prev_is3[1:] = ok_next[:-1] & is3[:-1]
+    bad4 = is4 & ~prev_is3
+    if bad3.any() or bad4.any():
+        i = int(np.flatnonzero(bad3 | bad4)[0])
+        raise OrphanBeforeImageError(
+            f"unpaired update image: op={int(sorted_op[i])} commit="
+            f"{Lsn(int(sorted_chi[i]), int(sorted_clo[i])).hex()}"
+        )
+
+
+def lww_collapse(
+    table: pa.Table, *, validate_pairs: bool = True, partial: bool = False
+) -> pa.Table:
+    """Collapse a changelog fragment to one winning row per (conv_id,
+    turn_idx): argmax over (commit_lsn, intent_lsn). Keeps the meta columns
+    (op + 4 LSN columns) so output is both a state fragment and a mergeable
+    delta (tombstones retained as op=1 rows). Raises if a before-image wins —
+    i.e. an orphan op 3 (with ``validate_pairs`` every orphan raises, matching
+    the reference exactly; without, only winning orphans are detectable:
+    the documented fast-path tradeoff). ``partial=True`` marks a per-batch
+    combiner pass, where a winning op-3 is legal — its op-4 partner may sit in
+    another batch and will dominate after the shuffle."""
+    if table.num_rows == 0:
+        return table
+    order, codes, turn = _key_position_order(table)
+    s_codes, s_turn = codes[order], turn[order]
+    op = table["op"].to_numpy(zero_copy_only=False)
+    if validate_pairs:
+        chi = table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+        clo = table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        validate_update_pairs(s_codes, s_turn, chi[order], clo[order], op[order])
+    n = len(order)
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        last[:-1] = (s_codes[:-1] != s_codes[1:]) | (s_turn[:-1] != s_turn[1:])
+    winners = order[last]
+    wop = op[winners]
+    if not partial and (wop == OP_UPDATE_BEFORE).any():
+        i = int(winners[np.flatnonzero(wop == OP_UPDATE_BEFORE)[0]])
+        raise OrphanBeforeImageError(
+            f"before-image won last-writer-wins for key "
+            f"({table['conv_id'][i].as_py()!r}, {table['turn_idx'][i].as_py()}) "
+            "— missing after-image"
+        )
+    return table.take(winners)
+
+
+def fence_filter(
+    table: pa.Table, snapshot_lsn: Lsn, *, snapshot_completed: bool = True
+) -> pa.Table:
+    """Snapshot fence: drop events at or below the snapshot watermark — but
+    ONLY once the snapshot completed; an incomplete snapshot replays from the
+    un-incremented watermark (reference shouldIncreaseFromLsn,
+    Db2StreamingChangeEventSource.java:129-131,157-160)."""
+    if not snapshot_completed or table.num_rows == 0:
+        return table
+    chi = table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+    clo = table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+    keep = (chi > snapshot_lsn.hi) | ((chi == snapshot_lsn.hi) & (clo > snapshot_lsn.lo))
+    if keep.all():
+        return table
+    return table.filter(pa.array(keep))
+
+
+def offset_skip(
+    table: pa.Table, offset_commit: Lsn, offset_intent: Lsn, offset_serial: int = 0
+) -> pa.Table:
+    """Restart dedup (reference Db2StreamingChangeEventSource.java:208-223):
+    skip rows with position strictly below the saved offset; rows AT the
+    offset are skipped while their serial number (1-based index within the
+    commit, intent order) is <= the saved serial."""
+    if table.num_rows == 0:
+        return table
+    chi = table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+    clo = table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+    ihi = table["intent_lsn_hi"].to_numpy(zero_copy_only=False)
+    ilo = table["intent_lsn_lo"].to_numpy(zero_copy_only=False)
+    oc, oi = offset_commit, offset_intent
+    below = (chi < oc.hi) | ((chi == oc.hi) & (clo < oc.lo))
+    at = (chi == oc.hi) & (clo == oc.lo)
+    intent_le = (ihi < oi.hi) | ((ihi == oi.hi) & (ilo <= oi.lo))
+    drop = below | (at & intent_le)
+    # serial refinement: within the offset commit, serial numbers beyond the
+    # saved one replay (mid-transaction restart, Db2ConnectorIT.java:549-714)
+    if offset_serial and at.any():
+        order = np.lexsort((ilo[at].astype(np.uint64), ihi[at].astype(np.uint64)))
+        serial = np.empty(order.shape, dtype=np.int64)
+        serial[order] = np.arange(1, len(order) + 1)
+        d = drop[at]
+        d[:] = serial <= offset_serial
+        drop[at] = d
+    return table.filter(pa.array(~drop))
+
+
+def snapshot_as_events(snapshot: pa.Table, snapshot_lsn: Lsn) -> pa.Table:
+    """Wrap snapshot rows as op=READ events AT the snapshot watermark so
+    snapshot and stream flow through one collapse (the reference emits
+    snapshot rows as 'r' envelopes — Db2ConnectorIT.java:1043,1081-1084)."""
+    n = snapshot.num_rows
+    meta = [
+        pa.array(np.full(n, snapshot_lsn.hi, np.uint64)),
+        pa.array(np.full(n, snapshot_lsn.lo, np.uint64)),
+        pa.array(np.zeros(n, np.uint64)),
+        pa.array(np.zeros(n, np.uint64)),
+        pa.array(np.full(n, OP_READ, np.int8)),
+    ]
+    out = snapshot
+    for name, arr in zip(CHANGELOG_META_COLUMNS, meta):
+        out = out.append_column(name, arr)
+    return out.select(list(CHANGELOG_META_COLUMNS) + snapshot.column_names)
+
+
+def apply_partition(
+    events: pa.Table,
+    snapshot: pa.Table | None = None,
+    *,
+    snapshot_lsn: Lsn | None = None,
+    snapshot_completed: bool = True,
+    validate_pairs: bool = True,
+) -> pa.Table:
+    """Apply one hash partition: fence -> union snapshot -> additive schema
+    unification -> last-writer-wins collapse. Returns the partition's
+    state-with-lineage table (meta columns retained, tombstones as op=1
+    rows)."""
+    if snapshot_lsn is not None:
+        events = fence_filter(events, snapshot_lsn, snapshot_completed=snapshot_completed)
+    parts = [events]
+    if snapshot is not None and snapshot.num_rows:
+        if snapshot_lsn is None:
+            raise ValueError("snapshot requires snapshot_lsn")
+        parts.append(snapshot_as_events(snapshot, snapshot_lsn))
+    if len(parts) == 2:
+        payload_a = pa.schema([f for f in parts[0].schema if f.name not in META])
+        payload_b = pa.schema([f for f in parts[1].schema if f.name not in META])
+        payload = unify_payload_schemas(payload_b, payload_a)  # snapshot cols first
+        target = pa.schema(
+            [f for f in parts[0].schema if f.name in META] + list(payload)
+        )
+        parts = [conform_table(t, target) for t in parts]
+    merged = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    return lww_collapse(merged, validate_pairs=validate_pairs)
+
+
+def final_state(collapsed: pa.Table, *, keep_meta: bool = False) -> pa.Table:
+    """Drop tombstones (op=1) and, unless ``keep_meta``, the meta columns —
+    the user-facing lake state."""
+    if collapsed.num_rows:
+        collapsed = collapsed.filter(pc.not_equal(collapsed["op"], OP_DELETE))
+    if keep_meta:
+        return collapsed
+    keep = [c for c in collapsed.column_names if c not in META]
+    return collapsed.select(keep)

@@ -1,0 +1,110 @@
+"""Raw capture-row decode: D/I classification into opcodes + envelope op map.
+
+The reference pushes opcode classification into SQL: within one commit
+(IBMSNAP_COMMITSEQ), ordered by intent (IBMSNAP_INTENTSEQ), a 'D' row
+immediately followed by an 'I' row is an update pair (opcodes 3/4); a
+standalone 'D' is DELETE (1), a standalone 'I' is INSERT (2); z/OS adds a
+single-record update 'U' -> 5
+(reference: platform/LuwPlatform.java:29-39 LEAD/LAG variant,
+platform/ZOsPlatform.java:29-49 ROW_NUMBER variant,
+codes Db2ChangeRecordEmitter.java:20-24).
+
+Here classification is a vectorized numpy kernel over a table ALREADY SORTED
+by (commit_lsn, intent_lsn). Sorting contract: the caller classifies either a
+globally-sorted small table, or — the scale path — inside a hash partition
+after the conv_id shuffle, where every pair is guaranteed co-located because
+an update pair shares its primary key (PK updates are emitted as
+DELETE+INSERT, reference: Db2ConnectorIT.java:161-257).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_connector_db2_ray.lsn import position_order
+from debezium_connector_db2_ray.ops import (
+    ENVELOPE_OP,
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    OP_UPDATE_SINGLE,
+)
+
+
+def drop_null_lsn(batch: pa.Table) -> pa.Table:
+    """Skip NULL-LSN rows (reference logs an error and continues,
+    Db2StreamingChangeEventSource.java:203-207)."""
+    mask = pc.and_(
+        pc.is_valid(batch["commit_lsn_hi"]), pc.is_valid(batch["commit_lsn_lo"])
+    )
+    if pc.all(mask).as_py():
+        return batch
+    return batch.filter(mask)
+
+
+def sort_by_position(table: pa.Table) -> pa.Table:
+    """Stable sort by (commit_lsn, intent_lsn)."""
+    idx = position_order(
+        table["commit_lsn_hi"].to_numpy(zero_copy_only=False),
+        table["commit_lsn_lo"].to_numpy(zero_copy_only=False),
+        table["intent_lsn_hi"].to_numpy(zero_copy_only=False),
+        table["intent_lsn_lo"].to_numpy(zero_copy_only=False),
+    )
+    return table.take(idx)
+
+
+def classify_ops(sorted_table: pa.Table, raw_col: str = "op_raw") -> pa.Table:
+    """Replace a raw D/I/U char column with the int8 ``op`` opcode column.
+
+    ``sorted_table`` must be sorted by (commit_lsn, intent_lsn); same-commit
+    adjacency determines update pairs (D immediately followed by I -> 3, 4).
+    """
+    raw = np.asarray(sorted_table[raw_col].to_numpy(zero_copy_only=False), dtype="U1")
+    chi = sorted_table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+    clo = sorted_table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+    n = len(raw)
+    op = np.empty(n, dtype=np.int8)
+
+    same_commit_next = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_commit_next[:-1] = (chi[:-1] == chi[1:]) & (clo[:-1] == clo[1:])
+    next_is_i = np.zeros(n, dtype=bool)
+    if n > 1:
+        next_is_i[:-1] = raw[1:] == "I"
+
+    is_d = raw == "D"
+    is_i = raw == "I"
+    is_u = raw == "U"
+    upd_before = is_d & same_commit_next & next_is_i
+    upd_after = np.zeros(n, dtype=bool)
+    upd_after[1:] = upd_before[:-1]
+
+    op[is_d] = OP_DELETE
+    op[is_i] = OP_INSERT
+    op[upd_before] = OP_UPDATE_BEFORE
+    op[is_i & upd_after] = OP_UPDATE_AFTER
+    op[is_u] = OP_UPDATE_SINGLE
+
+    bad = ~(is_d | is_i | is_u)
+    if bad.any():
+        raise ValueError(f"unknown raw operation chars: {set(raw[bad])}")
+
+    i = sorted_table.column_names.index(raw_col)
+    return sorted_table.set_column(i, "op", pa.array(op, pa.int8()))
+
+
+def envelope_op_column(op: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Map raw int8 opcodes to Debezium envelope op chars 'r'/'c'/'u'/'d'
+    (reference: Db2ChangeRecordEmitter.java:39-54). Unknown codes raise, like
+    the reference's default branch."""
+    codes = np.asarray(op.to_numpy(zero_copy_only=False) if hasattr(op, "to_numpy") else op)
+    lut = np.full(16, "", dtype="U1")
+    for k, v in ENVELOPE_OP.items():
+        lut[k] = v
+    if codes.min(initial=0) < 0 or codes.max(initial=0) > 5:
+        bad = set(codes[(codes < 0) | (codes > 5)].tolist())
+        raise ValueError(f"unexpected operation codes: {bad}")
+    return pa.array(lut[codes], pa.string())
