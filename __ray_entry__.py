@@ -1,44 +1,92 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship snapshot-then-stream CDC replay at sf0.001
+through the durable engine (manifests + two-phase sink under /tmp).
+``queries()`` exposes one pipeline per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL over the same parquet views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: durable snapshot-then-stream replay of the derived
+    changelog at sf0.001 (windows, manifests, merge-on-read state)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _max_event_id,
+        derive_changelog,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import (
+        CdcEngine,
+        apply_dataset,
+        plan_windows,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="cdc_entry_")
+    try:
+        fence_id = _max_event_id(SF_SMOKE) // 2
+        fence = Lsn(0, fence_id)
+        import pyarrow.dataset as pads
+
+        cols = ["event_id", "user_id", "event_type", "props", "ts"]
+        head = rd.read_parquet(
+            f"{SF_SMOKE}/events.parquet", columns=cols,
+            filter=pads.field("event_id") <= fence_id,
+        ).map_batches(derive_changelog, batch_format="pyarrow")
+        lake = apply_dataset(head, num_partitions=8)
+
+        eng = CdcEngine(out_dir=out_dir, num_partitions=8)
+        eng.snapshot(lake, fence)
+        max_lsn = Lsn(0, _max_event_id(SF_SMOKE))
+        tail = rd.read_parquet(
+            f"{SF_SMOKE}/events.parquet", columns=cols,
+            filter=pads.field("event_id") > fence_id,
+        ).map_batches(derive_changelog, batch_format="pyarrow")
+        for lo, hi in plan_windows(fence.increment(), max_lsn, 3):
+            eng.replay_window(tail, lo, hi)
+        # materialize the final state before deleting the staging dir
+        result = eng.state_dataset().to_pandas()
+        return result
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from debezium_connector_db2_ray.pipelines.queries import CDC_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    q.update(CDC_QUERIES)
+    try:
+        from debezium_connector_db2_ray.functions.queries import DATA_QUERIES
+
+        q.update(DATA_QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from debezium_connector_db2_ray.pipelines.queries import CDC_ORACLES
+
+    o: dict[str, str] = {}
+    o.update(CDC_ORACLES)
+    try:
+        from debezium_connector_db2_ray.functions.queries import DATA_ORACLES
+
+        o.update(DATA_ORACLES)
+    except ImportError:
+        pass
+    return o

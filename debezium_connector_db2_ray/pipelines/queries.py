@@ -1,0 +1,713 @@
+"""Driver-facing query suite + matching DuckDB oracle SQL.
+
+The driver's correctness gate runs each ``QUERIES[name](sf_dir)`` Ray pipeline
+AND the matching ``ORACLES[name]`` SQL over the same parquet tables and
+compares row counts, schemas, and order-insensitive value hashes.
+
+The CDC queries operate on a change log DERIVED DETERMINISTICALLY from the
+driver's ``events`` table — the derivation is defined once here, in both a
+vectorized Arrow form (`derive_changelog`) and an SQL CTE (`SQL_CHANGELOG`),
+and the two are kept textually adjacent so they cannot drift:
+
+    conv_id   = 'conv_' || user_id          (shuffle key)
+    turn_idx  = event_id % 20               ((conv_id, turn_idx) = PK)
+    commit/intent lsn = event_id            (strictly increasing)
+    op        = error -> 1 (DELETE), purchase -> 5 (UPDATE), else 2 (INSERT)
+    role/text/ts = event_type / props / ts
+    tool      = 'updater' for updates, else NULL
+
+Because Ray Data delivers blocks in arbitrary order, the engine sees exactly
+the reference scenario: a shuffled change stream whose final state must match
+the strictly-ordered serial apply (here: a DuckDB window-function argmax).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from debezium_connector_db2_ray.lsn import Lsn
+from debezium_connector_db2_ray.ops import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    OP_UPDATE_SINGLE,
+)
+from debezium_connector_db2_ray.schema import changelog_schema
+
+TURN_MOD = 20
+NP = 16  # hash partitions for the sf-scale gate queries
+
+# ---------------------------------------------------------------------------
+# derivation: Python (vectorized) and SQL, side by side
+# ---------------------------------------------------------------------------
+
+SQL_CHANGELOG = f"""
+changelog AS (
+  SELECT 'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % {TURN_MOD} AS INTEGER) AS turn_idx,
+         event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 1
+              WHEN event_type = 'purchase' THEN 5
+              ELSE 2 END AS op,
+         event_type AS role,
+         props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'updater' END AS tool,
+         ts
+  FROM events
+)
+"""
+
+
+def derive_changelog(batch: pa.Table) -> pa.Table:
+    """Vectorized mirror of SQL_CHANGELOG over an ``events`` batch, emitting
+    the engine's canonical changelog schema (uint64 LSN halves, int8 op)."""
+    ev = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False))
+    op = np.where(et == "error", OP_DELETE, np.where(et == "purchase", OP_UPDATE_SINGLE, OP_INSERT)).astype(np.int8)
+    conv = pc.binary_join_element_wise(
+        "conv_", pc.cast(batch["user_id"], pa.string()), ""
+    )
+    tool = pc.if_else(
+        pa.array(op == OP_UPDATE_SINGLE),
+        pa.scalar("updater", pa.string()),
+        pa.scalar(None, pa.string()),
+    )
+    lsn = ev.astype(np.uint64)
+    return pa.table(
+        {
+            "commit_lsn_hi": np.zeros(len(ev), np.uint64),
+            "commit_lsn_lo": lsn,
+            "intent_lsn_hi": np.zeros(len(ev), np.uint64),
+            "intent_lsn_lo": lsn,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": pa.array((ev % TURN_MOD).astype(np.int32)),
+            "role": pa.array(et, pa.string()),
+            "text": batch["props"].combine_chunks()
+            if isinstance(batch["props"], pa.ChunkedArray)
+            else batch["props"],
+            "tool": tool,
+            "ts": batch["ts"].combine_chunks()
+            if isinstance(batch["ts"], pa.ChunkedArray)
+            else batch["ts"],
+        },
+        schema=changelog_schema(),
+    )
+
+
+SQL_EXPANDED_PAIRS = """
+expanded AS (
+  SELECT conv_id, turn_idx, lsn, 0 AS intent, 3 AS op, role,
+         'old:' || text AS text, tool, ts FROM changelog WHERE op = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, lsn, 1 AS intent, 4 AS op, role,
+         text, tool, ts FROM changelog WHERE op = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, lsn, 0 AS intent, op, role,
+         text, tool, ts FROM changelog WHERE op <> 5
+)
+"""
+
+
+def expand_update_pairs(batch: pa.Table) -> pa.Table:
+    """Mirror of SQL_EXPANDED_PAIRS: each op-5 update becomes an op-3
+    before-image row (text prefixed 'old:', intent 0) immediately followed —
+    in LSN order — by its op-4 after-image row (intent 1). This reproduces
+    the CD table the reference reads (D,I adjacent rows per update,
+    LuwPlatform.java:29-39)."""
+    cl = derive_changelog(batch)
+    is_u = pc.equal(cl["op"], OP_UPDATE_SINGLE)
+    singles = cl.filter(pc.invert(is_u))
+    ups = cl.filter(is_u)
+    before = (
+        ups.set_column(
+            cl.column_names.index("op"),
+            "op",
+            pa.array(np.full(ups.num_rows, OP_UPDATE_BEFORE, np.int8)),
+        ).set_column(
+            cl.column_names.index("text"),
+            "text",
+            pc.binary_join_element_wise("old:", ups["text"], ""),
+        )
+    )
+    after = ups.set_column(
+        cl.column_names.index("op"),
+        "op",
+        pa.array(np.full(ups.num_rows, OP_UPDATE_AFTER, np.int8)),
+    ).set_column(
+        cl.column_names.index("intent_lsn_lo"),
+        "intent_lsn_lo",
+        pa.array(np.ones(ups.num_rows, np.uint64)),
+    )
+    before = before.set_column(
+        cl.column_names.index("intent_lsn_lo"),
+        "intent_lsn_lo",
+        pc.multiply(before["intent_lsn_lo"], pa.scalar(0, pa.uint64())),
+    )
+    return pa.concat_tables([singles.set_column(
+        cl.column_names.index("intent_lsn_lo"),
+        "intent_lsn_lo",
+        pc.multiply(singles["intent_lsn_lo"], pa.scalar(0, pa.uint64())),
+    ), before, after])
+
+
+SQL_RAW_STREAM = """
+raw AS (
+  SELECT conv_id, turn_idx, lsn, 0 AS intent, 'D' AS op_raw,
+         'old:' || text AS text FROM changelog WHERE op = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, lsn, 1 AS intent, 'I' AS op_raw,
+         text FROM changelog WHERE op = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, lsn, 0 AS intent,
+         CASE WHEN op = 1 THEN 'D' ELSE 'I' END AS op_raw,
+         text FROM changelog WHERE op <> 5
+)
+"""
+
+
+def derive_raw_stream(batch: pa.Table) -> pa.Table:
+    """Mirror of SQL_RAW_STREAM: the *unclassified* capture stream of D/I
+    rows, as the Db2 CD table stores them before the reference's SQL
+    classification."""
+    t = expand_update_pairs(batch)
+    op = t["op"].to_numpy(zero_copy_only=False)
+    raw = np.where(np.isin(op, (OP_DELETE, OP_UPDATE_BEFORE)), "D", "I")
+    t = t.set_column(t.column_names.index("op"), "op_raw", pa.array(raw, pa.string()))
+    return t.select(
+        ["commit_lsn_hi", "commit_lsn_lo", "intent_lsn_hi", "intent_lsn_lo",
+         "op_raw", "conv_id", "turn_idx", "text"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+OUT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+SQL_FINAL_STATE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op <> 1
+"""
+
+
+def _events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"],
+    )
+
+
+def _max_event_id(sf_dir: str) -> int:
+    """Cheap driver-side max over parquet row-group statistics (no scan)."""
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    vals = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            if col.path_in_schema == "event_id" and col.statistics is not None:
+                vals.append(col.statistics.max)
+    return max(vals)
+
+
+def q_apply_lww(sf_dir: str):
+    """A2 per-key last-writer-wins: full replay, shuffled delivery."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP)
+    return out.map_batches(lambda t: t.select(OUT_COLS), batch_format="pyarrow")
+
+
+def q_apply_combiner(sf_dir: str):
+    """Same result via the scale fast path: per-batch partial LWW combiner
+    before the shuffle (pre-aggregation pattern)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP, validate_pairs=False, combiner=True)
+    return out.map_batches(lambda t: t.select(OUT_COLS), batch_format="pyarrow")
+
+
+def q_snapshot_then_stream(sf_dir: str):
+    """Snapshot-then-stream lifecycle: lake materialized at the fence LSN,
+    then the tail of the log replayed on top (reference lifecycle,
+    Db2SnapshotChangeEventSource.java:125-137)."""
+    import pyarrow.dataset as pads
+
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    fence = _max_event_id(sf_dir) // 2
+    import ray.data as rd
+
+    head = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"],
+        filter=pads.field("event_id") <= fence,
+    ).map_batches(derive_changelog, batch_format="pyarrow")
+    tail = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "props", "ts"],
+        filter=pads.field("event_id") > fence,
+    ).map_batches(derive_changelog, batch_format="pyarrow")
+    lake = apply_dataset(head, num_partitions=NP)
+    out = apply_dataset(
+        tail, num_partitions=NP, snapshot=lake, snapshot_lsn=Lsn(0, fence)
+    )
+    return out.map_batches(lambda t: t.select(OUT_COLS), batch_format="pyarrow")
+
+
+SQL_UPDATE_PAIRS = f"""
+WITH {SQL_CHANGELOG.strip()},
+{SQL_EXPANDED_PAIRS.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC, intent DESC) AS rn
+  FROM expanded
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM ranked WHERE rn = 1 AND op NOT IN (1, 3)
+"""
+
+
+def q_update_pairs(sf_dir: str):
+    """M3 update-pair zipping: op-3/op-4 pairs replayed; after-image wins."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(expand_update_pairs, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP)
+    return out.map_batches(lambda t: t.select(OUT_COLS), batch_format="pyarrow")
+
+
+SQL_CLASSIFY = f"""
+WITH {SQL_CHANGELOG.strip()},
+{SQL_RAW_STREAM.strip()},
+cls AS (
+  SELECT *,
+         lead(op_raw) OVER (PARTITION BY lsn ORDER BY intent) AS nxt,
+         lag(op_raw)  OVER (PARTITION BY lsn ORDER BY intent) AS prv
+  FROM raw
+)
+SELECT lsn, intent,
+       CASE WHEN op_raw = 'D' AND nxt = 'I' THEN 3
+            WHEN op_raw = 'I' AND prv = 'D' THEN 4
+            WHEN op_raw = 'D' THEN 1
+            WHEN op_raw = 'U' THEN 5
+            ELSE 2 END AS op,
+       conv_id, turn_idx, text
+FROM cls
+"""
+
+
+def q_classify_ops(sf_dir: str):
+    """S2/S3 opcode classification of the raw D/I capture stream, done the
+    scale way: partition by hash(commit_lsn) — classification is commit-local
+    — sort within partition, classify with the adjacency kernel."""
+    from debezium_connector_db2_ray.stages.decode import classify_ops, sort_by_position
+
+    raw = _events(sf_dir).map_batches(derive_raw_stream, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def classify_group(group: pa.Table) -> pa.Table:
+        t = classify_ops(sort_by_position(group.drop_columns(["__part"])))
+        return pa.table(
+            {
+                "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+                "intent": t["intent_lsn_lo"].cast(pa.int32()),
+                "op": t["op"].cast(pa.int32()),
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "text": t["text"],
+            }
+        )
+
+    return (
+        raw.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(classify_group, batch_format="pyarrow")
+    )
+
+
+SQL_MAX_LSN = """
+SELECT max(event_id) AS max_commit_lsn, count(*) AS n_events FROM events
+"""
+
+
+def q_max_lsn(sf_dir: str):
+    """S4 max-LSN probe — the global high watermark aggregate."""
+    from ray.data.aggregate import Count, Max
+
+    ds = _events(sf_dir)
+    agg = ds.aggregate(
+        Max("event_id", alias_name="max_commit_lsn"),
+        Count(alias_name="n_events"),
+    )
+    return pa.table(
+        {
+            "max_commit_lsn": pa.array([agg["max_commit_lsn"]], pa.int64()),
+            "n_events": pa.array([agg["n_events"]], pa.int64()),
+        }
+    )
+
+
+SQL_WINDOW_BOUNDS = """
+SELECT max(event_id) AS to_lsn, count(*) AS n_in_window
+FROM events
+WHERE ts <= (SELECT min(ts) + INTERVAL 48 HOUR FROM events)
+"""
+
+
+def q_window_bounds(sf_dir: str):
+    """S5 timespan-bounded end-LSN: largest commit LSN whose timestamp is
+    within N seconds of the window start (Db2Connection.java:118-170) —
+    bounds one replay window on huge backlogs."""
+    import datetime
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _events(sf_dir)
+    start = ds.aggregate(Min("ts", alias_name="m"))["m"]
+    horizon = start + datetime.timedelta(hours=48)
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["ts"], pa.scalar(horizon, pa.timestamp("us"))))
+
+    agg = ds.map_batches(in_window, batch_format="pyarrow").aggregate(
+        Max("event_id", alias_name="to_lsn"), Count(alias_name="n_in_window")
+    )
+    return pa.table(
+        {
+            "to_lsn": pa.array([agg["to_lsn"]], pa.int64()),
+            "n_in_window": pa.array([agg["n_in_window"]], pa.int64()),
+        }
+    )
+
+
+SQL_LINEAGE = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT user_id % 8 AS bucket, op, count(*) AS n,
+       min(lsn) AS min_lsn, max(lsn) AS max_lsn
+FROM (SELECT *, CAST(SUBSTRING(conv_id, 6) AS BIGINT) AS user_id FROM changelog)
+GROUP BY 1, 2
+"""
+
+
+def q_lineage_counts(sf_dir: str):
+    """A3 transaction/lineage counters: per-partition-bucket per-op event
+    counts and applied LSN range — the manifest lineage, query-shaped.
+    Pre-aggregated per batch before the tiny groupby (combiner pattern)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        user = pd.to_numeric(
+            pd.Series(batch["conv_id"].to_pandas()).str.slice(5)
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "bucket": (user % 8).to_numpy(),
+                "op": batch["op"].to_numpy(zero_copy_only=False).astype(np.int32),
+                "lsn": batch["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["bucket", "op"], as_index=False).agg(
+            n=("lsn", "size"), min_lsn=("lsn", "min"), max_lsn=("lsn", "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        cl.map_batches(partial, batch_format="pyarrow")
+        .groupby(["bucket", "op"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_lsn", alias_name="min_lsn"),
+            Max("max_lsn", alias_name="max_lsn"),
+        )
+    )
+    return out
+
+
+SQL_ENVELOPE = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT lsn,
+       CASE WHEN op = 5 THEN 2 ELSE 1 END AS serial,
+       CASE WHEN op = 1 THEN 'd' WHEN op = 2 THEN 'c' ELSE 'u' END AS op_char,
+       conv_id, turn_idx,
+       CASE WHEN op = 1 THEN text WHEN op = 5 THEN 'old:' || text END AS before_text,
+       CASE WHEN op <> 1 THEN text END AS after_text
+FROM changelog
+"""
+
+
+def q_envelope_feed(sf_dir: str):
+    """M1/M2 + serial numbers: the Debezium change-event feed — update pairs
+    zipped into single 'u' envelopes with before/after images, serials
+    counting an update as 2 (Db2OffsetContext.java:95-104)."""
+    from debezium_connector_db2_ray.stages.envelope import to_envelopes
+
+    raw = _events(sf_dir).map_batches(expand_update_pairs, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def env_group(group: pa.Table) -> pa.Table:
+        t = to_envelopes(
+            group.drop_columns(["__part"]), image_columns=("text",)
+        )
+        return pa.table(
+            {
+                "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+                "serial": t["serial"].cast(pa.int32()),
+                "op_char": t["op_char"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "before_text": t["before_text"],
+                "after_text": t["after_text"],
+            }
+        )
+
+    return (
+        raw.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(env_group, batch_format="pyarrow")
+    )
+
+
+SQL_TOMBSTONES = f"""
+WITH {SQL_CHANGELOG.strip()},
+feed AS (
+  SELECT lsn, 'd' AS op_char, conv_id, turn_idx, text AS before_text
+  FROM changelog WHERE op = 1
+  UNION ALL
+  SELECT lsn, 't' AS op_char, conv_id, turn_idx, CAST(NULL AS VARCHAR)
+  FROM changelog WHERE op = 1
+)
+SELECT * FROM feed
+"""
+
+
+def q_tombstone_feed(sf_dir: str):
+    """M10 tombstones-on-delete: each DELETE followed by a null-image
+    tombstone record with the same key (Db2ConnectorIT.java:161-257)."""
+    from debezium_connector_db2_ray.stages.envelope import to_envelopes
+
+    raw = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def tomb(batch: pa.Table) -> pa.Table:
+        dels = batch.filter(pc.equal(batch["op"], OP_DELETE))
+        t = to_envelopes(dels, tombstones_on_delete=True, image_columns=("text",))
+        return pa.table(
+            {
+                "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+                "op_char": t["op_char"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "before_text": t["before_text"],
+            }
+        )
+
+    return raw.map_batches(tomb, batch_format="pyarrow")
+
+
+SQL_SCHEMA_EVOLUTION = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+)
+SELECT conv_id, turn_idx, text,
+       CASE WHEN lsn > (SELECT max(event_id) // 2 FROM events)
+            THEN (CASE WHEN lsn % 3 = 0 THEN 'fr' ELSE 'en' END)
+       END AS lang
+FROM ranked WHERE rn = 1 AND op <> 1
+"""
+
+
+def q_schema_evolution(sf_dir: str):
+    """ST5/J4 additive schema evolution: the changelog switches to a wider
+    schema (adds ``lang``) at a boundary LSN — old-era winners are
+    null-backfilled (Db2StreamingChangeEventSource.java:374-409)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    boundary = _max_event_id(sf_dir) // 2
+    cols = ["event_id", "user_id", "event_type", "props", "ts"]
+    old_era = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pads.field("event_id") <= boundary,
+    ).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def derive_new_era(batch: pa.Table) -> pa.Table:
+        t = derive_changelog(batch)
+        lsn = t["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        lang = np.where(lsn % 3 == 0, "fr", "en")
+        return t.append_column("lang", pa.array(lang, pa.string()))
+
+    new_era = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pads.field("event_id") > boundary,
+    ).map_batches(derive_new_era, batch_format="pyarrow")
+
+    lake = apply_dataset(old_era, num_partitions=NP)
+    out = apply_dataset(
+        new_era, num_partitions=NP, snapshot=lake, snapshot_lsn=Lsn(0, boundary)
+    )
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text", "lang"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TABLE_ROUTING = f"""
+WITH {SQL_CHANGELOG.strip()},
+routed AS (
+  SELECT *, CAST(SUBSTRING(conv_id, 6) AS BIGINT) AS user_id FROM changelog
+),
+included AS (
+  SELECT * FROM routed WHERE user_id % 2 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM included
+)
+SELECT 'server1.TRANSCRIPTS.A' AS topic, conv_id, turn_idx, role, text
+FROM ranked WHERE rn = 1 AND op <> 1
+"""
+
+
+def q_table_routing(sf_dir: str):
+    """M5 include/exclude filter + S11 topic routing: events route to a table
+    by key; only the included table is applied; output carries its topic
+    (<prefix>.<SCHEMA>.<TABLE>, Db2TopicSelector.java:20-23)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    def derive_and_filter(batch: pa.Table) -> pa.Table:
+        t = derive_changelog(batch)
+        user = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99), pa.int64())
+        return t.filter(pc.equal(pc.bit_wise_and(user, 1), 0))
+
+    cl = _events(sf_dir).map_batches(derive_and_filter, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP)
+
+    def project(t: pa.Table) -> pa.Table:
+        topic = pa.array(["server1.TRANSCRIPTS.A"] * t.num_rows, pa.string())
+        return pa.table(
+            {
+                "topic": topic,
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "role": t["role"],
+                "text": t["text"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_MASKING = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+)
+SELECT conv_id, turn_idx,
+       '************' AS text_masked,
+       substring(text, 1, 4) AS text_trunc,
+       md5('s4lt' || text) AS text_hash
+FROM ranked WHERE rn = 1 AND op <> 1
+"""
+
+
+def q_masked_columns(sf_dir: str):
+    """M7 column masking / truncation / salted hashing applied to the final
+    state (column.mask.with / column.truncate.to / mask.hash,
+    Db2ConnectorIT.java:736-787)."""
+    import hashlib
+
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP)
+
+    def mask(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        hashes = pa.array(
+            [hashlib.md5(("s4lt" + v).encode()).hexdigest() for v in text.to_pylist()],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "text_masked": pa.array(["*" * 12] * t.num_rows, pa.string()),
+                "text_trunc": pc.utf8_slice_codeunits(text, 0, 4),
+                "text_hash": hashes,
+            }
+        )
+
+    return out.map_batches(mask, batch_format="pyarrow")
+
+
+CDC_QUERIES: dict[str, Callable[[str], Any]] = {
+    "cdc_apply_lww": q_apply_lww,
+    "cdc_apply_combiner": q_apply_combiner,
+    "cdc_snapshot_then_stream": q_snapshot_then_stream,
+    "cdc_update_pairs": q_update_pairs,
+    "cdc_classify_ops": q_classify_ops,
+    "cdc_max_lsn": q_max_lsn,
+    "cdc_window_bounds": q_window_bounds,
+    "cdc_lineage_counts": q_lineage_counts,
+    "cdc_envelope_feed": q_envelope_feed,
+    "cdc_tombstone_feed": q_tombstone_feed,
+    "cdc_schema_evolution": q_schema_evolution,
+    "cdc_table_routing": q_table_routing,
+    "cdc_masked_columns": q_masked_columns,
+}
+
+CDC_ORACLES: dict[str, str] = {
+    "cdc_apply_lww": SQL_FINAL_STATE,
+    "cdc_apply_combiner": SQL_FINAL_STATE,
+    "cdc_snapshot_then_stream": SQL_FINAL_STATE,
+    "cdc_update_pairs": SQL_UPDATE_PAIRS,
+    "cdc_classify_ops": SQL_CLASSIFY,
+    "cdc_max_lsn": SQL_MAX_LSN,
+    "cdc_window_bounds": SQL_WINDOW_BOUNDS,
+    "cdc_lineage_counts": SQL_LINEAGE,
+    "cdc_envelope_feed": SQL_ENVELOPE,
+    "cdc_tombstone_feed": SQL_TOMBSTONES,
+    "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
+    "cdc_table_routing": SQL_TABLE_ROUTING,
+    "cdc_masked_columns": SQL_MASKING,
+}

@@ -47,7 +47,18 @@ import ray.data
 
 from debezium_connector_db2_ray.lsn import Lsn, lsn_hex
 from debezium_connector_db2_ray.ops import OP_DELETE
-from debezium_connector_db2_ray.schema import CHANGELOG_META_COLUMNS
+from debezium_connector_db2_ray.schema import CHANGELOG_META_COLUMNS, conform_table
+
+META_SET = set(CHANGELOG_META_COLUMNS)
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Arrow schema of a Dataset (executes at most a tiny sample)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
 from debezium_connector_db2_ray.stages.apply import (
     apply_partition,
     final_state,
@@ -344,6 +355,78 @@ class CdcEngine:
             else:
                 out[key] = pl.__dict__
         return out
+
+
+def apply_dataset(
+    changelog: "ray.data.Dataset",
+    *,
+    num_partitions: int = 32,
+    salt: int = 1,
+    snapshot: "ray.data.Dataset | None" = None,
+    snapshot_lsn: Lsn | None = None,
+    validate_pairs: bool = True,
+    combiner: bool = False,
+    keep_meta: bool = False,
+) -> "ray.data.Dataset":
+    """One-shot in-memory replay (no sink/manifest): decode -> hash shuffle ->
+    per-partition LWW apply -> final state Dataset. The building block for
+    ad-hoc queries; the durable path is CdcEngine. ``combiner`` adds the
+    per-batch partial collapse before the shuffle (requires
+    validate_pairs=False)."""
+    from debezium_connector_db2_ray.stages.apply import fence_filter
+
+    fence = snapshot_lsn
+
+    target: pa.Schema | None = None
+    if snapshot is not None:
+        # additive schema unification up front so the unioned stream is
+        # homogeneous through the shuffle (snapshot payload first, changelog
+        # additions appended — Debezium additive ALTER order)
+        from debezium_connector_db2_ray.schema import (
+            CHANGELOG_META_FIELDS,
+            unify_payload_schemas,
+        )
+
+        cl_schema = pa.schema(
+            [f for f in _arrow_schema(changelog) if f.name not in META_SET]
+        )
+        payload = unify_payload_schemas(_arrow_schema(snapshot), cl_schema)
+        target = pa.schema(list(CHANGELOG_META_FIELDS) + list(payload))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        if fence is not None:
+            batch = fence_filter(batch, fence)
+        if target is not None:
+            batch = conform_table(batch, target)
+        return tag_partitions(num_partitions, salt)(batch)
+
+    ds = changelog.map_batches(prep, batch_format="pyarrow")
+    if combiner:
+        if validate_pairs:
+            raise ValueError("combiner requires validate_pairs=False")
+        ds = ds.map_batches(
+            lambda t: lww_collapse(t, validate_pairs=False, partial=True),
+            batch_format="pyarrow",
+        )
+    if snapshot is not None:
+        if fence is None:
+            raise ValueError("snapshot requires snapshot_lsn")
+
+        def snap_prep(batch: pa.Table) -> pa.Table:
+            batch = snapshot_as_events(batch, fence)
+            if target is not None:
+                batch = conform_table(batch, target)
+            return tag_partitions(num_partitions, salt)(batch)
+
+        ds = ds.union(snapshot.map_batches(snap_prep, batch_format="pyarrow"))
+
+    def apply_group(group: pa.Table) -> pa.Table:
+        collapsed = lww_collapse(
+            group.drop_columns([PART_COL]), validate_pairs=validate_pairs
+        )
+        return final_state(collapsed, keep_meta=keep_meta)
+
+    return ds.groupby(PART_COL).map_groups(apply_group, batch_format="pyarrow")
 
 
 def plan_windows(min_lsn: Lsn, max_lsn: Lsn, n_windows: int) -> list[tuple[Lsn, Lsn]]:

@@ -1,0 +1,144 @@
+"""Change-event envelope emission: zip update pairs, serial numbers, tombstones.
+
+Reproduces the reference's record-emission semantics as a vectorized batch
+transform:
+
+- before/after image selection per op (Db2ChangeRecordEmitter.java:56-78):
+  CREATE/READ -> after only; DELETE -> before only; UPDATE pair -> before =
+  first row, after = second row; op 5 -> after only (z/OS single update,
+  Db2StreamingChangeEventSource.java:266-274);
+- an UPDATE consumes two rows and counts 2 toward the event serial number
+  within its source position (eventCount=2 at
+  Db2StreamingChangeEventSource.java:254-264; serial arithmetic
+  Db2OffsetContext.java:95-104);
+- optional DELETE tombstones: a follow-up record with the same key and null
+  images, for log compaction (tombstones.on.delete,
+  Db2ConnectorIT.java:104-257).
+
+Input contract: a classified changelog fragment containing every row of each
+commit it covers (partition by hash(commit_lsn), or by key — update pairs
+share both). Sorting happens inside.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from debezium_connector_db2_ray.ops import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_READ,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+    OP_UPDATE_SINGLE,
+)
+from debezium_connector_db2_ray.pipelines.oracle import OrphanBeforeImageError
+from debezium_connector_db2_ray.schema import CHANGELOG_META_COLUMNS
+from debezium_connector_db2_ray.stages.decode import sort_by_position
+
+META = set(CHANGELOG_META_COLUMNS)
+
+
+def to_envelopes(
+    fragment: pa.Table,
+    *,
+    tombstones_on_delete: bool = False,
+    image_columns: tuple[str, ...] | None = None,
+) -> pa.Table:
+    """Turn a classified changelog fragment into envelope rows.
+
+    Output columns: commit/intent LSN columns of the event (an update pair
+    keeps the AFTER row's intent), ``serial`` (1-based within the commit,
+    updates count 2), ``op_char`` ('r'/'c'/'u'/'d', plus 't' for tombstones),
+    key columns, and ``before_<col>`` / ``after_<col>`` for each image
+    column (default: every payload column except the key)."""
+    t = sort_by_position(fragment)
+    op = t["op"].to_numpy(zero_copy_only=False)
+    n = len(op)
+    if n == 0:
+        pass
+    chi = t["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+    clo = t["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+
+    is_before = op == OP_UPDATE_BEFORE
+    is_after = op == OP_UPDATE_AFTER
+    prev_before = np.zeros(n, dtype=bool)
+    prev_before[1:] = is_before[:-1] & (chi[1:] == chi[:-1]) & (clo[1:] == clo[:-1])
+    if (is_after & ~prev_before).any() or (is_before & ~np.roll(is_after & prev_before, -1)).any():
+        raise OrphanBeforeImageError("unpaired update images in envelope fragment")
+
+    # one envelope row per event: drop the before rows, remember their index
+    event_idx = np.flatnonzero(~is_before)
+    before_src = np.full(n, -1, dtype=np.int64)
+    before_src[1:][is_before[:-1]] = np.flatnonzero(is_before)  # after row <- its before row
+    # serial: events per commit counted in order; update counts 2
+    weight = np.where(is_after, 2, 1)[event_idx]
+    e_chi, e_clo = chi[event_idx], clo[event_idx]
+    new_commit = np.ones(len(event_idx), dtype=bool)
+    new_commit[1:] = (e_chi[1:] != e_chi[:-1]) | (e_clo[1:] != e_clo[:-1])
+    serial = np.empty(len(event_idx), dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(new_commit, np.arange(len(event_idx)), 0))
+    csum = np.cumsum(weight)
+    base = np.where(run_start > 0, csum[run_start - 1], 0)
+    serial = csum - base
+
+    keys = ("conv_id", "turn_idx")
+    payload = [c for c in t.column_names if c not in META]
+    image_cols = list(image_columns or [c for c in payload if c not in keys])
+
+    ev = t.take(event_idx)
+    eop = op[event_idx]
+    has_before = np.isin(eop, (OP_DELETE, OP_UPDATE_AFTER))
+    has_after = np.isin(eop, (OP_READ, OP_INSERT, OP_UPDATE_AFTER, OP_UPDATE_SINGLE))
+    lut = np.full(6, "", dtype="U1")
+    for k, v in {OP_READ: "r", OP_INSERT: "c", OP_DELETE: "d",
+                 OP_UPDATE_AFTER: "u", OP_UPDATE_SINGLE: "u"}.items():
+        lut[k] = v
+
+    cols: dict[str, pa.Array] = {
+        "commit_lsn_hi": ev["commit_lsn_hi"].combine_chunks(),
+        "commit_lsn_lo": ev["commit_lsn_lo"].combine_chunks(),
+        "intent_lsn_hi": ev["intent_lsn_hi"].combine_chunks(),
+        "intent_lsn_lo": ev["intent_lsn_lo"].combine_chunks(),
+        "serial": pa.array(serial, pa.int64()),
+        "op_char": pa.array(lut[eop], pa.string()),
+        "conv_id": ev["conv_id"].combine_chunks(),
+        "turn_idx": ev["turn_idx"].combine_chunks(),
+    }
+    # image selection, vectorized: for updates the before image comes from the
+    # paired before row; for deletes from the event row itself
+    bsrc = np.where(eop == OP_UPDATE_AFTER, before_src[event_idx], event_idx)
+    for c in image_cols:
+        col = t[c]
+        before_vals = col.take(pa.array(bsrc))
+        cols[f"before_{c}"] = _mask(before_vals, has_before)
+        after_vals = col.take(pa.array(event_idx))
+        cols[f"after_{c}"] = _mask(after_vals, has_after)
+
+    out = pa.table(cols)
+    if tombstones_on_delete:
+        dmask = eop == OP_DELETE
+        if dmask.any():
+            tomb = out.filter(pa.array(dmask))
+            tcols = {}
+            for name in tomb.column_names:
+                if name == "op_char":
+                    tcols[name] = pa.array(["t"] * tomb.num_rows, pa.string())
+                elif name.startswith(("before_", "after_")):
+                    tcols[name] = pa.nulls(tomb.num_rows, tomb[name].type)
+                else:
+                    tcols[name] = tomb[name]
+            out = pa.concat_tables([out, pa.table(tcols)])
+            out = sort_by_position(out)
+    return out
+
+
+def _mask(values, keep: np.ndarray) -> pa.Array:
+    import pyarrow.compute as pc
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if keep.all():
+        return values
+    return pc.if_else(pa.array(keep), values, pa.nulls(len(values), values.type))

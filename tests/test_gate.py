@@ -1,0 +1,86 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+through Ray AND its oracle_sql() through DuckDB on the same parquet tables,
+compare row count, column names/types, and order-insensitive values."""
+
+import glob
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    return con
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _gate_names():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    names = sorted(e.queries().keys())
+    return names
+
+
+@pytest.mark.parametrize("name", _gate_names())
+def test_query_matches_oracle(ray_session, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    got = _normalize(_to_pandas(qs[name](SF_DIR)))
+    if name not in os_:
+        assert len(got) >= 0  # rows-only check (driver's weak mode)
+        return
+    con = _duck(SF_DIR)
+    want = _normalize(con.execute(os_[name]).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_entry_smoke(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    df = _to_pandas(e.entry())
+    assert len(df) > 0
+    assert "conv_id" in df.columns and "text" in df.columns
