@@ -1,0 +1,362 @@
+"""Training-data operator queries over documents/embeddings + DuckDB oracles.
+
+Same contract as pipelines/queries.py: every oracle-checked query keeps its
+Python kernel and SQL text adjacent, with identical arithmetic (float formulas
+are written with the same operation order in both engines so results are
+bit-identical — no rounding fudge needed). Queries without an oracle entry
+(minhash/simhash/LSH — not SQL-expressible) get the driver's rows-only check
+and are pinned by pytest oracles instead (tests/test_functions.py)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+STOP_SQL = "('the','a','and','of','to')"  # mirrors functions.text.STOPWORDS
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+SQL_DEDUP_EXACT = """
+WITH ranked AS (
+  SELECT doc_id, text, lang, source,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, text, lang, source FROM ranked WHERE rn = 1
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    from debezium_connector_db2_ray.functions.dedup import exact_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang", "source"])
+    return exact_dedup(ds)
+
+
+SQL_DEDUP_PREFIX = """
+WITH keyed AS (
+  SELECT doc_id,
+         array_to_string(list_slice(
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             1, 5), ' ') AS prefix_key
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id, prefix_key FROM ranked WHERE rn = 1
+"""
+
+
+def q_dedup_prefix(sf_dir: str):
+    """Normalized exact dedup: key = first 5 whitespace tokens — the
+    normalize-then-hash-partition dedup shape (real duplicate groups exist
+    under this key even when full texts are unique)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            " ".join((t or "").split()[:5]) for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "prefix_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        return group.take([int(np.argmin(ids))])
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("prefix_key")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs (no SQL oracle — pinned by pytest against a
+    brute-force Jaccard oracle at small scale)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ref = ray.put(lookup)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return minhash_duplicate_pairs(ds, ref, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from debezium_connector_db2_ray.functions.dedup import simhash_duplicate_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return simhash_duplicate_pairs(ds, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+       length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct,
+       len(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x IN {STOP_SQL})) AS n_stop
+FROM documents
+"""
+
+
+def q_token_stats(sf_dir: str):
+    import re
+
+    from debezium_connector_db2_ray.functions.text import STOPWORDS
+
+    token_re = re.compile(r"\S+")
+    punct_re = re.compile(r"[^\w\s]")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        toks = s.str.findall(token_re)
+        n_tokens = toks.str.len().astype("int64")
+        n_punct = s.str.count(punct_re).astype("int64")
+        stop = set(STOPWORDS)
+        n_stop = toks.map(
+            lambda ws: sum(1 for w in ws if w.lower() in stop)
+        ).astype("int64")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens),
+                "n_punct": pa.array(n_punct),
+                "n_stop": pa.array(n_stop),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       0.5 * LEAST(1.0, len(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) / 100.0)
+       + 0.5 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                      / GREATEST(length(text), 1)) AS quality
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str):
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n_tokens = s.str.findall(r"\S+").str.len().to_numpy(np.float64)
+        n_chars = s.str.len().to_numpy(np.float64)
+        n_punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
+        quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (
+            1.0 - n_punct / np.maximum(n_chars, 1.0)
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "quality": pa.array(quality, pa.float64())}
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_LANGID = """
+WITH hits AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the','and'))) AS en_hits,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('le','et'))) AS fr_hits
+  FROM documents
+)
+SELECT doc_id, en_hits, fr_hits,
+       CASE WHEN en_hits >= fr_hits
+            THEN (CASE WHEN en_hits > 0 THEN 'en' ELSE 'unknown' END)
+            ELSE 'fr' END AS lang_guess
+FROM hits
+"""
+
+
+def q_langid(sf_dir: str):
+    from debezium_connector_db2_ray.functions.text import lang_id_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lang_id_batch, batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    from debezium_connector_db2_ray.functions.text import fingerprint_batch
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_NQ = 4
+
+SQL_ANN = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {ANN_NQ}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def _query_matrix(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pa.compute.less(t["vec_id"], ANN_NQ))
+    mat = np.stack([np.asarray(v, np.float64) for v in t["embedding"].to_pylist()])
+    return {"qids": t["vec_id"].to_numpy(zero_copy_only=False), "matrix": mat}
+
+
+def q_ann_bruteforce(sf_dir: str):
+    """Exact cosine top-k of every corpus vector for each query vector —
+    broadcast query matrix, per-batch float64 matmul, partial top-k merge."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import brute_force_topk
+
+    ref = ray.put(_query_matrix(sf_dir))
+    out = brute_force_topk(_emb(sf_dir), ref, k=ANN_K)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "rank", "vec_id"]), batch_format="pyarrow"
+    )
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate variant (rows-only check; recall measured in
+    pytest)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import lsh_topk
+
+    qm = _query_matrix(sf_dir)
+    ref = ray.put(qm)
+    out = lsh_topk(_emb(sf_dir), ref, dim=qm["matrix"].shape[1], k=ANN_K, nbits=6)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "rank", "vec_id"]), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+SQL_MEDIA_META = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes
+FROM documents
+"""
+
+
+def q_media_meta(sf_dir: str):
+    from debezium_connector_db2_ray.functions.multimodal import pack_text_as_media
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pack_text_as_media, batch_format="pyarrow", batch_size=64
+    )
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "kind", "n_bytes"]), batch_format="pyarrow"
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Binary-payload decode plumbing through the (stubbed) decoder actor
+    pool — rows-only check; determinism pinned in pytest."""
+    from debezium_connector_db2_ray.functions.multimodal import (
+        decode_media,
+        pack_text_as_media,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        pack_text_as_media, batch_format="pyarrow", batch_size=64
+    )
+    out = decode_media(ds, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(
+            ["media_id", "kind", "n_bytes", "crc32", "width", "height", "duration_ms"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES: dict[str, Callable[[str], Any]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_prefix": q_dedup_prefix,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_token_stats": q_token_stats,
+    "text_quality": q_quality,
+    "text_langid": q_langid,
+    "doc_fingerprint": q_fingerprint,
+    "ann_bruteforce": q_ann_bruteforce,
+    "ann_lsh": q_ann_lsh,
+    "mm_media_meta": q_media_meta,
+    "mm_media_features": q_media_features,
+}
+
+DATA_ORACLES: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_prefix": SQL_DEDUP_PREFIX,
+    "text_token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_QUALITY,
+    "text_langid": SQL_LANGID,
+    "doc_fingerprint": SQL_FINGERPRINT,
+    "ann_bruteforce": SQL_ANN,
+    "mm_media_meta": SQL_MEDIA_META,
+    # dedup_minhash / dedup_simhash / ann_lsh / mm_media_features:
+    # not SQL-expressible -> rows-only driver check, pytest oracles instead
+}

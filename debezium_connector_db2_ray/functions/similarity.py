@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (list<float>).
+
+- Brute-force cosine top-k: the exact baseline. Query matrix is broadcast once
+  (``ray.put``), each batch does one float64 matmul against it, emits per-batch
+  top-k partials, and a tiny final groupby merges partials — the classic
+  partial-aggregation shape, so the full corpus never concentrates anywhere.
+- LSH-bucketed variant (random hyperplane signs): the scale path — probes only
+  matching buckets, approximate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _batch_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """Actor-pool stage: per-batch cosine top-k against the broadcast query
+    matrix. Emits (query_id, vec_id, sim) partials; merge with a final
+    per-query top-k."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        import ray
+
+        q = queries_ref if isinstance(queries_ref, np.ndarray) else ray.get(queries_ref)
+        self.qids = q["qids"] if isinstance(q, dict) else np.arange(len(q))
+        qm = q["matrix"] if isinstance(q, dict) else q
+        self.qm = _normalize_rows(qm.astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qm @ m.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        # per-query partial top-k within this batch
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qi = np.repeat(self.qids, k)
+        vi = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                "vec_id": pa.array(vi, pa.int64()),
+                "sim": pa.array(sv, pa.float64()),
+            }
+        )
+
+
+def topk_merge(k: int):
+    """Final per-query merge of partial top-k tables; emits rank 1..k ordered
+    by (-sim, vec_id) — vec_id tiebreak keeps ranking deterministic."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid, np.int64)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int32)),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    return fn
+
+
+def brute_force_topk(ds, queries_ref, *, k: int = 10, concurrency: int = 2):
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return partials.groupby("query_id").map_groups(
+        topk_merge(k), batch_format="pyarrow"
+    )
+
+
+class LshBucketer:
+    """Random-hyperplane LSH: ``nbits``-bit sign signature per vector;
+    deterministic planes from a fixed seed (same planes on every actor)."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits))
+
+    def bucket_of(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0
+        return (signs.astype(np.uint32) << np.arange(signs.shape[1], dtype=np.uint32)).sum(
+            axis=1
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(m), pa.uint32())
+        )
+
+
+def lsh_topk(ds, queries_ref, *, dim: int, k: int = 10, nbits: int = 8,
+             concurrency: int = 2):
+    """Approximate top-k: only vectors whose LSH bucket matches some query's
+    bucket are scored — the IVF-style scale path (probes a fraction of the
+    corpus; recall < 1 by design, measured in tests)."""
+    import ray
+
+    q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+    bucketer = LshBucketer(dim, nbits)
+    q_buckets = set(bucketer.bucket_of(_normalize_rows(q["matrix"].astype(np.float64))).tolist())
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        b = bucketer.bucket_of(_normalize_rows(m))
+        keep = np.isin(b, list(q_buckets))
+        return batch.filter(pa.array(keep))
+
+    return brute_force_topk(
+        ds.map_batches(prefilter, batch_format="pyarrow"),
+        queries_ref,
+        k=k,
+        concurrency=concurrency,
+    )
