@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: change-events applied/sec on a CDC replay of a synthetic
+10^7-event transcript changelog (deterministic, cached under /tmp) through the
+durable engine — snapshot + 4 streaming windows + merge-on-read state count.
+Secondary: wall time of representative gate queries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage/per-query sec...}, "sf": ..., "num_cpus": N,
+   "events": N, "events_per_sec": ...}
+
+--scaling: runs this script twice in fresh processes at RAY_GRAFT_CPUS=8 and
+32 on identical input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32") or "32")
+N_EVENTS = int(os.environ.get("BENCH_EVENTS", "10000000"))
+N_CONVS = int(os.environ.get("BENCH_CONVS", "200000"))
+TURNS = 8
+N_WINDOWS = 4
+N_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "64"))
+BENCH_DATA = os.environ.get("BENCH_DATA_DIR", f"/tmp/cdc_bench_{N_EVENTS}")
+
+
+def ensure_bench_data() -> dict:
+    """Deterministic synthetic lake + changelog, generated once and cached
+    (both parallelism levels must see identical input)."""
+    import pyarrow.parquet as pq
+
+    marker = os.path.join(BENCH_DATA, "_DONE.json")
+    if os.path.exists(marker):
+        return json.load(open(marker))
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.sources.genlog import (
+        generate_changelog_fast,
+        generate_lake,
+    )
+
+    os.makedirs(BENCH_DATA, exist_ok=True)
+    lake = generate_lake(N_CONVS, TURNS, seed=42)
+    pq.write_table(lake, os.path.join(BENCH_DATA, "lake.parquet"),
+                   row_group_size=256_000)
+    snapshot_lsn = Lsn(0, 1000)
+    cl, max_lsn = generate_changelog_fast(
+        N_EVENTS, N_CONVS, TURNS + 4, seed=42,
+        snapshot_lsn=snapshot_lsn, hot_fraction=0.05,
+    )
+    pq.write_table(cl, os.path.join(BENCH_DATA, "changelog.parquet"),
+                   row_group_size=256_000)
+    info = {
+        "lake": os.path.join(BENCH_DATA, "lake.parquet"),
+        "changelog": os.path.join(BENCH_DATA, "changelog.parquet"),
+        "snapshot_lsn": snapshot_lsn.to_int(),
+        "max_lsn": max_lsn.to_int(),
+        "n_events": cl.num_rows,
+        "lake_rows": lake.num_rows,
+    }
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def warm_page_cache(paths):
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_headline(timings: dict) -> dict:
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.replay import CdcEngine, plan_windows
+
+    info = ensure_bench_data()
+    warm_page_cache([info["lake"], info["changelog"]])
+    out_dir = tempfile.mkdtemp(prefix="cdc_bench_out_")
+    try:
+        snapshot_lsn = Lsn.from_int(info["snapshot_lsn"])
+        max_lsn = Lsn.from_int(info["max_lsn"])
+        eng = CdcEngine(
+            out_dir=out_dir,
+            num_partitions=N_PARTITIONS,
+            validate_pairs=False,  # production fast path: combiner on
+            combiner=True,
+        )
+        t0 = time.perf_counter()
+        eng.snapshot(rd.read_parquet(info["lake"]), snapshot_lsn)
+        timings["snapshot_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        eng.replay_from_parquet(info["changelog"], snapshot_lsn, max_lsn, N_WINDOWS)
+        replay_sec = time.perf_counter() - t0
+        timings["replay_sec"] = round(replay_sec, 3)
+
+        t0 = time.perf_counter()
+        n_state = eng.state_dataset().count()
+        timings["state_read_sec"] = round(time.perf_counter() - t0, 3)
+        assert n_state > 0
+        return {
+            "replay_sec": replay_sec,
+            "events": info["n_events"],
+            "events_per_sec": info["n_events"] / replay_sec,
+            "state_rows": n_state,
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_gate_queries(timings: dict) -> None:
+    """Representative operator pipelines at $GRAFT_SF_DIR scale."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from debezium_connector_db2_ray.functions.queries import DATA_QUERIES
+    from debezium_connector_db2_ray.pipelines.queries import CDC_QUERIES
+
+    picks = [
+        ("cdc_apply_lww", CDC_QUERIES),
+        ("cdc_apply_combiner", CDC_QUERIES),
+        ("cdc_envelope_feed", CDC_QUERIES),
+        ("cdc_classify_ops", CDC_QUERIES),
+        ("dedup_exact", DATA_QUERIES),
+        ("dedup_minhash", DATA_QUERIES),
+        ("text_token_stats", DATA_QUERIES),
+        ("ann_bruteforce", DATA_QUERIES),
+    ]
+    for name, table in picks:
+        t0 = time.perf_counter()
+        res = table[name](SF_DIR)
+        n = res.count() if hasattr(res, "count") else len(res)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NCPU,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    timings: dict = {}
+    headline = run_headline(timings)
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        run_gate_queries(timings)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc replay wall time (10^7-event changelog, snapshot + 4 windows, durable sink)",
+                "value": round(headline["replay_sec"], 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "num_cpus": NCPU,
+                "events": headline["events"],
+                "events_per_sec": round(headline["events_per_sec"]),
+                "state_rows": headline["state_rows"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same job at two parallelism levels in fresh processes; efficiency =
+    (eps_hi / eps_lo) / (cpus_hi / cpus_lo)."""
+    lo, hi = 8, 32
+    results = {}
+    for n in (lo, hi):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            BENCH_SKIP_QUERIES="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    eps_lo = results[lo]["events_per_sec"]
+    eps_hi = results[hi]["events_per_sec"]
+    eff = (eps_hi / eps_lo) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (fresh ray.init at 8 vs 32 cpus, identical input)",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": results[lo]["value"],
+                "sec_hi": results[hi]["value"],
+                "events_per_sec_lo": eps_lo,
+                "events_per_sec_hi": eps_hi,
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -181,14 +181,13 @@ class CdcEngine:
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
         fence = snapshot_lsn
 
+        tagger = tag_partitions(self.num_partitions, self.salt)
+
         def to_events(batch: pa.Table) -> pa.Table:
-            return snapshot_as_events(batch, fence)
+            return tagger(snapshot_as_events(batch, fence))
 
         ds = (
-            lake.map_batches(to_events, batch_format="pyarrow")
-            .map_batches(
-                tag_partitions(self.num_partitions, self.salt), batch_format="pyarrow"
-            )
+            lake.map_batches(to_events, batch_format="pyarrow", batch_size=None)
             .groupby(PART_COL)
             .map_groups(
                 staged_writer(delta_dir, validate_pairs=False), batch_format="pyarrow"
@@ -227,25 +226,27 @@ class CdcEngine:
 
         lo, hi = from_lsn, to_lsn
         inclusive_low = not snapshot_completed  # un-incremented first window
+        tagger = tag_partitions(self.num_partitions, self.salt)
+        use_combiner = self.combiner and not self.validate_pairs
 
-        def window_filter(batch: pa.Table) -> pa.Table:
+        def prep(batch: pa.Table) -> pa.Table:
+            """Fused window filter + partition tag + optional partial LWW
+            collapse — one pass per block, whole-block batches."""
             chi = batch["commit_lsn_hi"].to_numpy(zero_copy_only=False)
             clo = batch["commit_lsn_lo"].to_numpy(zero_copy_only=False)
             above = (chi > lo.hi) | ((chi == lo.hi) & (clo > lo.lo))
             if inclusive_low:
                 above |= (chi == lo.hi) & (clo == lo.lo)
             below = (chi < hi.hi) | ((chi == hi.hi) & (clo <= hi.lo))
-            return batch.filter(pa.array(above & below))
+            if not (above & below).all():
+                batch = batch.filter(pa.array(above & below))
+            batch = tagger(batch)
+            if use_combiner:
+                # partial collapse bounds shuffle volume by touched keys
+                batch = lww_collapse(batch, validate_pairs=False, partial=True)
+            return batch
 
-        ds = changelog.map_batches(window_filter, batch_format="pyarrow").map_batches(
-            tag_partitions(self.num_partitions, self.salt), batch_format="pyarrow"
-        )
-        if self.combiner and not self.validate_pairs:
-            # partial per-batch collapse: bounds shuffle volume by touched keys
-            ds = ds.map_batches(
-                lambda t: lww_collapse(t, validate_pairs=False, partial=True),
-                batch_format="pyarrow",
-            )
+        ds = changelog.map_batches(prep, batch_format="pyarrow", batch_size=None)
         ds = ds.groupby(PART_COL).map_groups(
             staged_writer(delta_dir, validate_pairs=self.validate_pairs),
             batch_format="pyarrow",
@@ -261,6 +262,39 @@ class CdcEngine:
         )
         commit_manifest(self.out_dir, m)
         return m
+
+    def replay_from_parquet(
+        self,
+        changelog_path: str,
+        from_lsn: Lsn,
+        to_lsn: Lsn,
+        n_windows: int,
+        *,
+        snapshot_completed: bool = True,
+    ) -> list[WindowManifest]:
+        """Windowed replay of a changelog parquet with LSN predicate PUSHDOWN:
+        each window reads only the row groups whose commit-LSN stats intersect
+        it (prune at the read — a real log is roughly LSN-ordered, so row
+        groups have tight LSN ranges). Assumes single-segment LSNs
+        (commit_lsn_hi constant per file) for the pushdown expression; the
+        in-pipeline fence filter remains authoritative."""
+        import pyarrow.dataset as pads
+
+        out = []
+        for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            ds = ray.data.read_parquet(
+                changelog_path,
+                filter=(pads.field("commit_lsn_lo") > lo.lo)
+                & (pads.field("commit_lsn_lo") <= hi.lo)
+                if lo.hi == hi.hi
+                else None,
+            )
+            m = self.replay_window(
+                ds, lo, hi, snapshot_completed=snapshot_completed
+            )
+            if m is not None:
+                out.append(m)
+        return out
 
     # ---- reads ------------------------------------------------------------
 
@@ -393,21 +427,21 @@ def apply_dataset(
         payload = unify_payload_schemas(_arrow_schema(snapshot), cl_schema)
         target = pa.schema(list(CHANGELOG_META_FIELDS) + list(payload))
 
+    if combiner and validate_pairs:
+        raise ValueError("combiner requires validate_pairs=False")
+    tagger = tag_partitions(num_partitions, salt)
+
     def prep(batch: pa.Table) -> pa.Table:
         if fence is not None:
             batch = fence_filter(batch, fence)
         if target is not None:
             batch = conform_table(batch, target)
-        return tag_partitions(num_partitions, salt)(batch)
+        batch = tagger(batch)
+        if combiner:
+            batch = lww_collapse(batch, validate_pairs=False, partial=True)
+        return batch
 
-    ds = changelog.map_batches(prep, batch_format="pyarrow")
-    if combiner:
-        if validate_pairs:
-            raise ValueError("combiner requires validate_pairs=False")
-        ds = ds.map_batches(
-            lambda t: lww_collapse(t, validate_pairs=False, partial=True),
-            batch_format="pyarrow",
-        )
+    ds = changelog.map_batches(prep, batch_format="pyarrow", batch_size=None)
     if snapshot is not None:
         if fence is None:
             raise ValueError("snapshot requires snapshot_lsn")
@@ -416,9 +450,11 @@ def apply_dataset(
             batch = snapshot_as_events(batch, fence)
             if target is not None:
                 batch = conform_table(batch, target)
-            return tag_partitions(num_partitions, salt)(batch)
+            return tagger(batch)
 
-        ds = ds.union(snapshot.map_batches(snap_prep, batch_format="pyarrow"))
+        ds = ds.union(
+            snapshot.map_batches(snap_prep, batch_format="pyarrow", batch_size=None)
+        )
 
     def apply_group(group: pa.Table) -> pa.Table:
         collapsed = lww_collapse(

@@ -300,5 +300,14 @@ def generate_changelog_fast(
         },
         schema=changelog_schema(),
     )
-    perm = np.random.default_rng(seed + 1).permutation(n_rows)
+    # chunk-local delivery shuffle: rows are out of order (exercises the
+    # engine's order-insensitivity) but each ~1M-row span stays within a
+    # bounded LSN range, like a real log with interleaved transactions — so
+    # parquet row-group statistics still enable window predicate pushdown
+    rng2 = np.random.default_rng(seed + 1)
+    chunk = 1_000_000
+    perm = np.arange(n_rows)
+    for s in range(0, n_rows, chunk):
+        e = min(s + chunk, n_rows)
+        perm[s:e] = s + rng2.permutation(e - s)
     return table.take(perm), Lsn(0, int(commit_lo[-1]))
