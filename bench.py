@@ -51,19 +51,35 @@ def ensure_bench_data() -> dict:
     )
 
     os.makedirs(BENCH_DATA, exist_ok=True)
+    # multi-file layout: parallel reads + whole-file pruning per LSN window,
+    # the shape a real captured log shard directory has
     lake = generate_lake(N_CONVS, TURNS, seed=42)
-    pq.write_table(lake, os.path.join(BENCH_DATA, "lake.parquet"),
-                   row_group_size=256_000)
+    lake_dir = os.path.join(BENCH_DATA, "lake")
+    os.makedirs(lake_dir, exist_ok=True)
+    n_lake_files = 8
+    step = (lake.num_rows + n_lake_files - 1) // n_lake_files
+    for i in range(n_lake_files):
+        part = lake.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(lake_dir, f"lake-{i:03d}.parquet"),
+                           row_group_size=128_000)
     snapshot_lsn = Lsn(0, 1000)
     cl, max_lsn = generate_changelog_fast(
         N_EVENTS, N_CONVS, TURNS + 4, seed=42,
         snapshot_lsn=snapshot_lsn, hot_fraction=0.05,
     )
-    pq.write_table(cl, os.path.join(BENCH_DATA, "changelog.parquet"),
-                   row_group_size=256_000)
+    cl_dir = os.path.join(BENCH_DATA, "changelog")
+    os.makedirs(cl_dir, exist_ok=True)
+    n_cl_files = max(8, N_EVENTS // 500_000)
+    step = (cl.num_rows + n_cl_files - 1) // n_cl_files
+    for i in range(n_cl_files):
+        part = cl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(cl_dir, f"log-{i:04d}.parquet"),
+                           row_group_size=128_000)
     info = {
-        "lake": os.path.join(BENCH_DATA, "lake.parquet"),
-        "changelog": os.path.join(BENCH_DATA, "changelog.parquet"),
+        "lake": lake_dir,
+        "changelog": cl_dir,
         "snapshot_lsn": snapshot_lsn.to_int(),
         "max_lsn": max_lsn.to_int(),
         "n_events": cl.num_rows,
@@ -76,9 +92,13 @@ def ensure_bench_data() -> dict:
 
 def warm_page_cache(paths):
     for p in paths:
-        with open(p, "rb") as f:
-            while f.read(1 << 24):
-                pass
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p)] if os.path.isdir(p) else [p]
+        )
+        for fp in files:
+            with open(fp, "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
 
 def run_headline(timings: dict) -> dict:

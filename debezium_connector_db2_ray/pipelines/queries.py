@@ -680,6 +680,59 @@ def q_masked_columns(sf_dir: str):
     return out.map_batches(mask, batch_format="pyarrow")
 
 
+SQL_CLOUDEVENTS = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT 'name:server1;change_lsn:00000000:00000000:' || lower(lpad(to_hex(lsn), 16, '0'))
+       || ';commit_lsn:00000000:00000000:' || lower(lpad(to_hex(lsn), 16, '0')) AS ce_id,
+       '/debezium/db2ray/server1' AS ce_source,
+       'dev.raycdc.transcripts.DataChangeEvent' AS ce_type,
+       CASE WHEN op = 1 THEN 'd' WHEN op = 2 THEN 'c' ELSE 'u' END AS op_char,
+       conv_id, turn_idx
+FROM changelog
+"""
+
+
+def q_cloudevents(sf_dir: str):
+    """S13 CloudEvents serializer: ce id composed from logical name +
+    change/commit LSN hex (Db2CloudEventsMaker.java:36-46)."""
+    from debezium_connector_db2_ray.stages.cloudevents import to_cloudevents
+    from debezium_connector_db2_ray.stages.envelope import to_envelopes
+
+    raw = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def ce(batch: pa.Table) -> pa.Table:
+        env = to_envelopes(batch, image_columns=("text",))
+        t = to_cloudevents(env)
+        return t.select(
+            ["ce_id", "ce_source", "ce_type", "op_char", "conv_id", "turn_idx"]
+        )
+
+    # our derived commits are single-event, so per-batch envelopes are exact
+    return raw.map_batches(ce, batch_format="pyarrow", batch_size=None)
+
+
+SQL_KEY_REWRITE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY lsn DESC) AS rn
+  FROM changelog
+)
+SELECT conv_id, role, text FROM ranked WHERE rn = 1 AND op <> 1
+"""
+
+
+def q_key_rewrite(sf_dir: str):
+    """M8 message-key rewrite: last-writer-wins under an ALTERNATE key —
+    conv_id alone (message.key.columns, Db2ConnectorIT.java:789-818)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP, key_columns=("conv_id",))
+    return out.map_batches(
+        lambda t: t.select(["conv_id", "role", "text"]), batch_format="pyarrow"
+    )
+
+
 CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply_lww": q_apply_lww,
     "cdc_apply_combiner": q_apply_combiner,
@@ -694,6 +747,8 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_schema_evolution": q_schema_evolution,
     "cdc_table_routing": q_table_routing,
     "cdc_masked_columns": q_masked_columns,
+    "cdc_cloudevents": q_cloudevents,
+    "cdc_key_rewrite": q_key_rewrite,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -710,4 +765,6 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_schema_evolution": SQL_SCHEMA_EVOLUTION,
     "cdc_table_routing": SQL_TABLE_ROUTING,
     "cdc_masked_columns": SQL_MASKING,
+    "cdc_cloudevents": SQL_CLOUDEVENTS,
+    "cdc_key_rewrite": SQL_KEY_REWRITE,
 }

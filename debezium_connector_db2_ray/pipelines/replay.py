@@ -169,6 +169,25 @@ class CdcEngine:
     salt: int = 1
     validate_pairs: bool = True
     combiner: bool = True  # per-batch partial LWW before the shuffle
+    table_name: str = "transcripts"
+
+    @property
+    def schema_history(self):
+        """Durable CREATE/ALTER log (reference Db2DatabaseSchema.java:51-71);
+        rebuilt lazily from disk — recovery after restart is just re-reading
+        the log (SchemaHistoryTopicIT semantics)."""
+        from debezium_connector_db2_ray.state.schema_log import SchemaHistory
+
+        return SchemaHistory(self.out_dir)
+
+    def _record_schema(self, kind: str, lsn: Lsn, arrow_schema: pa.Schema) -> None:
+        payload = pa.schema([f for f in arrow_schema if f.name not in META_SET])
+        hist = self.schema_history
+        if kind == "ALTER":
+            prev = hist.schema_at(self.table_name, lsn)
+            if prev is not None and prev.equals(payload):
+                return  # no structural change
+        hist.record(kind, self.table_name, lsn, payload)
 
     # ---- phases -----------------------------------------------------------
 
@@ -203,7 +222,66 @@ class CdcEngine:
             partitions=self._lineage(rows),
         )
         commit_manifest(self.out_dir, m)
+        # CREATE schema event at snapshot, as the reference emits one DDL
+        # record per captured table (SchemaHistoryTopicIT.java:96-111)
+        self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
         return m
+
+    def incremental_snapshot(
+        self,
+        lake: "ray.data.Dataset",
+        snapshot_lsn: Lsn,
+        *,
+        n_chunks: int = 4,
+    ) -> list[WindowManifest]:
+        """Chunked snapshot — the incremental-snapshot analog (reference:
+        signal-driven chunked PK-range snapshot interleaved with streaming,
+        Db2ChangeEventSourceFactory.java:71-91, IncrementalSnapshotIT chunk
+        size 250). Our chunk key is a hash-partition range, so each chunk is
+        an independently committed, resumable unit; a kill mid-backfill
+        resumes at the first chunk without a manifest. Interleaving with
+        streaming is safe because snapshot rows carry the fence LSN and lose
+        last-writer-wins to any later change (watermark dedup for free)."""
+        from debezium_connector_db2_ray.state.manifest import load_manifests
+
+        done_kinds = {m.kind for m in load_manifests(self.out_dir)}
+        tagger = tag_partitions(self.num_partitions, self.salt)
+        fence = snapshot_lsn
+        out = []
+        for c in range(n_chunks):
+            kind = f"snapshot_chunk:{c}/{n_chunks}"
+            if kind in done_kinds:
+                continue  # resume: chunk already committed
+            lo_p = c * self.num_partitions // n_chunks
+            hi_p = (c + 1) * self.num_partitions // n_chunks
+            wid = next_window_id(self.out_dir)
+            delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
+
+            def chunk_prep(batch: pa.Table, lo_p=lo_p, hi_p=hi_p) -> pa.Table:
+                t = tagger(snapshot_as_events(batch, fence))
+                pid = t[PART_COL].to_numpy(zero_copy_only=False)
+                return t.filter(pa.array((pid >= lo_p) & (pid < hi_p)))
+
+            rows = (
+                lake.map_batches(chunk_prep, batch_format="pyarrow", batch_size=None)
+                .groupby(PART_COL)
+                .map_groups(
+                    staged_writer(delta_dir, validate_pairs=False),
+                    batch_format="pyarrow",
+                )
+                .take_all()
+            )
+            m = WindowManifest(
+                window_id=wid,
+                kind=kind,
+                from_lsn=None,
+                to_lsn=snapshot_lsn.hex(),
+                snapshot_completed=(c == n_chunks - 1),
+                partitions=self._lineage(rows),
+            )
+            commit_manifest(self.out_dir, m)
+            out.append(m)
+        return out
 
     def replay_window(
         self,
@@ -261,6 +339,13 @@ class CdcEngine:
             partitions=self._lineage(rows),
         )
         commit_manifest(self.out_dir, m)
+        # ALTER schema event when this window's payload schema differs from
+        # the governing one (capture-instance switch,
+        # Db2StreamingChangeEventSource.java:324-336)
+        try:
+            self._record_schema("ALTER", from_lsn, _arrow_schema(changelog))
+        except Exception:
+            pass  # schema introspection is best-effort lineage, never fatal
         return m
 
     def replay_from_parquet(
@@ -401,6 +486,7 @@ def apply_dataset(
     validate_pairs: bool = True,
     combiner: bool = False,
     keep_meta: bool = False,
+    key_columns: tuple[str, ...] | None = None,
 ) -> "ray.data.Dataset":
     """One-shot in-memory replay (no sink/manifest): decode -> hash shuffle ->
     per-partition LWW apply -> final state Dataset. The building block for
@@ -430,6 +516,9 @@ def apply_dataset(
     if combiner and validate_pairs:
         raise ValueError("combiner requires validate_pairs=False")
     tagger = tag_partitions(num_partitions, salt)
+    from debezium_connector_db2_ray.schema import KEY_COLUMNS
+
+    keys = tuple(key_columns) if key_columns else KEY_COLUMNS
 
     def prep(batch: pa.Table) -> pa.Table:
         if fence is not None:
@@ -438,7 +527,9 @@ def apply_dataset(
             batch = conform_table(batch, target)
         batch = tagger(batch)
         if combiner:
-            batch = lww_collapse(batch, validate_pairs=False, partial=True)
+            batch = lww_collapse(
+                batch, validate_pairs=False, partial=True, key_columns=keys
+            )
         return batch
 
     ds = changelog.map_batches(prep, batch_format="pyarrow", batch_size=None)
@@ -458,7 +549,9 @@ def apply_dataset(
 
     def apply_group(group: pa.Table) -> pa.Table:
         collapsed = lww_collapse(
-            group.drop_columns([PART_COL]), validate_pairs=validate_pairs
+            group.drop_columns([PART_COL]),
+            validate_pairs=validate_pairs,
+            key_columns=keys,
         )
         return final_state(collapsed, keep_meta=keep_meta)
 

@@ -97,17 +97,26 @@ def unify_payload_schemas(old: pa.Schema, new: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
-def conform_table(table: pa.Table, target: pa.Schema) -> pa.Table:
-    """Cast/backfill a table to ``target``: missing columns become all-null,
-    existing columns are cast (widening only). Column order = target order.
-    Extra columns not in ``target`` are dropped (caller unifies first if it
-    wants to keep them)."""
+def conform_table(
+    table: pa.Table, target: pa.Schema, defaults: dict[str, object] | None = None
+) -> pa.Table:
+    """Cast/backfill a table to ``target``: missing columns become all-null
+    (the Debezium additive rule), existing columns are cast (widening only).
+    ``defaults`` optionally backfills a missing column with a typed default
+    value instead of null — the reference's column-DEFAULT application hook
+    (Db2DefaultValueConverter.java:49-107; defaults-on-ALTER golden tests
+    AbstractDb2DefaultValueIT.java). Column order = target order. Extra
+    columns not in ``target`` are dropped (caller unifies first if it wants
+    to keep them)."""
     n = table.num_rows
     cols = []
     names = set(table.column_names)
+    defaults = defaults or {}
     for f in target:
         if f.name in names:
             cols.append(table.column(f.name).cast(f.type))
+        elif f.name in defaults:
+            cols.append(pa.nulls(n, f.type).fill_null(pa.scalar(defaults[f.name], f.type)))
         else:
             cols.append(pa.nulls(n, f.type))
     return pa.Table.from_arrays(cols, schema=target)

@@ -42,6 +42,7 @@ from debezium_connector_db2_ray.ops import (
 from debezium_connector_db2_ray.pipelines.oracle import OrphanBeforeImageError
 from debezium_connector_db2_ray.schema import (
     CHANGELOG_META_COLUMNS,
+    KEY_COLUMNS,
     conform_table,
     unify_payload_schemas,
 )
@@ -70,33 +71,46 @@ def partition_ids(
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
-def _key_position_order(table: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sort order by (conv_id, turn_idx, commit_lsn, intent_lsn).
-    Returns (order, conv_codes, turn) where conv_codes are dictionary indices
-    (consistent within this table — used for grouping, not for global order).
-    """
-    conv = table["conv_id"].combine_chunks()
-    if isinstance(conv, pa.ChunkedArray):  # 0-chunk edge
-        conv = pa.concat_arrays(conv.chunks) if conv.num_chunks else pa.array([], pa.string())
-    codes = conv.dictionary_encode().indices.to_numpy(zero_copy_only=False)
-    turn = table["turn_idx"].to_numpy(zero_copy_only=False)
+def _grouping_codes(table: pa.Table, col: str) -> np.ndarray:
+    """Integer codes identifying equal values of one key column (dictionary
+    indices for strings — grouping only, not global order)."""
+    arr = table[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # 0-chunk edge
+            arr = (
+                pa.concat_arrays(arr.chunks)
+                if arr.num_chunks
+                else pa.array([], table.schema.field(col).type)
+            )
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _key_position_order(
+    table: pa.Table, key_columns: tuple[str, ...]
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Sort order by (*key_columns, commit_lsn, intent_lsn). Returns
+    (order, per-key-column grouping code arrays)."""
+    keys = [_grouping_codes(table, c) for c in key_columns]
     order = np.lexsort(
         (
             table["intent_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64),
             table["intent_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64),
             table["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64),
             table["commit_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64),
-            turn,
-            codes,
+            *reversed(keys),
         )
     )
-    return order, codes, turn
+    return order, keys
 
 
-def validate_update_pairs(sorted_codes, sorted_turn, sorted_chi, sorted_clo, sorted_op):
+def validate_update_pairs(sorted_keys, sorted_chi, sorted_clo, sorted_op):
     """On a (key, position)-sorted view: every op-3 row must be immediately
     followed by an op-4 row with the same key and commit; every op-4 row must
-    be immediately preceded by its op-3. Raises OrphanBeforeImageError."""
+    be immediately preceded by its op-3. Raises OrphanBeforeImageError.
+    ``sorted_keys``: list of per-key-column code arrays in sorted order."""
     n = len(sorted_op)
     is3 = sorted_op == OP_UPDATE_BEFORE
     is4 = sorted_op == OP_UPDATE_AFTER
@@ -104,9 +118,11 @@ def validate_update_pairs(sorted_codes, sorted_turn, sorted_chi, sorted_clo, sor
         return
     ok_next = np.zeros(n, dtype=bool)
     if n > 1:
+        same_key = np.ones(n - 1, dtype=bool)
+        for k in sorted_keys:
+            same_key &= k[:-1] == k[1:]
         ok_next[:-1] = (
-            (sorted_codes[:-1] == sorted_codes[1:])
-            & (sorted_turn[:-1] == sorted_turn[1:])
+            same_key
             & (sorted_chi[:-1] == sorted_chi[1:])
             & (sorted_clo[:-1] == sorted_clo[1:])
             & is4[1:]
@@ -124,10 +140,16 @@ def validate_update_pairs(sorted_codes, sorted_turn, sorted_chi, sorted_clo, sor
 
 
 def lww_collapse(
-    table: pa.Table, *, validate_pairs: bool = True, partial: bool = False
+    table: pa.Table,
+    *,
+    validate_pairs: bool = True,
+    partial: bool = False,
+    key_columns: tuple[str, ...] = KEY_COLUMNS,
 ) -> pa.Table:
-    """Collapse a changelog fragment to one winning row per (conv_id,
-    turn_idx): argmax over (commit_lsn, intent_lsn). Keeps the meta columns
+    """Collapse a changelog fragment to one winning row per key (default
+    (conv_id, turn_idx); ``key_columns`` is the message-key-rewrite hook,
+    reference Db2ConnectorIT.java:789-818): argmax over (commit_lsn,
+    intent_lsn). Keeps the meta columns
     (op + 4 LSN columns) so output is both a state fragment and a mergeable
     delta (tombstones retained as op=1 rows). Raises if a before-image wins —
     i.e. an orphan op 3 (with ``validate_pairs`` every orphan raises, matching
@@ -137,24 +159,27 @@ def lww_collapse(
     another batch and will dominate after the shuffle."""
     if table.num_rows == 0:
         return table
-    order, codes, turn = _key_position_order(table)
-    s_codes, s_turn = codes[order], turn[order]
+    order, keys = _key_position_order(table, key_columns)
+    s_keys = [k[order] for k in keys]
     op = table["op"].to_numpy(zero_copy_only=False)
     if validate_pairs:
         chi = table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
         clo = table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
-        validate_update_pairs(s_codes, s_turn, chi[order], clo[order], op[order])
+        validate_update_pairs(s_keys, chi[order], clo[order], op[order])
     n = len(order)
     last = np.ones(n, dtype=bool)
     if n > 1:
-        last[:-1] = (s_codes[:-1] != s_codes[1:]) | (s_turn[:-1] != s_turn[1:])
+        diff = np.zeros(n - 1, dtype=bool)
+        for k in s_keys:
+            diff |= k[:-1] != k[1:]
+        last[:-1] = diff
     winners = order[last]
     wop = op[winners]
     if not partial and (wop == OP_UPDATE_BEFORE).any():
         i = int(winners[np.flatnonzero(wop == OP_UPDATE_BEFORE)[0]])
+        key_repr = tuple(table[c][i].as_py() for c in key_columns)
         raise OrphanBeforeImageError(
-            f"before-image won last-writer-wins for key "
-            f"({table['conv_id'][i].as_py()!r}, {table['turn_idx'][i].as_py()}) "
+            f"before-image won last-writer-wins for key {key_repr!r} "
             "— missing after-image"
         )
     return table.take(winners)
@@ -232,6 +257,7 @@ def apply_partition(
     snapshot_lsn: Lsn | None = None,
     snapshot_completed: bool = True,
     validate_pairs: bool = True,
+    key_columns: tuple[str, ...] = KEY_COLUMNS,
 ) -> pa.Table:
     """Apply one hash partition: fence -> union snapshot -> additive schema
     unification -> last-writer-wins collapse. Returns the partition's
@@ -253,7 +279,9 @@ def apply_partition(
         )
         parts = [conform_table(t, target) for t in parts]
     merged = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
-    return lww_collapse(merged, validate_pairs=validate_pairs)
+    return lww_collapse(
+        merged, validate_pairs=validate_pairs, key_columns=key_columns
+    )
 
 
 def final_state(collapsed: pa.Table, *, keep_meta: bool = False) -> pa.Table:
