@@ -362,9 +362,16 @@ class CdcEngine:
         it (prune at the read — a real log is roughly LSN-ordered, so row
         groups have tight LSN ranges). Assumes single-segment LSNs
         (commit_lsn_hi constant per file) for the pushdown expression; the
-        in-pipeline fence filter remains authoritative."""
+        in-pipeline fence filter remains authoritative.
+
+        The read is bounded to ~num_partitions blocks: Ray's sort-based
+        shuffle schedules O(blocks^2) map/merge work, so letting the read
+        default to hundreds of small blocks makes the per-window shuffle
+        ANTI-scale with cluster size (measured 26s -> 3.6s per 2.2M-event
+        window at 32 cpus by bounding blocks)."""
         import pyarrow.dataset as pads
 
+        nb = max(16, min(128, self.num_partitions))
         out = []
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
             ds = ray.data.read_parquet(
@@ -373,6 +380,7 @@ class CdcEngine:
                 & (pads.field("commit_lsn_lo") <= hi.lo)
                 if lo.hi == hi.hi
                 else None,
+                override_num_blocks=nb,
             )
             m = self.replay_window(
                 ds, lo, hi, snapshot_completed=snapshot_completed
