@@ -64,30 +64,56 @@ def ensure_bench_data() -> dict:
             pq.write_table(part, os.path.join(lake_dir, f"lake-{i:03d}.parquet"),
                            row_group_size=128_000)
     snapshot_lsn = Lsn(0, 1000)
-    cl, max_lsn = generate_changelog_fast(
-        N_EVENTS, N_CONVS, TURNS + 4, seed=42,
-        snapshot_lsn=snapshot_lsn, hot_fraction=0.05,
-    )
     cl_dir = os.path.join(BENCH_DATA, "changelog")
     os.makedirs(cl_dir, exist_ok=True)
-    n_cl_files = max(8, N_EVENTS // 500_000)
-    step = (cl.num_rows + n_cl_files - 1) // n_cl_files
-    for i in range(n_cl_files):
-        part = cl.slice(i * step, step)
-        if part.num_rows:
-            pq.write_table(part, os.path.join(cl_dir, f"log-{i:04d}.parquet"),
-                           row_group_size=128_000)
+    # parallel chunked generation: each chunk covers a contiguous commit-LSN
+    # range, is internally delivery-shuffled, and lands in its own file
+    chunk_events = 2_500_000
+    chunks = []
+    base = snapshot_lsn
+    remaining = N_EVENTS
+    i = 0
+    while remaining > 0:
+        n = min(chunk_events, remaining)
+        chunks.append((i, n, base.to_int(), os.path.join(cl_dir, f"log-{i:04d}.parquet")))
+        # commits per chunk = singles + pairs (see generate_changelog_fast)
+        n_pairs = int(n * 0.3 / 2.0)
+        base = Lsn.from_int(base.to_int() + (n - 2 * n_pairs) + n_pairs)
+        remaining -= n
+        i += 1
+    import multiprocessing as mp
+
+    with mp.Pool(min(8, len(chunks))) as pool:
+        results = pool.map(_gen_chunk, chunks)
+    total_rows = sum(r[0] for r in results)
+    max_lsn = Lsn.from_int(max(r[1] for r in results))
     info = {
         "lake": lake_dir,
         "changelog": cl_dir,
         "snapshot_lsn": snapshot_lsn.to_int(),
         "max_lsn": max_lsn.to_int(),
-        "n_events": cl.num_rows,
+        "n_events": total_rows,
         "lake_rows": lake.num_rows,
     }
     with open(marker, "w") as f:
         json.dump(info, f)
     return info
+
+
+def _gen_chunk(spec):
+    """Worker: generate one contiguous-LSN changelog chunk and write it."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.sources.genlog import generate_changelog_fast
+
+    i, n, base_int, path = spec
+    cl, max_lsn = generate_changelog_fast(
+        n, N_CONVS, TURNS + 4, seed=42 + i,
+        snapshot_lsn=Lsn.from_int(base_int), hot_fraction=0.05,
+    )
+    pq.write_table(cl, path, row_group_size=128_000)
+    return cl.num_rows, max_lsn.to_int()
 
 
 def warm_page_cache(paths):

@@ -333,6 +333,67 @@ def q_media_features(sf_dir: str):
     )
 
 
+NEARDUP_T = 0.35
+NEARDUP_N = 500
+
+SQL_EMB_NEAR_DUP = f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {NEARDUP_N})
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_T}
+"""
+
+
+def q_emb_near_dup_exact(sf_dir: str):
+    """Embedding-cosine near-dup, exact, bounded scope (vec_id < 500):
+    per-batch float64 matmul against a broadcast slice — the verifiable
+    baseline for the LSH variant."""
+    import pyarrow.compute as pc
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        _batch_matrix,
+        _normalize_rows,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    t = t.filter(pc.less(t["vec_id"], NEARDUP_N))
+    sub_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    sub_m = _normalize_rows(_batch_matrix(t))
+    ref = ray.put({"ids": sub_ids, "m": sub_m})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sub = _ray.get(ref)
+        mask = pc.less(batch["vec_id"], NEARDUP_N)
+        batch = batch.filter(mask)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        m = _normalize_rows(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ sub["m"].T  # (B, N)
+        bi, sj = np.nonzero(sims >= NEARDUP_T)
+        a, b = ids[bi], sub["ids"][sj]
+        keep = a < b
+        return pa.table(
+            {"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())}
+        )
+
+    return _emb(sf_dir).map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+def q_emb_near_dup_lsh(sf_dir: str):
+    """LSH-bucketed embedding near-dup over the full corpus (approximate,
+    rows-only check; recall vs exact pinned in pytest)."""
+    from debezium_connector_db2_ray.functions.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(_emb(sf_dir), threshold=NEARDUP_T)
+    return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -344,6 +405,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "emb_near_dup_exact": q_emb_near_dup_exact,
+    "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "mm_media_meta": q_media_meta,
     "mm_media_features": q_media_features,
 }
@@ -356,6 +419,7 @@ DATA_ORACLES: dict[str, str] = {
     "text_langid": SQL_LANGID,
     "doc_fingerprint": SQL_FINGERPRINT,
     "ann_bruteforce": SQL_ANN,
+    "emb_near_dup_exact": SQL_EMB_NEAR_DUP,
     "mm_media_meta": SQL_MEDIA_META,
     # dedup_minhash / dedup_simhash / ann_lsh / mm_media_features:
     # not SQL-expressible -> rows-only driver check, pytest oracles instead

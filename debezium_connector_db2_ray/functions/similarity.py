@@ -117,6 +117,73 @@ class LshBucketer:
         )
 
 
+def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2048):
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cos(a, b) >= threshold.
+
+    Scale shape: random-hyperplane LSH bucket per vector (high-cosine pairs
+    land in the same bucket with high probability; multiple plane sets raise
+    recall) -> groupby bucket -> exact float64 cosine within each bucket.
+    Only (bucket, id, vector) rows shuffle; each bucket's pairwise check is a
+    small matmul."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        outs = []
+        for probe in range(3):  # 3 independent plane sets for recall
+            bucketer = LshBucketer(m.shape[1], nbits=6, seed=5 + probe)
+            b = bucketer.bucket_of(m)
+            outs.append(
+                pa.table(
+                    {
+                        "probe": pa.array(np.full(len(ids), probe, np.int32)),
+                        "bucket": pa.array(b, pa.uint32()),
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "embedding": batch["embedding"].combine_chunks()
+                        if isinstance(batch["embedding"], pa.ChunkedArray)
+                        else batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        df_ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        uniq, first_idx = np.unique(df_ids, return_index=True)
+        if len(uniq) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
+            )
+        sub = group.take(pa.array(first_idx[: max_band_size]))
+        m = _normalize_rows(_batch_matrix(sub))
+        ids = sub["vec_id"].to_numpy(zero_copy_only=False)
+        sims = m @ m.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        a, b = ids[ii[keep]], ids[jj[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.int64()),
+                "b": pa.array(hi, pa.int64()),
+                "cos": pa.array(np.round(sims[ii, jj][keep], 6), pa.float64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby(["probe", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+
+    def distinct(group: pa.Table) -> pa.Table:
+        return group.take([0])
+
+    return pairs.groupby(["a", "b"]).map_groups(distinct, batch_format="pyarrow")
+
+
 def lsh_topk(ds, queries_ref, *, dim: int, k: int = 10, nbits: int = 8,
              concurrency: int = 2):
     """Approximate top-k: only vectors whose LSH bucket matches some query's

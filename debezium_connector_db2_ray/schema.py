@@ -97,6 +97,24 @@ def unify_payload_schemas(old: pa.Schema, new: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def propagate_source_types(schema: pa.Schema, source_types: dict[str, dict]) -> pa.Schema:
+    """Datatype-propagation hook (reference M9: emits
+    ``__debezium.source.column.type/length/scale`` schema parameters when
+    enabled, Db2ConnectorIT.java:820-871, keys util/TestHelper.java:50-63):
+    attach the source column type metadata to the Arrow fields so it rides
+    with every output file."""
+    fields = []
+    for f in schema:
+        info = source_types.get(f.name)
+        if info:
+            md = dict(f.metadata or {})
+            for k, v in info.items():
+                md[f"__debezium.source.column.{k}".encode()] = str(v).encode()
+            f = f.with_metadata(md)
+        fields.append(f)
+    return pa.schema(fields)
+
+
 def conform_table(
     table: pa.Table, target: pa.Schema, defaults: dict[str, object] | None = None
 ) -> pa.Table:

@@ -275,12 +275,24 @@ def generate_changelog_fast(
 
     conv_r = conv_idx[ridx]
     turn_r = turn[ridx]
-    conv_str = np.char.add("conv_", np.char.zfill(conv_r.astype("U10"), 6))
-    text = np.char.add(
-        np.where(op == OP_UPDATE_BEFORE, "before ", "text "),
-        np.char.add(conv_str, np.char.add(" t", turn_r.astype("U6"))),
+    # string building via Arrow kernels: numpy U-dtype concatenation
+    # allocates full-width unicode temporaries (O(rows * max_width * 4B) per
+    # op) and goes superlinear at 5e7 rows; Arrow string joins are flat utf-8
+    import pyarrow.compute as pc
+
+    conv_str = pc.binary_join_element_wise(
+        "conv_", pc.utf8_lpad(pc.cast(pa.array(conv_r), pa.string()), 6, "0"), ""
     )
-    text = np.char.add(text, np.char.add(" c", ridx.astype("U12")))
+    prefix = pa.array(np.where(op == OP_UPDATE_BEFORE, "before ", "text "))
+    text = pc.binary_join_element_wise(
+        prefix,
+        conv_str,
+        " t",
+        pc.cast(pa.array(turn_r), pa.string()),
+        " c",
+        pc.cast(pa.array(ridx), pa.string()),
+        "",
+    )
     role = np.array(ROLES)[(ridx % 3)]
     ts = (EPOCH_US + (10_000_000 + ridx.astype(np.int64)) * 1_000_000).astype("datetime64[us]")
 

@@ -202,6 +202,37 @@ def fence_filter(
     return table.filter(pa.array(keep))
 
 
+def stop_lsn_fence(table: pa.Table, stop_lsn: Lsn) -> pa.Table:
+    """Capture-instance stop fence: drop events with commit_lsn >= stop_lsn —
+    on the OLD capture instance those events arrive again from the NEW
+    instance after a schema change, so the old stream is fenced at its
+    stopLsn (reference: Db2StreamingChangeEventSource.java:224-239; the z/OS
+    escape hatch config at Db2ConnectorConfig.java:399-406 corresponds to
+    simply not calling this)."""
+    if table.num_rows == 0:
+        return table
+    chi = table["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+    clo = table["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+    keep = (chi < stop_lsn.hi) | ((chi == stop_lsn.hi) & (clo < stop_lsn.lo))
+    if keep.all():
+        return table
+    return table.filter(pa.array(keep))
+
+
+SYSTEM_TABLE_PREFIXES = ("ibmsnap_", "ibmqrep_", "asncdc.", "systools.")
+
+
+def is_system_table(name: str) -> bool:
+    """Hard-exclude predicate for capture-control/system tables (reference:
+    Db2ConnectorConfig.java:645-656). Retained as a name-filter hook even
+    though a Parquet lake has no system tables."""
+    n = name.lower()
+    return n.startswith(SYSTEM_TABLE_PREFIXES) or n.split(".")[0] in (
+        "asncdc",
+        "systools",
+    )
+
+
 def offset_skip(
     table: pa.Table, offset_commit: Lsn, offset_intent: Lsn, offset_serial: int = 0
 ) -> pa.Table:

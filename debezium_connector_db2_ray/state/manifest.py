@@ -103,25 +103,46 @@ def committed_watermark(out_dir: str) -> Lsn | None:
     return wm
 
 
-def live_files(out_dir: str) -> list[str]:
-    """Parquet files that constitute current state: the newest compaction's
-    base files plus every later window's delta files — ONLY files named by
-    committed manifests (orphaned staged files from retried/killed tasks are
-    invisible)."""
+def _live_manifests(out_dir: str) -> list[WindowManifest]:
     ms = load_manifests(out_dir)
     last_compaction = -1
     for m in ms:
         if m.kind == "compaction":
             last_compaction = max(last_compaction, m.window_id)
-    files: list[str] = []
-    for m in ms:
-        if m.window_id < last_compaction:
-            continue
-        if m.window_id == last_compaction and m.kind != "compaction":
-            continue
+    return [
+        m
+        for m in ms
+        if m.window_id > last_compaction
+        or (m.window_id == last_compaction and m.kind == "compaction")
+    ]
+
+
+def live_files(out_dir: str) -> list[str]:
+    """Parquet files that constitute current state: the newest compaction's
+    base files plus every later window's delta files — ONLY files named by
+    committed manifests (orphaned staged files from retried/killed tasks are
+    invisible). A fragment file clustered across partitions appears once."""
+    seen: dict[str, None] = {}
+    for m in _live_manifests(out_dir):
         for p in m.partitions.values():
-            files.extend(p["files"])
-    return files
+            for f in p["files"]:
+                seen.setdefault(f, None)
+    return list(seen)
+
+
+def partition_files(out_dir: str) -> dict[int, list[str]]:
+    """Live files per hash partition, from committed manifests. With the
+    write-exchange sink a fragment file holds several partitions' row groups
+    (clustered + pruned by the ``__part`` column at read); it is listed under
+    each partition it contains."""
+    out: dict[int, list[str]] = {}
+    for m in _live_manifests(out_dir):
+        for pid, p in m.partitions.items():
+            lst = out.setdefault(int(pid), [])
+            for f in p["files"]:
+                if f not in lst:
+                    lst.append(f)
+    return out
 
 
 def next_window_id(out_dir: str) -> int:

@@ -39,7 +39,7 @@ def scenario(tmp_path_factory):
 
 
 def run_replay(ray, sc, data_dir, out_dir, num_partitions, n_windows, salt=1,
-               stop_after=None, validate_pairs=True):
+               stop_after=None, validate_pairs=True, exchange="shuffle"):
     import ray.data as rd
 
     eng = CdcEngine(
@@ -47,6 +47,7 @@ def run_replay(ray, sc, data_dir, out_dir, num_partitions, n_windows, salt=1,
         num_partitions=num_partitions,
         salt=salt,
         validate_pairs=validate_pairs,
+        exchange=exchange,
     )
     if committed_watermark(out_dir) is None:
         eng.snapshot(rd.read_parquet(os.path.join(data_dir, "lake.parquet")), sc.snapshot_lsn)
@@ -95,6 +96,51 @@ def test_fast_path_combiner_same_result(ray_session, scenario, tmp_path):
         eng.state_dataset().to_pandas(), preserve_index=False
     ).select(expected.column_names)
     assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_write_exchange_same_result(ray_session, scenario, tmp_path):
+    """The shuffle-free write-exchange sink (partition-clustered fragments +
+    merge-on-read) converges to the identical final state."""
+    sc, data_dir, expected = scenario
+    out = str(tmp_path / "writex")
+    eng, _ = run_replay(
+        ray_session, sc, data_dir, out, 8, 3,
+        validate_pairs=False, exchange="write",
+    )
+    got = pa.Table.from_pandas(
+        eng.state_dataset().to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got).equals(sorted_pdf(expected))
+    # compaction folds fragments into per-partition base files
+    from debezium_connector_db2_ray.state.manifest import live_files
+
+    eng.compact()
+    assert len(live_files(out)) <= 8
+    got2 = pa.Table.from_pandas(
+        eng.state_dataset().to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got2).equals(sorted_pdf(expected))
+
+
+def test_write_exchange_kill_resume(ray_session, scenario, tmp_path):
+    sc, data_dir, expected = scenario
+    out = str(tmp_path / "writex_resume")
+    run_replay(ray_session, sc, data_dir, out, 8, 4, stop_after=2,
+               validate_pairs=False, exchange="write")
+    eng2, finished = run_replay(ray_session, sc, data_dir, out, 8, 4,
+                                validate_pairs=False, exchange="write")
+    assert finished
+    got = pa.Table.from_pandas(
+        eng2.state_dataset().to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_strict_validation_requires_shuffle_exchange():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CdcEngine(out_dir="/tmp/x", exchange="write", validate_pairs=True)
 
 
 def test_kill_and_resume_no_dup_no_loss(ray_session, scenario, tmp_path):
