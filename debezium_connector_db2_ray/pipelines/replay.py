@@ -124,7 +124,8 @@ def _lsn_range(table: pa.Table) -> tuple[str | None, str | None]:
     return lsn_hex(int(chi[lo]), int(clo[lo])), lsn_hex(int(chi[hi]), int(clo[hi]))
 
 
-def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool = False):
+def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool = False,
+                  compression: str = "zstd"):
     """map_groups fn over one hash partition: LWW-collapse the partition and
     stage its parquet file; emit one manifest row. The file only becomes
     visible when the driver commits the window manifest (two-phase sink)."""
@@ -142,7 +143,7 @@ def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool
         collapsed = collapsed.append_column(
             PART_COL, pa.array(np.full(collapsed.num_rows, part, np.int32))
         )
-        pq.write_table(collapsed, path)
+        pq.write_table(collapsed, path, compression=compression)
         mn, mx = _lsn_range(collapsed)
         return pa.Table.from_pylist(
             [
@@ -161,7 +162,7 @@ def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool
     return fn
 
 
-def fragment_writer(delta_dir: str):
+def fragment_writer(delta_dir: str, *, compression: str = "zstd"):
     """map_batches fn for the WRITE-EXCHANGE sink: partial-collapse the batch,
     cluster it by hash partition, and write ONE fragment parquet whose row
     groups are partition-aligned — then emit one manifest row per partition
@@ -183,7 +184,7 @@ def fragment_writer(delta_dir: str):
         uniq, starts, counts = np.unique(parts, return_index=True, return_counts=True)
         # row groups sized so one partition spans few groups (pruning works)
         rg = max(16_384, batch.num_rows // max(1, len(uniq)))
-        pq.write_table(batch, path, row_group_size=rg)
+        pq.write_table(batch, path, row_group_size=rg, compression=compression)
         op = batch["op"].to_numpy(zero_copy_only=False)
         rows = []
         for p, s, c in zip(uniq, starts, counts):
