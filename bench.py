@@ -293,11 +293,13 @@ def scaling() -> None:
         best = None
         runs = []
         for _ in range(repeats):
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(n),
-                BENCH_SKIP_QUERIES="1",
-            )
+            env = dict(os.environ)
+            # scaling-mode defaults: big enough that compute dominates the
+            # per-window fixed costs, few windows, no side queries
+            env.setdefault("BENCH_EVENTS", "50000000")
+            env.setdefault("BENCH_CONVS", "1000000")
+            env.setdefault("BENCH_WINDOWS", "2")
+            env.update(RAY_GRAFT_CPUS=str(n), BENCH_SKIP_QUERIES="1")
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
