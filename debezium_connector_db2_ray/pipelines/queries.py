@@ -733,6 +733,62 @@ def q_key_rewrite(sf_dir: str):
     )
 
 
+TX_GROUP = 5  # events per synthetic transaction for the tx-metadata feed
+
+SQL_TRANSACTION_FEED = f"""
+WITH {SQL_CHANGELOG.strip()},
+txed AS (
+  SELECT *, (lsn // {TX_GROUP}) AS tx_id FROM changelog
+),
+data_rows AS (
+  SELECT 'DATA' AS kind, tx_id,
+         row_number() OVER (PARTITION BY tx_id ORDER BY lsn) AS total_order,
+         CAST(NULL AS BIGINT) AS event_count, conv_id, turn_idx
+  FROM txed
+),
+bounds AS (
+  SELECT tx_id, count(*) AS n FROM txed GROUP BY tx_id
+)
+SELECT * FROM data_rows
+UNION ALL
+SELECT 'BEGIN', tx_id, NULL, NULL, NULL, NULL FROM bounds
+UNION ALL
+SELECT 'END', tx_id, NULL, n, NULL, NULL FROM bounds
+"""
+
+
+def q_transaction_feed(sf_dir: str):
+    """A3 transaction metadata: BEGIN/data/END feed with per-tx event counts
+    and total_order serials (TransactionMetadataIT.java:63-119). Synthetic
+    transactions group {TX_GROUP} consecutive commits; the feed is computed
+    tx-locally after a hash partition on tx id."""
+    from debezium_connector_db2_ray.stages.transactions import transaction_feed
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lsn = batch["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        # group commits into transactions of TX_GROUP; partition by tx hash
+        tx = (lsn // TX_GROUP).astype(np.uint64)
+        batch = batch.set_column(
+            batch.column_names.index("commit_lsn_lo"),
+            "commit_lsn_lo",
+            pa.array(tx, pa.uint64()),
+        )
+        part = (tx % NP).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def feed(group: pa.Table) -> pa.Table:
+        return transaction_feed(group.drop_columns(["__part"]))
+
+    out = (
+        cl.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(feed, batch_format="pyarrow")
+    )
+    return out
+
+
 CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_apply_lww": q_apply_lww,
     "cdc_apply_combiner": q_apply_combiner,
@@ -749,6 +805,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_masked_columns": q_masked_columns,
     "cdc_cloudevents": q_cloudevents,
     "cdc_key_rewrite": q_key_rewrite,
+    "cdc_transaction_feed": q_transaction_feed,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -767,4 +824,5 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_masked_columns": SQL_MASKING,
     "cdc_cloudevents": SQL_CLOUDEVENTS,
     "cdc_key_rewrite": SQL_KEY_REWRITE,
+    "cdc_transaction_feed": SQL_TRANSACTION_FEED,
 }

@@ -316,6 +316,7 @@ class CdcEngine:
         snapshot_lsn: Lsn,
         *,
         n_chunks: int = 4,
+        max_chunks_per_call: int | None = None,
     ) -> list[WindowManifest]:
         """Chunked snapshot — the incremental-snapshot analog (reference:
         signal-driven chunked PK-range snapshot interleaved with streaming,
@@ -335,6 +336,8 @@ class CdcEngine:
             kind = f"snapshot_chunk:{c}/{n_chunks}"
             if kind in done_kinds:
                 continue  # resume: chunk already committed
+            if max_chunks_per_call is not None and len(out) >= max_chunks_per_call:
+                break  # interleave with streaming windows; resume later
             lo_p = c * self.num_partitions // n_chunks
             hi_p = (c + 1) * self.num_partitions // n_chunks
             wid = next_window_id(self.out_dir)
