@@ -1,0 +1,133 @@
+"""Command-line entry points — the ``ray job submit`` surface.
+
+Usage (each command owns its Ray session; the driver-facing __ray_entry__
+module never calls ray.init):
+
+  python -m debezium_connector_db2_ray.cli snapshot \
+      --lake /data/lake --out /data/target --snapshot-lsn 1000
+  python -m debezium_connector_db2_ray.cli replay \
+      --changelog /data/log --out /data/target --to-lsn 500000 --windows 4
+  python -m debezium_connector_db2_ray.cli state --out /data/target --dest /data/export
+  python -m debezium_connector_db2_ray.cli compact --out /data/target
+  python -m debezium_connector_db2_ray.cli metrics --out /data/target
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="db2ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("snapshot")
+    sp.add_argument("--lake", required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--snapshot-lsn", type=int, required=True)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--chunks", type=int, default=0, help=">0: incremental")
+
+    rp = sub.add_parser("replay")
+    rp.add_argument("--changelog", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--from-lsn", type=int, default=None,
+                    help="default: resume from committed watermark")
+    rp.add_argument("--to-lsn", type=int, required=True)
+    rp.add_argument("--windows", type=int, default=4)
+    rp.add_argument("--partitions", type=int, default=32)
+    rp.add_argument("--salt", type=int, default=1)
+    rp.add_argument("--exchange", choices=("shuffle", "write"), default="shuffle")
+    rp.add_argument("--no-validate", action="store_true")
+
+    st = sub.add_parser("state")
+    st.add_argument("--out", required=True)
+    st.add_argument("--dest", required=True)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--out", required=True)
+
+    mp = sub.add_parser("metrics")
+    mp.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.replay import CdcEngine
+    from debezium_connector_db2_ray.state.manifest import committed_watermark
+
+    if args.cmd == "metrics":
+        from dataclasses import asdict
+
+        from debezium_connector_db2_ray.metrics import catalog, collect_metrics
+
+        m = collect_metrics(args.out)
+        print(json.dumps({"metrics": asdict(m), "catalog": catalog(args.out)},
+                         default=str, indent=1))
+        return 0
+
+    ray = _ray_init(args.num_cpus)
+    try:
+        import ray.data as rd
+
+        if args.cmd == "snapshot":
+            eng = CdcEngine(out_dir=args.out, num_partitions=args.partitions)
+            lake = rd.read_parquet(args.lake)
+            fence = Lsn.from_int(args.snapshot_lsn)
+            if args.chunks > 0:
+                ms = eng.incremental_snapshot(lake, fence, n_chunks=args.chunks)
+            else:
+                ms = [eng.snapshot(lake, fence)]
+            print(json.dumps({"committed_windows": [m.window_id for m in ms]}))
+        elif args.cmd == "replay":
+            eng = CdcEngine(
+                out_dir=args.out,
+                num_partitions=args.partitions,
+                salt=args.salt,
+                exchange=args.exchange,
+                validate_pairs=not args.no_validate and args.exchange == "shuffle",
+            )
+            if args.from_lsn is not None:
+                from_lsn = Lsn.from_int(args.from_lsn)
+            else:
+                wm = committed_watermark(args.out)
+                if wm is None:
+                    print("no committed watermark and no --from-lsn", file=sys.stderr)
+                    return 2
+                from_lsn = wm
+            ms = eng.replay_from_parquet(
+                args.changelog, from_lsn, Lsn.from_int(args.to_lsn), args.windows
+            )
+            print(json.dumps({"committed_windows": [m.window_id for m in ms]}))
+        elif args.cmd == "state":
+            eng = CdcEngine(out_dir=args.out)
+            eng.state_dataset().write_parquet(args.dest)
+            print(json.dumps({"dest": args.dest}))
+        elif args.cmd == "compact":
+            eng = CdcEngine(out_dir=args.out)
+            m = eng.compact()
+            print(json.dumps({"compaction_window": m.window_id}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
