@@ -733,6 +733,70 @@ def q_key_rewrite(sf_dir: str):
     )
 
 
+SQL_PARTIAL_COALESCE = f"""
+WITH {SQL_CHANGELOG.strip()},
+partials AS (
+  SELECT conv_id, turn_idx, lsn, op, role,
+         CASE WHEN op = 5 AND lsn % 2 = 0 THEN NULL ELSE text END AS text,
+         tool
+  FROM changelog WHERE op <> 1
+),
+resolved AS (
+  SELECT conv_id, turn_idx,
+         first_value(role) OVER w AS role,
+         first_value(text IGNORE NULLS) OVER w AS text,
+         first_value(tool IGNORE NULLS) OVER w AS tool,
+         row_number() OVER w AS rn
+  FROM partials
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT conv_id, turn_idx, role, text, tool FROM resolved WHERE rn = 1
+"""
+
+
+def q_partial_update_coalesce(sf_dir: str):
+    """Reselect-columns analog: a partial-update stream (every even-LSN
+    update omits ``text``) merged per column to the latest non-null value
+    (Db2ReselectColumnsProcessor semantics, engine-side)."""
+    from debezium_connector_db2_ray.stages.apply import coalesce_collapse
+
+    def derive_partial(batch: pa.Table) -> pa.Table:
+        t = derive_changelog(batch)
+        t = t.filter(pc.not_equal(t["op"], OP_DELETE))
+        lsn = t["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        op = t["op"].to_numpy(zero_copy_only=False)
+        null_text = (op == OP_UPDATE_SINGLE) & (lsn % 2 == 0)
+        text = pc.if_else(
+            pa.array(~null_text), t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            pa.scalar(None, pa.string()),
+        )
+        return t.set_column(t.column_names.index("text"), "text", text)
+
+    cl = _events(sf_dir).map_batches(derive_partial, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        from debezium_connector_db2_ray.stages.apply import partition_ids
+
+        pid = partition_ids(
+            batch["conv_id"],
+            batch["turn_idx"].to_numpy(zero_copy_only=False),
+            NP,
+        )
+        return batch.append_column("__part", pa.array(pid, pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        out = coalesce_collapse(group.drop_columns(["__part"]))
+        return out.select(["conv_id", "turn_idx", "role", "text", "tool"])
+
+    return (
+        cl.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 TX_GROUP = 5  # events per synthetic transaction for the tx-metadata feed
 
 SQL_TRANSACTION_FEED = f"""
@@ -806,6 +870,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_cloudevents": q_cloudevents,
     "cdc_key_rewrite": q_key_rewrite,
     "cdc_transaction_feed": q_transaction_feed,
+    "cdc_partial_update_coalesce": q_partial_update_coalesce,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -825,4 +890,5 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_cloudevents": SQL_CLOUDEVENTS,
     "cdc_key_rewrite": SQL_KEY_REWRITE,
     "cdc_transaction_feed": SQL_TRANSACTION_FEED,
+    "cdc_partial_update_coalesce": SQL_PARTIAL_COALESCE,
 }

@@ -185,6 +185,86 @@ def lww_collapse(
     return table.take(winners)
 
 
+def coalesce_collapse(
+    table: pa.Table,
+    *,
+    key_columns: tuple[str, ...] = KEY_COLUMNS,
+    coalesce_columns: tuple[str, ...] | None = None,
+) -> pa.Table:
+    """Partial-update merge: per key, each payload column takes its value
+    from the LATEST event where that column is non-null — the engine-side
+    analog of the reference's reselect-columns post processor (which re-reads
+    unavailable/null column values from the source row,
+    Db2ReselectColumnsProcessorIT). A DELETE resets the key: values from
+    before the tombstone never leak into a later re-insert.
+
+    Vectorized via segmented cumulative-max of last-valid-row indices
+    (segments = key runs, re-cut after every DELETE). Before-images (op 3)
+    are not state writes and are ignored."""
+    if table.num_rows == 0:
+        return table
+    table = table.filter(pc.not_equal(table["op"], OP_UPDATE_BEFORE))
+    if table.num_rows == 0:
+        return table
+    order, keys = _key_position_order(table, key_columns)
+    t = table.take(order)
+    n = t.num_rows
+    s_keys = [k[order] for k in keys]
+    new_key = np.ones(n, dtype=bool)
+    if n > 1:
+        diff = np.zeros(n - 1, dtype=bool)
+        for k in s_keys:
+            diff |= k[:-1] != k[1:]
+        new_key[1:] = diff
+    op = t["op"].to_numpy(zero_copy_only=False)
+    # segment boundaries: new key, or row right after a delete in the same key
+    after_delete = np.zeros(n, dtype=bool)
+    after_delete[1:] = (op[:-1] == OP_DELETE) & ~new_key[1:]
+    seg = np.cumsum(new_key | after_delete) - 1  # 0-based segment ids
+    last_of_key = np.zeros(n, dtype=bool)
+    last_of_key[:-1] = new_key[1:]
+    last_of_key[-1] = True
+    winners = np.flatnonzero(last_of_key)
+    wop = op[winners]
+
+    payload = [c for c in t.column_names if c not in META and c not in key_columns]
+    cols = coalesce_columns or tuple(payload)
+    big = np.int64(n + 2)
+    out_cols: dict[str, pa.Array] = {}
+    for c in key_columns:
+        out_cols[c] = _take_arr(t[c], winners)
+    for name, f in zip(t.column_names, t.schema):
+        if name in key_columns or name not in payload:
+            continue
+        col = t[name]
+        if name in cols:
+            valid = pc.is_valid(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(zero_copy_only=False)
+            lastv = np.where(valid, np.arange(n, dtype=np.int64), np.int64(-1))
+            segmented = np.maximum.accumulate(lastv + big * seg) - big * seg
+            pick = segmented[winners]
+            idx = pa.array(
+                np.where(pick >= 0, pick, 0), pa.int64(),
+                mask=pick < 0,
+            )
+            out_cols[name] = _take_arr(col, idx)
+        else:
+            out_cols[name] = _take_arr(col, winners)
+    # meta columns of the winning (last) event ride along
+    for m in CHANGELOG_META_COLUMNS:
+        out_cols[m] = _take_arr(t[m], winners)
+    out = pa.table(out_cols)
+    # tombstoned keys (winner is DELETE) are dropped
+    if (wop == OP_DELETE).any():
+        out = out.filter(pc.not_equal(out["op"], OP_DELETE))
+    return out
+
+
+def _take_arr(col, indices):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.take(indices if isinstance(indices, pa.Array) else pa.array(indices))
+
+
 def fence_filter(
     table: pa.Table, snapshot_lsn: Lsn, *, snapshot_completed: bool = True
 ) -> pa.Table:
