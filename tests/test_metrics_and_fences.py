@@ -114,3 +114,20 @@ def test_metrics_and_catalog(ray_session, tmp_path):
     assert cat[0]["table"] == "transcripts"
     assert cat[0]["state"] == "active"
     assert "conv_id" in cat[0]["columns"]
+
+
+def test_vanished_changelog_skip(ray_session, tmp_path):
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.replay import CdcEngine
+
+    eng = CdcEngine(out_dir=str(tmp_path / "o"), num_partitions=2)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        eng.replay_from_parquet("/nonexistent/log", Lsn(0, 1), Lsn(0, 10), 1)
+    assert (
+        eng.replay_from_parquet(
+            "/nonexistent/log", Lsn(0, 1), Lsn(0, 10), 1, on_missing="skip"
+        )
+        == []
+    )
