@@ -394,6 +394,117 @@ def q_emb_near_dup_lsh(sf_dir: str):
     return out.map_batches(lambda t: t.select(["a", "b"]), batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# streaming-shaped ops over events
+# ---------------------------------------------------------------------------
+
+SQL_TUMBLING = """
+SELECT user_id,
+       CAST(epoch_us(ts) // (24 * 3600 * CAST(1000000 AS BIGINT)) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tumbling_counts(sf_dir: str):
+    """Tumbling-window aggregate (24h) per user: pre-aggregated per batch,
+    tiny final groupby."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import tumbling_counts
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_counts(ds, width_hours=24)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.column_names.index("value_sum"),
+            "value_sum",
+            pc.round(t["value_sum"], 4),
+        )
+
+    return out.map_batches(rounder, batch_format="pyarrow")
+
+
+SQL_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 120 * 60 * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM ordered
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts) AS start_ts, max(ts) AS end_ts
+FROM sess GROUP BY 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Session windows per user (gap > 120 min cuts a session)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import sessionize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return sessionize(ds, gap_minutes=120)
+
+
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+SQL_BPE_TOKENS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pre-tokenizer count (GPT-2-style split classes, lookahead-free
+    so the oracle regex engine agrees)."""
+    import re
+
+    pat = re.compile(BPE_PATTERN)
+
+    def count(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n = s.str.findall(pat).str.len().astype("int64")
+        return pa.table({"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(n)})
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs via permissive-band MinHash
+    candidates + exact verification (rows-only check; correctness pinned in
+    tests against the brute-force Jaccard oracle)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.dedup import ngram_jaccard_pairs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ref = ray.put(lookup)
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, ref, k=3, threshold=0.5)
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -409,6 +520,10 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "mm_media_meta": q_media_meta,
     "mm_media_features": q_media_features,
+    "stream_tumbling_counts": q_tumbling_counts,
+    "stream_sessionize": q_sessionize,
+    "text_bpe_tokens": q_bpe_tokens,
+    "dedup_ngram": q_dedup_ngram,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -421,6 +536,10 @@ DATA_ORACLES: dict[str, str] = {
     "ann_bruteforce": SQL_ANN,
     "emb_near_dup_exact": SQL_EMB_NEAR_DUP,
     "mm_media_meta": SQL_MEDIA_META,
-    # dedup_minhash / dedup_simhash / ann_lsh / mm_media_features:
-    # not SQL-expressible -> rows-only driver check, pytest oracles instead
+    "stream_tumbling_counts": SQL_TUMBLING,
+    "stream_sessionize": SQL_SESSIONS,
+    "text_bpe_tokens": SQL_BPE_TOKENS,
+    # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh /
+    # mm_media_features / emb_near_dup_lsh: not SQL-expressible ->
+    # rows-only driver check, pytest oracles instead
 }
