@@ -180,6 +180,14 @@ def run_headline(timings: dict) -> dict:
         n_state = eng.state_dataset().count()
         timings["state_read_sec"] = round(time.perf_counter() - t0, 3)
         assert n_state > 0
+
+        t0 = time.perf_counter()
+        eng.compact()
+        timings["compact_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n2 = eng.state_dataset().count()
+        timings["state_read_after_compact_sec"] = round(time.perf_counter() - t0, 3)
+        assert n2 == n_state
         return {
             "replay_sec": replay_sec,
             "events": info["n_events"],

@@ -214,3 +214,29 @@ def test_lineage_counts_cover_all_events(ray_session, scenario, tmp_path):
         for p in m.partitions.values():
             assert p["min_lsn"] is not None and p["max_lsn"] is not None
             assert sum(p["op_counts"].values()) == p["rows"]
+
+
+def test_orphan_staged_files_invisible(ray_session, scenario, tmp_path):
+    """Files left behind by killed/retried tasks (present on disk, absent
+    from every committed manifest) never reach readers — the two-phase
+    guarantee."""
+    import pyarrow.parquet as pq_
+
+    from debezium_connector_db2_ray.state.manifest import live_files
+
+    sc, data_dir, expected = scenario
+    out = str(tmp_path / "orphans")
+    eng, _ = run_replay(ray_session, sc, data_dir, out, 4, 2)
+    # simulate a retried task's leftover: a poisoned fragment in a delta dir
+    deltas = [d for d in os.listdir(os.path.join(out, "delta"))]
+    poison_dir = os.path.join(out, "delta", deltas[0], "part=00000")
+    os.makedirs(poison_dir, exist_ok=True)
+    poison = sc.changelog.slice(0, 50).append_column(
+        "__part", pa.array([0] * 50, pa.int32())
+    )
+    pq_.write_table(poison, os.path.join(poison_dir, "part-deadbeef.parquet"))
+    assert os.path.join(poison_dir, "part-deadbeef.parquet") not in live_files(out)
+    got = pa.Table.from_pandas(
+        eng.state_dataset().to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got).equals(sorted_pdf(expected))
