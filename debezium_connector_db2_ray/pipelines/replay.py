@@ -219,7 +219,7 @@ def read_partition_table(files: list[str], partition: int) -> pa.Table:
             tables.append(t)
     if not tables:
         return None
-    return pa.concat_tables(tables, promote_options="default")
+    return pa.concat_tables(tables, promote_options="permissive")
 
 
 @dataclass
@@ -515,6 +515,12 @@ class CdcEngine:
         items = [{"partition": k, "files": v} for k, v in sorted(by_part.items())]
         if not items:
             return ray.data.from_items([])
+        # governing payload schema from the durable history: partitions whose
+        # winners predate an ALTER are conformed (null-backfill + widening)
+        # so the output Dataset is schema-homogeneous across blocks
+        hist = self.schema_history
+        bounds = hist.boundaries(self.table_name)
+        latest_payload = bounds[-1][1] if bounds else None
 
         def read_partition(batch: pa.Table) -> pa.Table:
             outs = []
@@ -525,10 +531,18 @@ class CdcEngine:
                 collapsed = lww_collapse(
                     t.drop_columns([PART_COL]), validate_pairs=False
                 )
-                outs.append(final_state(collapsed, keep_meta=keep_meta))
+                st = final_state(collapsed, keep_meta=keep_meta)
+                if latest_payload is not None and not keep_meta:
+                    from debezium_connector_db2_ray.schema import (
+                        unify_payload_schemas,
+                    )
+
+                    target = unify_payload_schemas(latest_payload, st.schema)
+                    st = conform_table(st, target)
+                outs.append(st)
             if not outs:
                 return pa.table({})
-            return pa.concat_tables(outs, promote_options="default")
+            return pa.concat_tables(outs, promote_options="permissive")
 
         return ray.data.from_items(items).map_batches(
             read_partition, batch_format="pyarrow", batch_size=1
