@@ -42,3 +42,24 @@ from debezium_connector_db2_ray.ops import (  # noqa: F401
 )
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (avoids importing ray at package import time)
+    if name == "CdcEngine":
+        from debezium_connector_db2_ray.pipelines.replay import CdcEngine
+
+        return CdcEngine
+    if name == "apply_dataset":
+        from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+        return apply_dataset
+    if name == "plan_windows":
+        from debezium_connector_db2_ray.pipelines.replay import plan_windows
+
+        return plan_windows
+    if name == "collect_metrics":
+        from debezium_connector_db2_ray.metrics import collect_metrics
+
+        return collect_metrics
+    raise AttributeError(name)

@@ -274,11 +274,21 @@ class CdcEngine:
 
     # ---- phases -----------------------------------------------------------
 
-    def snapshot(self, lake: "ray.data.Dataset", snapshot_lsn: Lsn) -> WindowManifest:
+    def snapshot(
+        self,
+        lake: "ray.data.Dataset",
+        snapshot_lsn: Lsn,
+        *,
+        replace: bool = False,
+    ) -> WindowManifest:
         """Initial-snapshot phase (reference:
         Db2SnapshotChangeEventSource.java:125-175): materialize the lake as
         op=READ rows at the snapshot watermark into hash-partitioned base
-        files, then commit a manifest with snapshot_completed=True."""
+        files, then commit a manifest with snapshot_completed=True.
+
+        ``replace=True`` is snapshot mode ALWAYS: the new snapshot supersedes
+        all previously committed state (offsets are NOT used; the lake is
+        re-read as-is — Db2ConnectorIT.java:912-970)."""
         wid = next_window_id(self.out_dir)
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
         fence = snapshot_lsn
@@ -298,7 +308,7 @@ class CdcEngine:
         rows = ds.take_all()
         m = WindowManifest(
             window_id=wid,
-            kind="snapshot",
+            kind="snapshot_replace" if replace else "snapshot",
             from_lsn=None,
             to_lsn=snapshot_lsn.hex(),
             snapshot_completed=True,

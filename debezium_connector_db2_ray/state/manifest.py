@@ -103,17 +103,24 @@ def committed_watermark(out_dir: str) -> Lsn | None:
     return wm
 
 
+#: manifest kinds that make every OLDER window's files dead: a compaction
+#: folds them; a replace-snapshot (snapshot mode ALWAYS,
+#: Db2ConnectorIT.java:912-970 shouldNotUseOffsetWhenSnapshotIsAlways)
+#: re-reads current source state and supersedes everything before it
+BARRIER_KINDS = ("compaction", "snapshot_replace")
+
+
 def _live_manifests(out_dir: str) -> list[WindowManifest]:
     ms = load_manifests(out_dir)
-    last_compaction = -1
+    last_barrier = -1
     for m in ms:
-        if m.kind == "compaction":
-            last_compaction = max(last_compaction, m.window_id)
+        if m.kind in BARRIER_KINDS:
+            last_barrier = max(last_barrier, m.window_id)
     return [
         m
         for m in ms
-        if m.window_id > last_compaction
-        or (m.window_id == last_compaction and m.kind == "compaction")
+        if m.window_id > last_barrier
+        or (m.window_id == last_barrier and m.kind in BARRIER_KINDS)
     ]
 
 

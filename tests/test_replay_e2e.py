@@ -240,3 +240,38 @@ def test_orphan_staged_files_invisible(ray_session, scenario, tmp_path):
         eng.state_dataset().to_pandas(), preserve_index=False
     ).select(expected.column_names)
     assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_snapshot_mode_always_replaces_state(ray_session, tmp_path):
+    """Snapshot ALWAYS ignores prior offsets/state and re-reads the current
+    source: after delete id=1 + insert id=3, a re-snapshot returns exactly
+    the current rows (Db2ConnectorIT.java:912-970)."""
+    import ray.data as rd
+
+    lake_v1 = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["one", "two"],
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    # current source state later: c1 deleted, c3 inserted
+    lake_v2 = pa.table(
+        {
+            "conv_id": ["c2", "c3"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["two", "three"],
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "always")
+    eng = CdcEngine(out_dir=out, num_partitions=2)
+    eng.snapshot(rd.from_arrow(lake_v1), Lsn(0, 100))
+    eng.snapshot(rd.from_arrow(lake_v2), Lsn(0, 200), replace=True)
+    got = set(eng.state_dataset().to_pandas()["text"])
+    assert got == {"two", "three"}  # exactly current state, no ghosts of 'one'
