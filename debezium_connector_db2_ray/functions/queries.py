@@ -344,6 +344,29 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_T}
 """
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF-variant ANN: k-means coarse quantizer trained on a deterministic
+    sample, n_probe nearest lists scored exactly (rows-only check; recall vs
+    exact pinned in pytest)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        _batch_matrix,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    qm = _query_matrix(sf_dir)
+    ref = ray.put(qm)
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    sample = sample.slice(0, min(2000, sample.num_rows))
+    cent = train_ivf_centroids(_batch_matrix(sample), n_lists=16)
+    out = ivf_topk(_emb(sf_dir), ref, centroids=cent, k=ANN_K, n_probe=6)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "rank", "vec_id"]), batch_format="pyarrow"
+    )
+
+
 def q_emb_near_dup_exact(sf_dir: str):
     """Embedding-cosine near-dup, exact, bounded scope (vec_id < 500):
     per-batch float64 matmul against a broadcast slice — the verifiable
@@ -516,6 +539,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprint": q_fingerprint,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "emb_near_dup_exact": q_emb_near_dup_exact,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "mm_media_meta": q_media_meta,

@@ -117,6 +117,51 @@ class LshBucketer:
         )
 
 
+def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16, iters: int = 10,
+                        seed: int = 9) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample — the IVF coarse
+    quantizer. Trained once, broadcast to every actor."""
+    rng = np.random.default_rng(seed)
+    m = _normalize_rows(sample.astype(np.float64))
+    cent = m[rng.choice(len(m), size=min(n_lists, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for k in range(len(cent)):
+            members = m[assign == k]
+            if len(members):
+                cent[k] = members.mean(axis=0)
+        cent = _normalize_rows(cent)
+    return cent
+
+
+def ivf_topk(ds, queries_ref, *, centroids: np.ndarray, k: int = 10,
+             n_probe: int = 4, concurrency: int = 2):
+    """IVF-style approximate top-k: vectors are assigned to their nearest
+    centroid list; only vectors in the queries' ``n_probe`` closest lists are
+    scored. The scale path for ANN over 1e9+ vectors: the filter runs
+    per batch against the broadcast centroids (no shuffle), the scored subset
+    is a fraction ~n_probe/n_lists of the corpus."""
+    import ray
+
+    q = ray.get(queries_ref) if not isinstance(queries_ref, dict) else queries_ref
+    qm = _normalize_rows(q["matrix"].astype(np.float64))
+    probe_lists = np.unique(
+        np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe].reshape(-1)
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch))
+        assign = np.argmax(m @ centroids.T, axis=1)
+        return batch.filter(pa.array(np.isin(assign, probe_lists)))
+
+    return brute_force_topk(
+        ds.map_batches(prefilter, batch_format="pyarrow", batch_size=None),
+        queries_ref,
+        k=k,
+        concurrency=concurrency,
+    )
+
+
 def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2048):
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cos(a, b) >= threshold.

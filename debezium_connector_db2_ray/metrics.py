@@ -69,6 +69,23 @@ def collect_metrics(out_dir: str) -> EngineMetrics:
     return m
 
 
+def suggest_salt(out_dir: str, *, skew_threshold: float = 3.0, max_salt: int = 16) -> int:
+    """Operator-facing skew advisor: if the hottest partition carries more
+    than ``skew_threshold`` x the mean row count, recommend a salt factor
+    (next power of two covering the skew, capped). Feed the result into
+    ``CdcEngine(salt=...)`` for subsequent windows — legal mid-stream because
+    salting only changes the partition function, not the per-key LWW result
+    (SURVEY.md §4)."""
+    m = collect_metrics(out_dir)
+    skew = m.max_partition_skew
+    if skew <= skew_threshold:
+        return 1
+    salt = 2
+    while salt < min(max_salt, skew):
+        salt *= 2
+    return min(salt, max_salt)
+
+
 def catalog(out_dir: str) -> list[dict]:
     """Capture-registry view (reference S6: IBMSNAP_REGISTER scan,
     LuwPlatform.java:41-43): one row per captured table with its schema

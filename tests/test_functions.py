@@ -131,3 +131,42 @@ def test_rolling_hash_prefilter_stability():
     assert a.equals(b)
     # a small suffix edit keeps the min-window hash (content-defined anchor)
     assert a["rolling_min_hash"][0] == a["rolling_min_hash"][1]
+
+
+def test_ivf_ann_recall_against_exact(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from debezium_connector_db2_ray.functions.queries import (
+        q_ann_bruteforce,
+        q_ann_ivf,
+    )
+
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_bruteforce(SF).take_all()
+    }
+    approx = {(r["query_id"], r["vec_id"]) for r in q_ann_ivf(SF).take_all()}
+    recall = len(exact & approx) / len(exact)
+    # probing 6/16 lists on unclustered gaussians: recall well above the
+    # 6/16=0.375 random-probe floor because neighbors share the query's lists
+    assert recall >= 0.5
+    for q in {q for q, _ in exact}:
+        assert (q, q) in approx  # a query's own vector is always in its list
+
+
+def test_generator_determinism():
+    """Seeded generators are bit-stable across calls (bench fairness across
+    parallelism levels depends on identical input)."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.sources.genlog import (
+        generate_changelog_fast,
+        generate_scenario,
+    )
+
+    a, _ = generate_changelog_fast(20_000, 500, 8, seed=5)
+    b, _ = generate_changelog_fast(20_000, 500, 8, seed=5)
+    assert a.equals(b)
+    sa = generate_scenario(n_convs=10, turns_per_conv=3, n_commits=50, seed=5)
+    sb = generate_scenario(n_convs=10, turns_per_conv=3, n_commits=50, seed=5)
+    assert sa.changelog.equals(sb.changelog) and sa.lake.equals(sb.lake)

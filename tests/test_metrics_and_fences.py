@@ -131,3 +131,33 @@ def test_vanished_changelog_skip(ray_session, tmp_path):
         )
         == []
     )
+
+
+def test_suggest_salt(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.metrics import suggest_salt
+    from debezium_connector_db2_ray.pipelines.replay import CdcEngine
+    from debezium_connector_db2_ray.sources.genlog import generate_scenario
+
+    # extreme skew: 90% of events hit one conversation
+    sc = generate_scenario(
+        n_convs=20, turns_per_conv=3, n_commits=300, seed=77, hot_fraction=0.9
+    )
+    d = tmp_path / "d"
+    d.mkdir()
+    pq_.write_table(sc.changelog, str(d / "cl.parquet"))
+    out = str(tmp_path / "o")
+    eng = CdcEngine(out_dir=out, num_partitions=8)
+    eng.replay_from_parquet(str(d / "cl.parquet"), sc.snapshot_lsn, sc.max_lsn, 1)
+    assert suggest_salt(out) > 1
+    # balanced load -> no salt
+    sc2 = generate_scenario(
+        n_convs=50, turns_per_conv=3, n_commits=300, seed=78, hot_fraction=0.0
+    )
+    pq_.write_table(sc2.changelog, str(d / "cl2.parquet"))
+    out2 = str(tmp_path / "o2")
+    eng2 = CdcEngine(out_dir=out2, num_partitions=4)
+    eng2.replay_from_parquet(str(d / "cl2.parquet"), sc2.snapshot_lsn, sc2.max_lsn, 1)
+    assert suggest_salt(out2, skew_threshold=3.0) == 1
