@@ -272,6 +272,25 @@ class CdcEngine:
                 return  # no structural change
         hist.record(kind, self.table_name, lsn, payload)
 
+    def _partitioning(self) -> dict:
+        return {"num_partitions": self.num_partitions, "salt": self.salt}
+
+    def _check_partitioning(self) -> None:
+        """A key must map to ONE partition across all live files, or the
+        per-partition merge-on-read misses cross-window last-writer-wins.
+        Changing num_partitions/salt therefore requires a compact() barrier,
+        which re-tags every live row under the new partitioning."""
+        from debezium_connector_db2_ray.state.manifest import live_partitioning
+
+        committed = live_partitioning(self.out_dir)
+        if committed is not None and committed != self._partitioning():
+            raise ValueError(
+                f"committed state uses partitioning {committed} but this "
+                f"engine is configured with {self._partitioning()}; run "
+                "compact() with the new settings (a repartitioning barrier) "
+                "before replaying further windows"
+            )
+
     # ---- phases -----------------------------------------------------------
 
     def snapshot(
@@ -289,6 +308,8 @@ class CdcEngine:
         ``replace=True`` is snapshot mode ALWAYS: the new snapshot supersedes
         all previously committed state (offsets are NOT used; the lake is
         re-read as-is — Db2ConnectorIT.java:912-970)."""
+        if not replace:
+            self._check_partitioning()
         wid = next_window_id(self.out_dir)
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
         fence = snapshot_lsn
@@ -313,6 +334,7 @@ class CdcEngine:
             to_lsn=snapshot_lsn.hex(),
             snapshot_completed=True,
             partitions=self._lineage(rows),
+            partitioning=self._partitioning(),
         )
         commit_manifest(self.out_dir, m)
         # CREATE schema event at snapshot, as the reference emits one DDL
@@ -338,6 +360,7 @@ class CdcEngine:
         last-writer-wins to any later change (watermark dedup for free)."""
         from debezium_connector_db2_ray.state.manifest import load_manifests
 
+        self._check_partitioning()
         done_kinds = {m.kind for m in load_manifests(self.out_dir)}
         tagger = tag_partitions(self.num_partitions, self.salt)
         fence = snapshot_lsn
@@ -374,6 +397,7 @@ class CdcEngine:
                 to_lsn=snapshot_lsn.hex(),
                 snapshot_completed=(c == n_chunks - 1),
                 partitions=self._lineage(rows),
+                partitioning=self._partitioning(),
             )
             commit_manifest(self.out_dir, m)
             out.append(m)
@@ -395,6 +419,7 @@ class CdcEngine:
         wm = committed_watermark(self.out_dir)
         if wm is not None and to_lsn <= wm:
             return None  # already applied — resume skip
+        self._check_partitioning()
         wid = next_window_id(self.out_dir)
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
 
@@ -448,6 +473,7 @@ class CdcEngine:
             to_lsn=to_lsn.hex(),
             snapshot_completed=snapshot_completed,
             partitions=self._lineage(rows),
+            partitioning=self._partitioning(),
         )
         commit_manifest(self.out_dir, m)
         # ALTER schema event when this window's payload schema differs from
@@ -561,21 +587,37 @@ class CdcEngine:
     def compact(self) -> WindowManifest:
         """Fold base + deltas into fresh per-partition base files and commit a
         compaction manifest; older files become dead (merge-on-read cost
-        reset). Tombstones are dropped — nothing older remains to shadow."""
+        reset). Tombstones are dropped — nothing older remains to shadow.
+
+        Compaction RE-TAGS every surviving row under the engine's CURRENT
+        (num_partitions, salt), so it doubles as the repartitioning barrier:
+        to change partitioning (e.g. after metrics.suggest_salt), construct
+        the engine with the new settings and run compact() before replaying
+        further windows."""
         wid = next_window_id(self.out_dir)
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
         wm = committed_watermark(self.out_dir)
         by_part = partition_files(self.out_dir)
         items = [{"partition": k, "files": v} for k, v in sorted(by_part.items())]
+        tagger = tag_partitions(self.num_partitions, self.salt)
 
         def compact_partition(batch: pa.Table) -> pa.Table:
             out = []
-            writer = staged_writer(delta_dir, validate_pairs=False, drop_tombstones=True)
+            writer = fragment_writer(delta_dir)
             for row in batch.to_pylist():
                 t = read_partition_table(row["files"], row["partition"])
                 if t is None:
                     continue
-                out.append(writer(t))
+                collapsed = lww_collapse(
+                    t.drop_columns([PART_COL]), validate_pairs=False
+                )
+                if collapsed.num_rows:
+                    collapsed = collapsed.filter(
+                        pc.not_equal(collapsed["op"], OP_DELETE)
+                    )
+                if collapsed.num_rows == 0:
+                    continue
+                out.append(writer(tagger(collapsed)))
             if not out:
                 return _MANIFEST_ROW_SCHEMA.empty_table()
             return pa.concat_tables(out)
@@ -592,6 +634,7 @@ class CdcEngine:
             to_lsn=wm.hex() if wm else None,
             snapshot_completed=True,
             partitions=self._lineage(rows),
+            partitioning=self._partitioning(),
         )
         commit_manifest(self.out_dir, m)
         return m

@@ -44,11 +44,16 @@ class PartitionLineage:
 @dataclass
 class WindowManifest:
     window_id: int
-    kind: str  # "snapshot" | "stream" | "compaction"
+    kind: str  # "snapshot" | "snapshot_replace" | "stream" | "compaction"
     from_lsn: str | None  # hex, inclusive lower bound of the window
     to_lsn: str | None  # hex, inclusive upper bound == new watermark
     snapshot_completed: bool
     partitions: dict[str, dict[str, Any]] = field(default_factory=dict)
+    #: the hash-partitioning under which this window's files were written;
+    #: every live window must agree (a key must map to ONE partition across
+    #: all live files or merge-on-read misses cross-window LWW) — changing
+    #: num_partitions/salt requires a compaction barrier, which re-tags
+    partitioning: dict[str, int] | None = None
 
     def watermark(self) -> Lsn | None:
         from debezium_connector_db2_ray.lsn import lsn_from_hex
@@ -155,3 +160,12 @@ def partition_files(out_dir: str) -> dict[int, list[str]]:
 def next_window_id(out_dir: str) -> int:
     ms = load_manifests(out_dir)
     return (max((m.window_id for m in ms), default=-1)) + 1
+
+
+def live_partitioning(out_dir: str) -> dict[str, int] | None:
+    """The partitioning governing the live files (newest live manifest that
+    recorded one)."""
+    for m in reversed(_live_manifests(out_dir)):
+        if m.partitioning:
+            return m.partitioning
+    return None

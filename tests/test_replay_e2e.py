@@ -275,3 +275,33 @@ def test_snapshot_mode_always_replaces_state(ray_session, tmp_path):
     eng.snapshot(rd.from_arrow(lake_v2), Lsn(0, 200), replace=True)
     got = set(eng.state_dataset().to_pandas()["text"])
     assert got == {"two", "three"}  # exactly current state, no ghosts of 'one'
+
+
+def test_repartition_requires_compaction_barrier(ray_session, scenario, tmp_path):
+    """Changing (num_partitions, salt) without a barrier would split keys
+    across partitions in old vs new files; the engine refuses, and compact()
+    under the new settings re-tags everything."""
+    import ray.data as rd
+
+    sc, data_dir, expected = scenario
+    out = str(tmp_path / "repart")
+    eng, _ = run_replay(ray_session, sc, data_dir, out, 4, 1)
+    # an engine with different partitioning must refuse to continue
+    eng8 = CdcEngine(out_dir=out, num_partitions=8, salt=2)
+    with pytest.raises(ValueError, match="partitioning"):
+        eng8.replay_window(
+            rd.read_parquet(os.path.join(data_dir, "changelog.parquet")),
+            sc.max_lsn, Lsn(0, sc.max_lsn.to_int() + 10),
+        )
+    # compact() IS the repartitioning barrier
+    eng8.compact()
+    got = pa.Table.from_pandas(
+        eng8.state_dataset().to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got).equals(sorted_pdf(expected))
+    # and further windows under the new settings are accepted (no-op range)
+    m = eng8.replay_window(
+        rd.read_parquet(os.path.join(data_dir, "changelog.parquet")),
+        sc.max_lsn, Lsn(0, sc.max_lsn.to_int() + 10),
+    )
+    assert m is not None
