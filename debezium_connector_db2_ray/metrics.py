@@ -72,10 +72,13 @@ def collect_metrics(out_dir: str) -> EngineMetrics:
 def suggest_salt(out_dir: str, *, skew_threshold: float = 3.0, max_salt: int = 16) -> int:
     """Operator-facing skew advisor: if the hottest partition carries more
     than ``skew_threshold`` x the mean row count, recommend a salt factor
-    (next power of two covering the skew, capped). Feed the result into
-    ``CdcEngine(salt=...)`` for subsequent windows — legal mid-stream because
-    salting only changes the partition function, not the per-key LWW result
-    (SURVEY.md §4)."""
+    (next power of two covering the skew, capped). Apply it by constructing
+    the engine with ``salt=<suggestion>`` and running ``compact()`` — the
+    repartitioning barrier that re-tags all live rows — before replaying
+    further windows (the engine refuses a bare partitioning switch; a key
+    must map to one partition across all live files). Salting itself is
+    legal because the LWW key is (conv_id, turn_idx) and turn_idx determines
+    the sub-key (SURVEY.md §4)."""
     m = collect_metrics(out_dir)
     skew = m.max_partition_skew
     if skew <= skew_threshold:
