@@ -63,6 +63,10 @@ def main(argv=None) -> int:
 
     cp = sub.add_parser("compact")
     cp.add_argument("--out", required=True)
+    cp.add_argument("--partitions", type=int, default=None,
+                    help="default: keep the lake's live partitioning")
+    cp.add_argument("--salt", type=int, default=None,
+                    help="default: keep the lake's live salt")
 
     mp = sub.add_parser("metrics")
     mp.add_argument("--out", required=True)
@@ -121,7 +125,20 @@ def main(argv=None) -> int:
             eng.state_dataset().write_parquet(args.dest)
             print(json.dumps({"dest": args.dest}))
         elif args.cmd == "compact":
-            eng = CdcEngine(out_dir=args.out)
+            # compact() re-tags rows under the engine's partitioning, so the
+            # default must be the lake's LIVE (num_partitions, salt) — not the
+            # constructor defaults — or a bare `compact` silently repartitions
+            from debezium_connector_db2_ray.state.manifest import (
+                live_partitioning,
+            )
+
+            live = live_partitioning(args.out) or {}
+            eng = CdcEngine(
+                out_dir=args.out,
+                num_partitions=args.partitions
+                or live.get("num_partitions", 32),
+                salt=args.salt or live.get("salt", 1),
+            )
             m = eng.compact()
             print(json.dumps({"compaction_window": m.window_id}))
         return 0

@@ -91,6 +91,27 @@ def lsn_from_hex(s: str) -> Lsn:
     return Lsn.from_bytes(bytes.fromhex(s.replace(":", "")))
 
 
+def lsn_hex_array(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Vectorized colon-grouped hex form over (hi, lo) uint64 arrays — one
+    big-endian byte view + one hexlify pass, no per-row formatting loop."""
+    hi = np.ascontiguousarray(np.asarray(hi, dtype=np.uint64), dtype=">u8")
+    lo = np.ascontiguousarray(np.asarray(lo, dtype=np.uint64), dtype=">u8")
+    n = len(hi)
+    if n == 0:
+        return np.array([], dtype=object)
+    raw = np.empty((n, 16), dtype=np.uint8)
+    raw[:, :8] = hi.view(np.uint8).reshape(n, 8)
+    raw[:, 8:] = lo.view(np.uint8).reshape(n, 8)
+    import binascii
+
+    h = binascii.hexlify(raw.tobytes()).decode()
+    return np.array(
+        [h[i : i + 8] + ":" + h[i + 8 : i + 16] + ":" + h[i + 16 : i + 32]
+         for i in range(0, 32 * n, 32)],
+        dtype=object,
+    )
+
+
 def lsn_increment(hi: np.ndarray, lo: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized +1 with carry over (hi, lo) uint64 arrays."""
     hi = np.asarray(hi, dtype=np.uint64)

@@ -802,7 +802,9 @@ TX_GROUP = 5  # events per synthetic transaction for the tx-metadata feed
 SQL_TRANSACTION_FEED = f"""
 WITH {SQL_CHANGELOG.strip()},
 txed AS (
-  SELECT *, (lsn // {TX_GROUP}) AS tx_id FROM changelog
+  SELECT *,
+         '00000000:00000000:' || printf('%016x', lsn // {TX_GROUP}) AS tx_id
+  FROM changelog
 ),
 data_rows AS (
   SELECT 'DATA' AS kind, tx_id,

@@ -525,18 +525,31 @@ class CdcEngine:
 
         nb = max(16, min(128, self.num_partitions))
         out = []
+        first = True
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            # With snapshot_completed=False the FIRST window replays the
+            # un-incremented watermark event itself (reference
+            # shouldIncreaseFromLsn semantics), so its pushdown lower bound
+            # must be inclusive or the fence-LSN event is pruned at the read
+            # before replay_window's inclusive_low branch ever sees it.
+            incl = first and not snapshot_completed
+            if lo.hi == hi.hi:
+                lo_expr = (
+                    pads.field("commit_lsn_lo") >= lo.lo
+                    if incl
+                    else pads.field("commit_lsn_lo") > lo.lo
+                )
+                flt = lo_expr & (pads.field("commit_lsn_lo") <= hi.lo)
+            else:
+                flt = None
             ds = ray.data.read_parquet(
-                changelog_path,
-                filter=(pads.field("commit_lsn_lo") > lo.lo)
-                & (pads.field("commit_lsn_lo") <= hi.lo)
-                if lo.hi == hi.hi
-                else None,
-                override_num_blocks=nb,
+                changelog_path, filter=flt, override_num_blocks=nb
             )
             m = self.replay_window(
-                ds, lo, hi, snapshot_completed=snapshot_completed
+                ds, lo, hi,
+                snapshot_completed=snapshot_completed if first else True,
             )
+            first = False
             if m is not None:
                 out.append(m)
         return out
@@ -660,6 +673,11 @@ class CdcEngine:
                 prev["files"].extend(pl.files)
                 for k, v in pl.op_counts.items():
                     prev["op_counts"][k] = prev["op_counts"].get(k, 0) + v
+                # lsn range = union over the salted groups (min of mins /
+                # max of maxes), not first-group-wins
+                for attr, pick in (("min_lsn", min), ("max_lsn", max)):
+                    a, b = prev.get(attr), getattr(pl, attr)
+                    prev[attr] = pick(a, b) if a and b else (a or b)
             else:
                 out[key] = pl.__dict__
         return out

@@ -98,10 +98,15 @@ def load_manifests(out_dir: str) -> list[WindowManifest]:
 
 
 def committed_watermark(out_dir: str) -> Lsn | None:
-    """Highest committed to_lsn across manifests — the resume point. Windows
-    entirely at or below it are skipped wholesale on resume."""
+    """Highest committed to_lsn across LIVE manifests — the resume point.
+    Windows entirely at or below it are skipped wholesale on resume.
+
+    Only live manifests count: a snapshot_replace barrier (snapshot mode
+    ALWAYS, Db2ConnectorIT.java:912-970 shouldNotUseOffsetWhenSnapshotIsAlways)
+    supersedes every earlier window, so it RESETS the resume point — a stale
+    pre-barrier stream watermark must not shadow post-resnapshot windows."""
     wm: Lsn | None = None
-    for m in load_manifests(out_dir):
+    for m in _live_manifests(out_dir):
         w = m.watermark()
         if w is not None and (wm is None or w > wm):
             wm = w
