@@ -97,16 +97,13 @@ def q_dedup_prefix(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs (no SQL oracle — pinned by pytest against a
-    brute-force Jaccard oracle at small scale)."""
-    import ray
-
+    brute-force Jaccard oracle at small scale). Verification is a distributed
+    join against a streamed (doc_id, shingle-set) dataset — no driver-side
+    corpus read, no broadcast."""
     from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    ref = ray.put(lookup)
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return minhash_duplicate_pairs(ds, ref, threshold=0.5)
+    return minhash_duplicate_pairs(ds, threshold=0.5)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -515,17 +512,13 @@ def q_bpe_tokens(sf_dir: str):
 
 def q_dedup_ngram(sf_dir: str):
     """Exact n-gram-Jaccard near-dup pairs via permissive-band MinHash
-    candidates + exact verification (rows-only check; correctness pinned in
-    tests against the brute-force Jaccard oracle)."""
-    import ray
-
+    candidates + exact verification through the distributed shingle-set join
+    (rows-only check; correctness pinned in tests against the brute-force
+    Jaccard oracle)."""
     from debezium_connector_db2_ray.functions.dedup import ngram_jaccard_pairs
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    ref = ray.put(lookup)
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    return ngram_jaccard_pairs(ds, ref, k=3, threshold=0.5)
+    return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {

@@ -42,7 +42,6 @@ def near_dup_docs():
 
 
 def test_minhash_finds_planted_near_dups(ray_session, near_dup_docs):
-    import ray
     import ray.data as rd
 
     from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
@@ -50,8 +49,7 @@ def test_minhash_finds_planted_near_dups(ray_session, near_dup_docs):
     ds = rd.from_items(
         [{"doc_id": i, "text": t} for i, t in near_dup_docs.items()]
     )
-    ref = ray.put(near_dup_docs)
-    got = minhash_duplicate_pairs(ds, ref, threshold=0.5, num_perm=64, bands=16)
+    got = minhash_duplicate_pairs(ds, threshold=0.5, num_perm=64, bands=16)
     pairs = {(r["a"], r["b"]) for r in got.take_all()}
     want = brute_force_jaccard_pairs(near_dup_docs, 3, 0.5)
     # every found pair is a true pair (verification is exact)
