@@ -162,6 +162,73 @@ def ivf_topk(ds, queries_ref, *, centroids: np.ndarray, k: int = 10,
     )
 
 
+def build_ivf_index(ds, index_dir: str, *, n_lists: int = 16,
+                    sample_size: int = 2048, seed: int = 9,
+                    concurrency: int | None = None) -> np.ndarray:
+    """Build a PERSISTED IVF index: a coarse k-means quantizer plus the
+    corpus written as parquet partitioned by inverted-list id (one
+    ``list=<id>/`` directory per list). Build-once, probe-many: a query
+    later reads ONLY its ``n_probe`` nearest list directories, so probe
+    cost is ~n_probe/n_lists of the corpus and independent of how many
+    query batches ever run (the round-1 version re-assigned the corpus on
+    every query).
+
+    The quantizer trains on a bounded, deterministic driver-side sample
+    (``limit(sample_size)``) — never the full corpus. Assignment is one
+    streamed map_batches pass; the partitioned write needs no shuffle
+    (each input block appends to the list directories it touches)."""
+    import json
+    import os
+
+    sample_rows = ds.limit(sample_size).take_all()
+    sm = np.stack([np.asarray(r["embedding"], np.float64) for r in sample_rows])
+    cent = train_ivf_centroids(sm, n_lists=n_lists, seed=seed)
+    os.makedirs(index_dir, exist_ok=True)
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch))
+        lst = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("list", pa.array(lst, pa.int32()))
+
+    ds.map_batches(
+        assign, batch_format="pyarrow", concurrency=concurrency
+    ).write_parquet(os.path.join(index_dir, "lists"), partition_cols=["list"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"n_lists": n_lists, "dim": int(cent.shape[1])}, f)
+    return cent
+
+
+def ivf_indexed_topk(index_dir: str, queries: dict, *, k: int = 10,
+                     n_probe: int = 4, concurrency: int = 2):
+    """Query path over a persisted IVF index: load the (tiny) centroids,
+    pick each query's ``n_probe`` nearest lists, and read ONLY those list
+    directories — directory-level pruning by construction, no filter
+    pushdown required. Exact scoring within the probed subset."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qm = _normalize_rows(queries["matrix"].astype(np.float64))
+    probe = np.unique(np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe].reshape(-1))
+    import glob
+
+    paths = [
+        f
+        for i in probe
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "lists", f"list={i}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return rd.from_items([])
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    ref = ray.put({"qids": queries["qids"], "matrix": queries["matrix"]})
+    return brute_force_topk(ds, ref, k=k, concurrency=concurrency)
+
+
 def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2048):
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cos(a, b) >= threshold.

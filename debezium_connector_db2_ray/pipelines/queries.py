@@ -500,6 +500,84 @@ def q_envelope_feed(sf_dir: str):
     )
 
 
+SOURCE_NAME = "testdb-server"
+SOURCE_DB = "TESTDB"
+SOURCE_SCHEMA = "DB2INST1"
+SOURCE_TABLE = "TRANSCRIPTS"
+
+SQL_SOURCE_STRUCT = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT lsn,
+       CASE WHEN op = 1 THEN 'd' WHEN op = 2 THEN 'c' ELSE 'u' END AS op_char,
+       conv_id, turn_idx,
+       'ray-1.0' AS source_version,
+       'db2' AS source_connector,
+       '{SOURCE_NAME}' AS source_name,
+       epoch_ms(ts) AS source_ts_ms,
+       'false' AS source_snapshot,
+       '{SOURCE_DB}' AS source_db,
+       '{SOURCE_SCHEMA}' AS source_schema,
+       '{SOURCE_TABLE}' AS source_table,
+       '00000000:00000000:' ||
+         printf('%016x', CASE WHEN op = 5 THEN 1 ELSE 0 END)
+         AS source_change_lsn,
+       '00000000:00000000:' || printf('%016x', lsn) AS source_commit_lsn
+FROM changelog
+"""
+
+
+def q_source_struct(sf_dir: str):
+    """Source-info block parity: every envelope carries the reference's
+    source fields (version, connector, name, ts_ms, snapshot, db, schema,
+    table, change_lsn, commit_lsn — Db2SourceInfoStructMaker.java:21-27,
+    SourceInfoTest.java:85-105) as flat source_* columns."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        to_envelopes,
+        with_source_info,
+    )
+
+    raw = _events(sf_dir).map_batches(expand_update_pairs, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = (
+            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
+        ).astype(np.int32)
+        return batch.append_column("__part", pa.array(part))
+
+    def env_group(group: pa.Table) -> pa.Table:
+        t = to_envelopes(
+            group.drop_columns(["__part"]), image_columns=("text", "ts")
+        )
+        t = with_source_info(
+            t, name=SOURCE_NAME, db=SOURCE_DB, schema=SOURCE_SCHEMA,
+            table=SOURCE_TABLE,
+        )
+        return pa.table(
+            {
+                "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+                "op_char": t["op_char"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "source_version": t["source_version"],
+                "source_connector": t["source_connector"],
+                "source_name": t["source_name"],
+                "source_ts_ms": t["source_ts_ms"],
+                "source_snapshot": t["source_snapshot"],
+                "source_db": t["source_db"],
+                "source_schema": t["source_schema"],
+                "source_table": t["source_table"],
+                "source_change_lsn": t["source_change_lsn"],
+                "source_commit_lsn": t["source_commit_lsn"],
+            }
+        )
+
+    return (
+        raw.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(env_group, batch_format="pyarrow")
+    )
+
+
 SQL_TOMBSTONES = f"""
 WITH {SQL_CHANGELOG.strip()},
 feed AS (
@@ -873,6 +951,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_key_rewrite": q_key_rewrite,
     "cdc_transaction_feed": q_transaction_feed,
     "cdc_partial_update_coalesce": q_partial_update_coalesce,
+    "cdc_source_struct": q_source_struct,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -893,4 +972,5 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_key_rewrite": SQL_KEY_REWRITE,
     "cdc_transaction_feed": SQL_TRANSACTION_FEED,
     "cdc_partial_update_coalesce": SQL_PARTIAL_COALESCE,
+    "cdc_source_struct": SQL_SOURCE_STRUCT,
 }

@@ -134,6 +134,83 @@ def to_envelopes(
     return out
 
 
+#: connector identity constants for the source-info block
+#: (Db2SourceInfoStructMaker.java:21-27 — version/connector are Module
+#: constants in the reference; ours name this engine)
+SOURCE_VERSION = "ray-1.0"
+SOURCE_CONNECTOR = "db2"
+
+
+def with_source_info(
+    env: pa.Table,
+    *,
+    name: str,
+    db: str,
+    schema: str,
+    table: str,
+    ts_before: str = "before_ts",
+    ts_after: str = "after_ts",
+) -> pa.Table:
+    """Append the reference's source-info fields to an envelope table:
+    ``version, connector, name, ts_ms, snapshot, db, schema, table,
+    change_lsn, commit_lsn`` (Db2SourceInfoStructMaker.java:21-27; schema
+    asserted SourceInfoTest.java:85-105). Emitted as flat ``source_*``
+    columns rather than one nested struct — an Arrow-native engine keeps
+    envelopes columnar; nesting is a concern of the output serializer.
+
+    ``ts_ms`` is the event's payload timestamp in epoch-millis (after image
+    when present, else before — the engine's LSN->ts design keeps time as a
+    column, SURVEY §2.3); ``snapshot`` is 'true' on READ envelopes, 'false'
+    otherwise; ``change_lsn``/``commit_lsn`` are the colon-hex forms
+    (Lsn.java:65-86)."""
+    import pyarrow.compute as pc
+
+    from debezium_connector_db2_ray.lsn import lsn_hex_array
+
+    n = env.num_rows
+    commit_hex = lsn_hex_array(
+        env["commit_lsn_hi"].to_numpy(zero_copy_only=False),
+        env["commit_lsn_lo"].to_numpy(zero_copy_only=False),
+    )
+    change_hex = lsn_hex_array(
+        env["intent_lsn_hi"].to_numpy(zero_copy_only=False),
+        env["intent_lsn_lo"].to_numpy(zero_copy_only=False),
+    )
+    names = env.column_names
+    ts = None
+    if ts_after in names and ts_before in names:
+        ts = pc.coalesce(env[ts_after], env[ts_before])
+    elif ts_after in names:
+        ts = env[ts_after]
+    elif ts_before in names:
+        ts = env[ts_before]
+    ts_ms = (
+        pc.divide(pc.cast(ts, pa.int64()), 1000)
+        if ts is not None
+        else pa.nulls(n, pa.int64())
+    )
+    snapshot = pc.if_else(
+        pc.equal(env["op_char"], "r"),
+        pa.scalar("true", pa.string()),
+        pa.scalar("false", pa.string()),
+    )
+    const = lambda v: pa.array(np.full(n, v), pa.string())  # noqa: E731
+    for col, val in (
+        ("source_version", const(SOURCE_VERSION)),
+        ("source_connector", const(SOURCE_CONNECTOR)),
+        ("source_name", const(name)),
+        ("source_ts_ms", ts_ms),
+        ("source_snapshot", snapshot),
+        ("source_db", const(db)),
+        ("source_schema", const(schema)),
+        ("source_table", const(table)),
+        ("source_change_lsn", pa.array(change_hex, pa.string())),
+        ("source_commit_lsn", pa.array(commit_hex, pa.string())),
+    ):
+        env = env.append_column(col, val)
+    return env
+
+
 def _mask(values, keep: np.ndarray) -> pa.Array:
     import pyarrow.compute as pc
 

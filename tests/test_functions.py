@@ -152,6 +152,58 @@ def test_ivf_ann_recall_against_exact(ray_session):
         assert (q, q) in approx  # a query's own vector is always in its list
 
 
+def test_ivf_indexed_recall_and_probe_pruning(ray_session, tmp_path):
+    """The persisted IVF index matches the in-memory IVF's recall bar, and
+    probing fewer lists reads strictly fewer bytes (the build-once index
+    prunes at the directory level)."""
+    import glob
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from debezium_connector_db2_ray.functions.queries import (
+        _ivf_index_dir,
+        _query_matrix,
+        q_ann_bruteforce,
+        q_ann_ivf_indexed,
+    )
+    from debezium_connector_db2_ray.functions.similarity import ivf_indexed_topk
+
+    shutil.rmtree(_ivf_index_dir(SF, 16), ignore_errors=True)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_bruteforce(SF).take_all()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in q_ann_ivf_indexed(SF).take_all()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    for q in {q for q, _ in exact}:
+        assert (q, q) in approx  # a query's own vector is always in its list
+    # the index persisted: list-partitioned parquet + centroids on disk
+    idx = _ivf_index_dir(SF, 16)
+    dirs = glob.glob(os.path.join(idx, "lists", "list=*"))
+    assert len(dirs) > 4 and os.path.exists(os.path.join(idx, "centroids.npy"))
+
+    def probed_bytes(n_probe):
+        import numpy as np
+
+        cent = np.load(os.path.join(idx, "centroids.npy"))
+        qm = _query_matrix(SF)
+        from debezium_connector_db2_ray.functions.similarity import _normalize_rows
+
+        m = _normalize_rows(qm["matrix"].astype(np.float64))
+        probe = np.unique(np.argsort(-(m @ cent.T), axis=1)[:, :n_probe].reshape(-1))
+        return sum(
+            os.path.getsize(f)
+            for i in probe
+            for f in glob.glob(os.path.join(idx, "lists", f"list={i}", "*"))
+        )
+
+    assert probed_bytes(2) < probed_bytes(8)  # probe cost ∝ lists touched
+
+
 def test_generator_determinism():
     """Seeded generators are bit-stable across calls (bench fairness across
     parallelism levels depends on identical input)."""
