@@ -875,6 +875,71 @@ def q_partial_update_coalesce(sf_dir: str):
     )
 
 
+SQL_DECIMAL_CONVERTER = f"""
+WITH {SQL_CHANGELOG.strip()},
+amt AS (
+  SELECT conv_id, turn_idx, lsn,
+         printf('%d.%02d', (lsn % 100000) // 100, lsn % 100) AS raw
+  FROM changelog
+)
+SELECT conv_id, turn_idx, lsn,
+       CAST(CAST(raw AS DECIMAL(18,4)) AS VARCHAR) AS amount_precise,
+       CAST(raw AS DOUBLE) AS amount_double,
+       CAST(CAST(raw AS DECIMAL(18,4)) AS VARCHAR) AS amount_string
+FROM amt
+"""
+
+
+def q_decimal_converter(sf_dir: str):
+    """Converter-table trichotomy on a decimal-bearing payload
+    (Db2ValueConverters.java:84-116): the same raw DECIMAL text converted
+    under PRECISE (decimal128(18,4), scale-adjusted), DOUBLE (float64) and
+    STRING (full-scale rendering) — all three oracle-checked against DuckDB
+    CASTs."""
+    from debezium_connector_db2_ray.converters import (
+        DOUBLE,
+        PRECISE,
+        STRING,
+        ColumnSpec,
+        Db2ValueConverters,
+    )
+
+    col = ColumnSpec("amount", "DECIMAL", 18, 4)
+    modes = {
+        "amount_precise": Db2ValueConverters(PRECISE),
+        "amount_double": Db2ValueConverters(DOUBLE),
+        "amount_string": Db2ValueConverters(STRING),
+    }
+
+    def convert(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        lsn = cl["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = lsn % 100000
+        raw = pa.array(
+            np.char.add(
+                np.char.add((cents // 100).astype(str), "."),
+                np.char.zfill((cents % 100).astype(str), 2),
+            ),
+            pa.string(),
+        )
+        cols = {
+            "conv_id": cl["conv_id"],
+            "turn_idx": cl["turn_idx"],
+            "lsn": pa.array(lsn, pa.int64()),
+        }
+        for out_col, vc in modes.items():
+            v = vc.convert(raw, col)
+            if pa.types.is_decimal(v.type):
+                # render the PRECISE decimal at full scale for the compare —
+                # DuckDB's client narrows DECIMAL to float64, so the exact
+                # fixed-scale value is pinned via its canonical string form
+                v = v.cast(pa.string())
+            cols[out_col] = v
+        return pa.table(cols)
+
+    return _events(sf_dir).map_batches(convert, batch_format="pyarrow")
+
+
 TX_GROUP = 5  # events per synthetic transaction for the tx-metadata feed
 
 SQL_TRANSACTION_FEED = f"""
@@ -952,6 +1017,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_transaction_feed": q_transaction_feed,
     "cdc_partial_update_coalesce": q_partial_update_coalesce,
     "cdc_source_struct": q_source_struct,
+    "cdc_decimal_converter": q_decimal_converter,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -973,4 +1039,5 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_transaction_feed": SQL_TRANSACTION_FEED,
     "cdc_partial_update_coalesce": SQL_PARTIAL_COALESCE,
     "cdc_source_struct": SQL_SOURCE_STRUCT,
+    "cdc_decimal_converter": SQL_DECIMAL_CONVERTER,
 }
