@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     rp.add_argument("--salt", type=int, default=1)
     rp.add_argument("--exchange", choices=("shuffle", "write"), default="shuffle")
     rp.add_argument("--no-validate", action="store_true")
+    rp.add_argument("--signal-lake", default=None,
+                    help="parquet path of the current source table; enables "
+                    "draining the signal channel between windows")
 
     st = sub.add_parser("state")
     st.add_argument("--out", required=True)
@@ -71,11 +74,26 @@ def main(argv=None) -> int:
     mp = sub.add_parser("metrics")
     mp.add_argument("--out", required=True)
 
+    sg = sub.add_parser("signal", help="enqueue a durable signal; the replay "
+                        "loop drains it between windows")
+    sg.add_argument("--out", required=True)
+    sg.add_argument("--type", required=True,
+                    help="execute-snapshot | log | ...")
+    sg.add_argument("--data", default="{}", help="JSON payload, e.g. "
+                    '\'{"type": "INCREMENTAL", "chunks": 4}\'')
+
     args = p.parse_args(argv)
 
     from debezium_connector_db2_ray.lsn import Lsn
     from debezium_connector_db2_ray.pipelines.replay import CdcEngine
     from debezium_connector_db2_ray.state.manifest import committed_watermark
+
+    if args.cmd == "signal":
+        from debezium_connector_db2_ray.state.signals import send_signal
+
+        sid = send_signal(args.out, args.type, json.loads(args.data))
+        print(json.dumps({"signal_id": sid}))
+        return 0
 
     if args.cmd == "metrics":
         from dataclasses import asdict
@@ -117,7 +135,11 @@ def main(argv=None) -> int:
                     return 2
                 from_lsn = wm
             ms = eng.replay_from_parquet(
-                args.changelog, from_lsn, Lsn.from_int(args.to_lsn), args.windows
+                args.changelog, from_lsn, Lsn.from_int(args.to_lsn), args.windows,
+                signal_lake=(
+                    (lambda: rd.read_parquet(args.signal_lake))
+                    if args.signal_lake else None
+                ),
             )
             print(json.dumps({"committed_windows": [m.window_id for m in ms]}))
         elif args.cmd == "state":

@@ -69,6 +69,17 @@ def collect_metrics(out_dir: str) -> EngineMetrics:
     return m
 
 
+def read_amplification(out_dir: str) -> int:
+    """Max number of live files any single partition's merge-on-read must
+    open — THE merge-on-read cost driver (state-read cost grows linearly
+    with it until a compaction resets it). Computed from manifests only;
+    cheap enough to check after every window."""
+    from debezium_connector_db2_ray.state.manifest import partition_files
+
+    by_part = partition_files(out_dir)
+    return max((len(v) for v in by_part.values()), default=0)
+
+
 def suggest_salt(out_dir: str, *, skew_threshold: float = 3.0, max_salt: int = 16) -> int:
     """Operator-facing skew advisor: if the hottest partition carries more
     than ``skew_threshold`` x the mean row count, recommend a salt factor

@@ -244,6 +244,12 @@ class CdcEngine:
     exchange: str = "shuffle"  # "shuffle" | "write"
     batch_size: int = 400_000  # rows per map batch (reader emits ~8k-row
     # record batches; mapping per tiny batch multiplies per-call overhead)
+    #: auto-compaction policy: after a window commits, if any partition's
+    #: merge-on-read must open more than ``compact_trigger`` live files,
+    #: fold base+deltas (read-amplification reset). Long replays keep
+    #: state-read cost flat instead of degrading linearly with windows.
+    auto_compact: bool = True
+    compact_trigger: int = 16
 
     def __post_init__(self) -> None:
         if self.exchange not in ("shuffle", "write"):
@@ -349,6 +355,7 @@ class CdcEngine:
         *,
         n_chunks: int = 4,
         max_chunks_per_call: int | None = None,
+        tag: str = "",
     ) -> list[WindowManifest]:
         """Chunked snapshot — the incremental-snapshot analog (reference:
         signal-driven chunked PK-range snapshot interleaved with streaming,
@@ -357,7 +364,9 @@ class CdcEngine:
         an independently committed, resumable unit; a kill mid-backfill
         resumes at the first chunk without a manifest. Interleaving with
         streaming is safe because snapshot rows carry the fence LSN and lose
-        last-writer-wins to any later change (watermark dedup for free)."""
+        last-writer-wins to any later change (watermark dedup for free).
+        ``tag`` namespaces the chunk identity so distinct backfill requests
+        (e.g. separate signals) don't satisfy each other's resume check."""
         from debezium_connector_db2_ray.state.manifest import load_manifests
 
         self._check_partitioning()
@@ -365,8 +374,9 @@ class CdcEngine:
         tagger = tag_partitions(self.num_partitions, self.salt)
         fence = snapshot_lsn
         out = []
+        prefix = f"snapshot_chunk:{tag}:" if tag else "snapshot_chunk:"
         for c in range(n_chunks):
-            kind = f"snapshot_chunk:{c}/{n_chunks}"
+            kind = f"{prefix}{c}/{n_chunks}"
             if kind in done_kinds:
                 continue  # resume: chunk already committed
             if max_chunks_per_call is not None and len(out) >= max_chunks_per_call:
@@ -403,6 +413,47 @@ class CdcEngine:
             out.append(m)
         return out
 
+    def drain_signals(self, lake_source) -> list[WindowManifest]:
+        """Process every pending signal — the reference's SignalProcessor
+        poll between streaming iterations (Db2ConnectorTask.java:142-161).
+        ``lake_source`` is a zero-arg callable returning the current source
+        lake Dataset (called only if a snapshot signal arrives).
+
+        A signal is acked durably only AFTER all manifests its action
+        produced have committed; a kill mid-action leaves it pending and the
+        re-run is idempotent (chunk-resume + LWW)."""
+        import logging
+
+        from debezium_connector_db2_ray.state.signals import (
+            mark_processed,
+            pending_signals,
+        )
+
+        log = logging.getLogger(__name__)
+        out: list[WindowManifest] = []
+        for sig in pending_signals(self.out_dir):
+            if sig.type == "execute-snapshot":
+                mode = (sig.data or {}).get("type", "INCREMENTAL").upper()
+                wm = committed_watermark(self.out_dir)
+                fence = wm if wm is not None else Lsn(0, 0)
+                if mode == "BLOCKING":
+                    # stop-the-stream re-snapshot; streaming resumes at the
+                    # same watermark after (BlockingSnapshotIT.java:132-138)
+                    out.append(self.snapshot(lake_source(), fence, replace=True))
+                else:
+                    n = int((sig.data or {}).get("chunks", 4))
+                    out.extend(
+                        self.incremental_snapshot(
+                            lake_source(), fence, n_chunks=n, tag=sig.id
+                        )
+                    )
+            elif sig.type == "log":
+                log.info("signal log: %s", (sig.data or {}).get("message", ""))
+            else:
+                log.warning("unknown signal type %r — skipped", sig.type)
+            mark_processed(self.out_dir, sig.id)
+        return out
+
     def replay_window(
         self,
         changelog: "ray.data.Dataset",
@@ -410,6 +461,7 @@ class CdcEngine:
         to_lsn: Lsn,
         *,
         snapshot_completed: bool = True,
+        resume_position: dict | None = None,
     ) -> WindowManifest | None:
         """Apply one closed LSN window (fromLsn, toLsn]. Skipped wholesale if
         the committed watermark already covers it (resume semantics). The
@@ -474,6 +526,7 @@ class CdcEngine:
             snapshot_completed=snapshot_completed,
             partitions=self._lineage(rows),
             partitioning=self._partitioning(),
+            resume_position=resume_position,
         )
         commit_manifest(self.out_dir, m)
         # ALTER schema event when this window's payload schema differs from
@@ -483,6 +536,11 @@ class CdcEngine:
             self._record_schema("ALTER", from_lsn, _arrow_schema(changelog))
         except Exception:
             pass  # schema introspection is best-effort lineage, never fatal
+        if self.auto_compact:
+            from debezium_connector_db2_ray.metrics import read_amplification
+
+            if read_amplification(self.out_dir) > self.compact_trigger:
+                self.compact()
         return m
 
     def replay_from_parquet(
@@ -494,6 +552,7 @@ class CdcEngine:
         *,
         snapshot_completed: bool = True,
         on_missing: str = "raise",  # "raise" | "skip"
+        signal_lake=None,  # zero-arg callable -> lake Dataset; enables signals
     ) -> list[WindowManifest]:
         """Windowed replay of a changelog parquet with LSN predicate PUSHDOWN:
         each window reads only the row groups whose commit-LSN stats intersect
@@ -527,6 +586,10 @@ class CdcEngine:
         out = []
         first = True
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            if signal_lake is not None:
+                # drain the signal channel between windows — backfill chunks
+                # and blocking snapshots interleave with streaming
+                out.extend(self.drain_signals(signal_lake))
             # With snapshot_completed=False the FIRST window replays the
             # un-incremented watermark event itself (reference
             # shouldIncreaseFromLsn semantics), so its pushdown lower bound
@@ -548,6 +611,9 @@ class CdcEngine:
             m = self.replay_window(
                 ds, lo, hi,
                 snapshot_completed=snapshot_completed if first else True,
+                resume_position=_window_resume_position(
+                    changelog_path, flt, nb
+                ),
             )
             first = False
             if m is not None:
@@ -764,6 +830,65 @@ def apply_dataset(
         return final_state(collapsed, keep_meta=keep_meta)
 
     return ds.groupby(PART_COL).map_groups(apply_group, batch_format="pyarrow")
+
+
+def _window_resume_position(changelog_path: str, flt, num_blocks: int) -> dict | None:
+    """The offset triplet of a window's LAST event ({commit_lsn, change_lsn,
+    event_serial_no}, Db2OffsetContext.java:66-80), computed with a
+    column-pruned pass: only the four LSN columns are read (a few % of the
+    payload volume), each batch emits one partial-stats row, and the driver
+    folds the partials. serial = the final commit's total row count (windows
+    align to commit boundaries)."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], pa.uint64()) for c in
+                 ("chi", "clo", "ihi", "ilo")} | {"n": pa.array([], pa.int64())}
+            )
+        chi = batch["commit_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        clo = batch["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((clo, chi))
+        mhi, mlo = chi[order[-1]], clo[order[-1]]
+        at = (chi == mhi) & (clo == mlo)
+        ihi = batch["intent_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
+        ilo = batch["intent_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
+        iorder = np.lexsort((ilo, ihi))
+        return pa.table(
+            {
+                "chi": pa.array([int(mhi)], pa.uint64()),
+                "clo": pa.array([int(mlo)], pa.uint64()),
+                "ihi": pa.array([int(ihi[iorder[-1]])], pa.uint64()),
+                "ilo": pa.array([int(ilo[iorder[-1]])], pa.uint64()),
+                "n": pa.array([int(at.sum())], pa.int64()),
+            }
+        )
+
+    rows = (
+        ray.data.read_parquet(
+            changelog_path,
+            columns=list(
+                ("commit_lsn_hi", "commit_lsn_lo", "intent_lsn_hi", "intent_lsn_lo")
+            ),
+            filter=flt,
+            override_num_blocks=num_blocks,
+        )
+        .map_batches(partial, batch_format="pyarrow", batch_size=1_000_000)
+        .take_all()
+    )
+    rows = [r for r in rows if r.get("n")]
+    if not rows:
+        return None
+    top = max(rows, key=lambda r: (r["chi"], r["clo"]))
+    at_top = [r for r in rows if (r["chi"], r["clo"]) == (top["chi"], top["clo"])]
+    serial = sum(r["n"] for r in at_top)
+    imax = max((r["ihi"], r["ilo"]) for r in at_top)
+    return {
+        "commit_lsn": lsn_hex(top["chi"], top["clo"]),
+        "change_lsn": lsn_hex(imax[0], imax[1]),
+        "event_serial_no": int(serial),
+    }
 
 
 def plan_windows(min_lsn: Lsn, max_lsn: Lsn, n_windows: int) -> list[tuple[Lsn, Lsn]]:

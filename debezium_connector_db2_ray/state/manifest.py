@@ -54,6 +54,13 @@ class WindowManifest:
     #: all live files or merge-on-read misses cross-window LWW) — changing
     #: num_partitions/salt requires a compaction barrier, which re-tags
     partitioning: dict[str, int] | None = None
+    #: the reference's offset triplet (Db2OffsetContext.java:66-80) for the
+    #: LAST event this window applied: {"commit_lsn": hex, "change_lsn": hex,
+    #: "event_serial_no": 1-based row index within that commit}. Windows
+    #: align to commit boundaries, so serial == the commit's total row count;
+    #: offset_skip consumes it when resuming against an external mid-commit
+    #: offset (stages/apply.py offset_skip)
+    resume_position: dict[str, Any] | None = None
 
     def watermark(self) -> Lsn | None:
         from debezium_connector_db2_ray.lsn import lsn_from_hex
@@ -160,6 +167,20 @@ def partition_files(out_dir: str) -> dict[int, list[str]]:
                 if f not in lst:
                     lst.append(f)
     return out
+
+
+def resume_offset(out_dir: str) -> dict[str, Any] | None:
+    """The persisted streaming offset to resume from — the resume_position
+    of the live manifest with the highest watermark that recorded one
+    (reference: the offset store returns {commit_lsn, change_lsn,
+    event_serial_no}, Db2OffsetContext.java:66-80)."""
+    best = None
+    best_wm: Lsn | None = None
+    for m in _live_manifests(out_dir):
+        w = m.watermark()
+        if m.resume_position and w is not None and (best_wm is None or w >= best_wm):
+            best, best_wm = m.resume_position, w
+    return best
 
 
 def next_window_id(out_dir: str) -> int:
