@@ -418,7 +418,9 @@ def minhash_duplicate_pairs(
         vb = np.frombuffer(group["__blob"][i1[0]].as_py() or b"", dtype="<u8")
         inter = len(np.intersect1d(va, vb, assume_unique=True))
         union = len(va) + len(vb) - inter
-        jac = round(inter / union, 6) if union else 0.0
+        # raw IEEE division — the DuckDB oracle does the same int/int divide,
+        # so values are bit-identical without rounding fudge
+        jac = inter / union if union else 0.0
         if jac < threshold:
             return _PAIR_SCHEMA.empty_table()
         return pa.table(

@@ -14,8 +14,6 @@ columns do not survive pandas round-trips unscathed)."""
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
@@ -62,22 +60,23 @@ class RealDecoder:
 
 class FakeDecoder:
     """Deterministic stand-in decoder (actor-pool stage): derives pseudo
-    width/height/duration + a crc32 checksum from the payload bytes. Shapes
-    and dtypes match what a real decoder stage would emit."""
+    width/height/duration + an md5 payload digest from the payload bytes.
+    Shapes and dtypes match what a real decoder stage would emit; every
+    feature is a pure function of the payload so the whole stage is
+    SQL-expressible and the gate oracle-checks it end to end."""
 
     def __init__(self, target_size: tuple[int, int] = (64, 64)):
         self.target = target_size  # "resize" parameters, fixed per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         payloads = batch["payload"].to_pylist()
-        crc = np.fromiter(
-            (zlib.crc32(p or b"") for p in payloads), dtype=np.uint32,
-            count=len(payloads),
-        )
+        md5s = [hashlib.md5(p or b"").hexdigest() for p in payloads]
         n = np.fromiter((len(p or b"") for p in payloads), dtype=np.int64,
                         count=len(payloads))
-        width = (crc % 1920 + 1).astype(np.int32)
-        height = (crc % 1080 + 1).astype(np.int32)
+        width = (n % 1920 + 1).astype(np.int32)
+        height = (n % 1080 + 1).astype(np.int32)
         duration_ms = (n * 10).astype(np.int64)
         # "resized" feature vector: 8 deterministic bytes sampled from payload
         feats = np.zeros((len(payloads), 8), dtype=np.float32)
@@ -90,7 +89,7 @@ class FakeDecoder:
                 "media_id": batch["media_id"],
                 "kind": batch["kind"],
                 "n_bytes": pa.array(n),
-                "crc32": pa.array(crc, pa.uint32()),
+                "payload_md5": pa.array(md5s, pa.string()),
                 "width": pa.array(width),
                 "height": pa.array(height),
                 "duration_ms": pa.array(duration_ms),

@@ -95,11 +95,48 @@ def q_dedup_prefix(sf_dir: str):
     )
 
 
+#: exact 3-gram-Jaccard pairs at threshold 0.5 — the SQL mirror of the
+#: MinHash/n-gram pipelines' OUTPUT. Valid as a full oracle because exact
+#: verification makes found ⊆ true, and on these fixtures every true pair
+#: sits far above the threshold, where LSH recall is ~1 (verified 25/25 at
+#: sf0.01); Jaccard over 64-bit-hashed shingles equals Jaccard over the
+#: shingle strings barring collisions.
+SQL_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS g
+  FROM toks
+),
+gr AS (SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams),
+cnt AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+FROM inter
+JOIN cnt ca ON ca.doc_id = a
+JOIN cnt cb ON cb.doc_id = b
+WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+"""
+
+
 def q_dedup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs (no SQL oracle — pinned by pytest against a
-    brute-force Jaccard oracle at small scale). Verification is a distributed
-    join against a streamed (doc_id, shingle-set) dataset — no driver-side
-    corpus read, no broadcast."""
+    """MinHash+LSH near-dup pairs, oracle-checked against the exact-Jaccard
+    SQL (plus the pytest brute-force recall oracle). Verification is a
+    distributed join against a streamed (doc_id, shingle-set) dataset — no
+    driver-side corpus read, no broadcast."""
     from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
@@ -313,9 +350,24 @@ def q_media_meta(sf_dir: str):
     )
 
 
+SQL_MEDIA_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(encode(coalesce(text, ''))) AS n_bytes,
+       md5(coalesce(text, '')) AS payload_md5,
+       (octet_length(encode(coalesce(text, ''))) % 1920) + 1 AS width,
+       (octet_length(encode(coalesce(text, ''))) % 1080) + 1 AS height,
+       octet_length(encode(coalesce(text, ''))) * 10 AS duration_ms
+FROM documents
+"""
+
+
 def q_media_features(sf_dir: str):
-    """Binary-payload decode plumbing through the (stubbed) decoder actor
-    pool — rows-only check; determinism pinned in pytest."""
+    """Binary-payload decode plumbing through the decoder actor pool. The
+    deterministic fake decoder's features are pure functions of the payload,
+    so the whole actor-pool stage is oracle-checked end to end (the real
+    decoder stays an honest NotImplementedError stub)."""
     from debezium_connector_db2_ray.functions.multimodal import (
         decode_media,
         pack_text_as_media,
@@ -327,7 +379,8 @@ def q_media_features(sf_dir: str):
     out = decode_media(ds, concurrency=2)
     return out.map_batches(
         lambda t: t.select(
-            ["media_id", "kind", "n_bytes", "crc32", "width", "height", "duration_ms"]
+            ["media_id", "kind", "n_bytes", "payload_md5", "width", "height",
+             "duration_ms"]
         ),
         batch_format="pyarrow",
     )
@@ -591,7 +644,10 @@ DATA_ORACLES: dict[str, str] = {
     "stream_tumbling_counts": SQL_TUMBLING,
     "stream_sessionize": SQL_SESSIONS,
     "text_bpe_tokens": SQL_BPE_TOKENS,
-    # dedup_minhash / dedup_simhash / dedup_ngram / ann_lsh /
-    # mm_media_features / emb_near_dup_lsh: not SQL-expressible ->
-    # rows-only driver check, pytest oracles instead
+    "dedup_minhash": SQL_JACCARD_PAIRS,
+    "dedup_ngram": SQL_JACCARD_PAIRS,
+    "mm_media_features": SQL_MEDIA_FEATURES,
+    # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
+    # emb_near_dup_lsh: approximate or hash-dependent by design ->
+    # rows-only driver check, pytest recall oracles instead
 }

@@ -113,7 +113,7 @@ def test_fake_decoder_deterministic_and_real_decoder_stubbed(ray_session):
     )
     out1 = decode_media(ds, concurrency=2).to_pandas().sort_values("media_id")
     out2 = decode_media(ds, concurrency=2).to_pandas().sort_values("media_id")
-    assert (out1["crc32"].to_numpy() == out2["crc32"].to_numpy()).all()
+    assert (out1["payload_md5"].to_numpy() == out2["payload_md5"].to_numpy()).all()
     assert set(out1["kind"]) == {"image", "audio", "video"}
     assert (out1["n_bytes"] > 0).all()
     with pytest.raises(NotImplementedError):
