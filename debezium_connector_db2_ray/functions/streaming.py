@@ -46,27 +46,77 @@ def tumbling_counts(ds, *, width_hours: int = 24):
 def sessionize(ds, *, gap_minutes: int = 120):
     """Session windows per user: a gap greater than ``gap_minutes`` starts a
     new session. Emits one row per session: (user_id, session_idx, n_events,
-    start_ts, end_ts). Per-user work happens inside map_groups on the sorted
-    group — the documented partitioning assumption is events-per-user fits a
-    worker (salt by time range if a user exceeds it)."""
+    start_ts, end_ts).
+
+    Scale shape — NO raw-event shuffle: each batch gap-cuts its own events
+    into maximal partial sessions (a vectorized Arrow/numpy combiner), and
+    only those per-batch session SUMMARIES shuffle to a per-user merge that
+    folds overlapping/adjacent intervals under the same gap tolerance. The
+    fold is exact for ANY split of events into batches (a chain of events
+    with consecutive gaps <= gap always appears as intervals within gap of
+    each other), so a mega-user costs O(their sessions) at the merge, not
+    O(their events) on one worker — the round-1 hot-user hazard is gone."""
     gap_us = np.int64(gap_minutes) * np.int64(60_000_000)
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].astype("int64").to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new_session) - 1
-        out = (
-            pd.DataFrame(
-                {"session_idx": sid, "ts": g["ts"], "event_id": g["event_id"]}
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], batch["user_id"].type),
+                    "start_ts": pa.array([], pa.int64()),
+                    "end_ts": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
             )
-            .groupby("session_idx")
-            .agg(n_events=("event_id", "size"), start_ts=("ts", "min"), end_ts=("ts", "max"))
-            .reset_index()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        order = np.lexsort((ts, uid))
+        u, t = uid[order], ts[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((t[1:] - t[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "start_ts": pa.array(t[starts], pa.int64()),
+                "end_ts": pa.array(t[starts + counts - 1], pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64)),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    def merge(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0]
+        s = group["start_ts"].to_numpy(zero_copy_only=False)
+        e = group["end_ts"].to_numpy(zero_copy_only=False)
+        c = group["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s))
+        s, e, c = s[order], e[order], c[order]
+        m = len(s)
+        reach = np.maximum.accumulate(e)  # furthest end seen in the sweep
+        new = np.ones(m, dtype=bool)
+        new[1:] = s[1:] > reach[:-1] + gap_us
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, m))
+        sid = np.arange(len(starts), dtype=np.int64)
+        seg_end = np.maximum.reduceat(e, starts)
+        seg_n = np.add.reduceat(c, starts)
+        return pa.table(
+            {
+                "user_id": pa.array([uid.as_py()] * len(starts), group["user_id"].type),
+                "session_idx": pa.array(sid),
+                "n_events": pa.array(seg_n.astype(np.int64)),
+                "start_ts": pa.array(s[starts], pa.int64()).cast(pa.timestamp("us")),
+                "end_ts": pa.array(seg_end, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=400_000)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

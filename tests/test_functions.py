@@ -204,6 +204,81 @@ def test_ivf_indexed_recall_and_probe_pruning(ray_session, tmp_path):
     assert probed_bytes(2) < probed_bytes(8)  # probe cost ∝ lists touched
 
 
+def test_sessionize_mega_user_and_batch_split_invariance(ray_session):
+    """Sessionize is exact under ANY batching (the per-batch combiner emits
+    maximal partial sessions; the per-user merge folds them), and a planted
+    mega-user flows through as session summaries, not raw events."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import sessionize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    # mega-user 1: 20k events in 200 bursts (100 events 1min apart, then a
+    # 5h gap) -> exactly 200 sessions
+    t0 = np.int64(1_700_000_000_000_000)
+    t = t0
+    for burst in range(200):
+        for i in range(100):
+            rows.append({"user_id": 1, "ts": t, "event_id": len(rows)})
+            t += 60_000_000
+        t += 5 * 3_600_000_000
+    # small users with jittered gaps around the 120-min threshold
+    for u in range(2, 12):
+        t = t0 + int(rng.integers(0, 10**9))
+        for i in range(50):
+            rows.append({"user_id": u, "ts": t, "event_id": len(rows)})
+            t += int(rng.integers(1, 200)) * 60_000_000  # 1..199 min gaps
+    tbl = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        }
+    )
+    # oracle: single-pass global gap cut
+    def oracle(tbl):
+        uid = tbl["user_id"].to_numpy()
+        ts = tbl["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        u, t_ = uid[order], ts[order]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | ((t_[1:] - t_[:-1]) > 120 * 60_000_000)
+        sid = np.cumsum(new) - 1
+        out = {}
+        for i in range(len(u)):
+            key = sid[i]
+            if key not in out:
+                out[key] = [u[i], 0, t_[i], t_[i]]
+            out[key][1] += 1
+            out[key][3] = t_[i]
+        per_user = {}
+        res = set()
+        for _, (uu, n, st, en) in sorted(out.items()):
+            idx = per_user.get(uu, 0)
+            per_user[uu] = idx + 1
+            res.add((int(uu), idx, int(n), int(st), int(en)))
+        return res
+
+    want = oracle(tbl)
+    # shuffle row order and force many small blocks: batching must not matter
+    perm = rng.permutation(tbl.num_rows)
+    shuffled = tbl.take(pa.array(perm))
+    ds = rd.from_arrow(shuffled).repartition(16)
+    got = {
+        (
+            int(r["user_id"]), int(r["session_idx"]), int(r["n_events"]),
+            int(np.datetime64(r["start_ts"], "us").astype(np.int64)),
+            int(np.datetime64(r["end_ts"], "us").astype(np.int64)),
+        )
+        for r in sessionize(ds, gap_minutes=120).take_all()
+    }
+    assert got == want
+    assert sum(1 for g in got if g[0] == 1) == 200  # the mega-user's sessions
+
+
 def test_generator_determinism():
     """Seeded generators are bit-stable across calls (bench fairness across
     parallelism levels depends on identical input)."""
