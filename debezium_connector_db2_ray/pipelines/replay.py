@@ -348,6 +348,58 @@ class CdcEngine:
         self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
         return m
 
+    def run_snapshot(
+        self,
+        lake: "ray.data.Dataset",
+        snapshot_lsn: Lsn,
+        *,
+        mode="initial",
+    ) -> WindowManifest | None:
+        """Policy-driven snapshot phase: ``mode`` is a snapshot-mode string
+        (initial / always / initial_only / no_data / schema_only) or an
+        injected Snapshotter instance — the reference's snapshot.mode +
+        custom-snapshotter SPI (Db2ConnectorConfig.java:64-109,
+        CustomTestSnapshot.java:26-81). Returns the committed manifest, or
+        None when the policy reads no data AND records no watermark (e.g.
+        INITIAL with an existing offset: streaming just resumes).
+
+        schema_only/no_data commits a data-less ``schema_only`` manifest
+        carrying the watermark so streaming can begin at the current LSN
+        over an empty base."""
+        from debezium_connector_db2_ray.snapshotter import resolve_snapshotter
+
+        snap = resolve_snapshotter(mode)
+        offset_exists = committed_watermark(self.out_dir) is not None
+        if snap.should_snapshot_schema(offset_exists, False):
+            try:
+                self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
+            except Exception:
+                pass  # schema introspection is best-effort lineage
+        if snap.should_snapshot_data(offset_exists, False):
+            cols = snap.snapshot_projection(
+                self.table_name, list(_arrow_schema(lake).names)
+            )
+            if cols is not None:
+                ds = lake
+                if list(cols) != list(_arrow_schema(lake).names):
+                    ds = lake.select_columns(list(cols))
+                return self.snapshot(ds, snapshot_lsn, replace=snap.replace)
+        if offset_exists:
+            return None  # nothing to do — resume from the existing offset
+        # no data read: commit the watermark-only manifest (schema_only)
+        wid = next_window_id(self.out_dir)
+        m = WindowManifest(
+            window_id=wid,
+            kind="schema_only",
+            from_lsn=None,
+            to_lsn=snapshot_lsn.hex(),
+            snapshot_completed=True,
+            partitions={},
+            partitioning=self._partitioning(),
+        )
+        commit_manifest(self.out_dir, m)
+        return m
+
     def incremental_snapshot(
         self,
         lake: "ray.data.Dataset",

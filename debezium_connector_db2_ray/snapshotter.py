@@ -1,0 +1,98 @@
+"""Snapshotter SPI — the user-selectable / injectable snapshot policy.
+
+Mirrors the reference's ``snapshot.mode`` enum (initial, always,
+initial_only, no_data a.k.a. schema_only, custom —
+Db2ConnectorConfig.java:64-109) and the injectable ``Snapshotter``
+interface the CUSTOM mode loads (CustomTestSnapshot.java:26-81:
+shouldSnapshotData / shouldSnapshotSchema / shouldStream + a per-table
+snapshot query hook that can skip a table or project a column subset).
+
+The engine consumes it through ``CdcEngine.run_snapshot``: the policy
+decides whether data is read, whether the schema is recorded, whether the
+watermark manifest is committed so streaming can begin, and what
+projection each table's snapshot SELECT uses.
+"""
+
+from __future__ import annotations
+
+
+class Snapshotter:
+    """Base policy = the reference's INITIAL mode: snapshot data only when
+    no offset exists yet, always record schema, then stream."""
+
+    name = "initial"
+    replace = False  # True supersedes all prior state (snapshot mode ALWAYS)
+
+    def should_snapshot_data(self, offset_exists: bool,
+                             snapshot_in_progress: bool) -> bool:
+        return not offset_exists or snapshot_in_progress
+
+    def should_snapshot_schema(self, offset_exists: bool,
+                               snapshot_in_progress: bool) -> bool:
+        return True
+
+    def should_stream(self) -> bool:
+        return True
+
+    def snapshot_projection(self, table: str,
+                            columns: list[str]) -> list[str] | None:
+        """Columns the table's snapshot SELECT reads; None skips the table
+        entirely (the analog of returning an empty snapshot query)."""
+        return columns
+
+
+class InitialSnapshotter(Snapshotter):
+    name = "initial"
+
+
+class AlwaysSnapshotter(Snapshotter):
+    """Re-snapshot on every start, ignoring prior offsets/state
+    (Db2ConnectorIT.java:912-970 shouldNotUseOffsetWhenSnapshotIsAlways)."""
+
+    name = "always"
+    replace = True
+
+    def should_snapshot_data(self, offset_exists, snapshot_in_progress):
+        return True
+
+
+class InitialOnlySnapshotter(Snapshotter):
+    """Snapshot once, never stream."""
+
+    name = "initial_only"
+
+    def should_stream(self) -> bool:
+        return False
+
+
+class NoDataSnapshotter(Snapshotter):
+    """schema_only: record the schema and the starting watermark, read no
+    rows; streaming begins at the current LSN over an empty base."""
+
+    name = "no_data"
+
+    def should_snapshot_data(self, offset_exists, snapshot_in_progress):
+        return False
+
+
+_MODES = {
+    "initial": InitialSnapshotter,
+    "always": AlwaysSnapshotter,
+    "initial_only": InitialOnlySnapshotter,
+    "no_data": NoDataSnapshotter,
+    "schema_only": NoDataSnapshotter,  # legacy alias
+}
+
+
+def resolve_snapshotter(mode) -> Snapshotter:
+    """A mode string resolves from the registry; a Snapshotter instance
+    passes through — the CUSTOM injection point."""
+    if isinstance(mode, Snapshotter):
+        return mode
+    try:
+        return _MODES[mode]()
+    except KeyError:
+        raise ValueError(
+            f"unknown snapshot mode {mode!r}; expected one of "
+            f"{sorted(_MODES)} or a Snapshotter instance"
+        ) from None
