@@ -247,9 +247,11 @@ class CdcEngine:
     #: auto-compaction policy: after a window commits, if any partition's
     #: merge-on-read must open more than ``compact_trigger`` live files,
     #: fold base+deltas (read-amplification reset). Long replays keep
-    #: state-read cost flat instead of degrading linearly with windows.
+    #: state-read cost flat instead of degrading linearly with windows. The
+    #: trigger is sized so short replays (a handful of windows) never pay a
+    #: mid-replay fold — compaction amortizes over tens of windows.
     auto_compact: bool = True
-    compact_trigger: int = 16
+    compact_trigger: int = 64
 
     def __post_init__(self) -> None:
         if self.exchange not in ("shuffle", "write"):
@@ -664,7 +666,7 @@ class CdcEngine:
                 ds, lo, hi,
                 snapshot_completed=snapshot_completed if first else True,
                 resume_position=_window_resume_position(
-                    changelog_path, flt, nb
+                    changelog_path, lo, hi, incl
                 ),
             )
             first = False
@@ -884,60 +886,76 @@ def apply_dataset(
     return ds.groupby(PART_COL).map_groups(apply_group, batch_format="pyarrow")
 
 
-def _window_resume_position(changelog_path: str, flt, num_blocks: int) -> dict | None:
+_LSN_COLS = ["commit_lsn_hi", "commit_lsn_lo", "intent_lsn_hi", "intent_lsn_lo"]
+
+
+def _window_resume_position(
+    changelog_path: str, lo: Lsn, hi: Lsn, inclusive_low: bool
+) -> dict | None:
     """The offset triplet of a window's LAST event ({commit_lsn, change_lsn,
-    event_serial_no}, Db2OffsetContext.java:66-80), computed with a
-    column-pruned pass: only the four LSN columns are read (a few % of the
-    payload volume), each batch emits one partial-stats row, and the driver
-    folds the partials. serial = the final commit's total row count (windows
-    align to commit boundaries)."""
-    import ray
-
-    def partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], pa.uint64()) for c in
-                 ("chi", "clo", "ihi", "ilo")} | {"n": pa.array([], pa.int64())}
-            )
-        chi = batch["commit_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        clo = batch["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((clo, chi))
-        mhi, mlo = chi[order[-1]], clo[order[-1]]
-        at = (chi == mhi) & (clo == mlo)
-        ihi = batch["intent_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
-        ilo = batch["intent_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
-        iorder = np.lexsort((ilo, ihi))
-        return pa.table(
-            {
-                "chi": pa.array([int(mhi)], pa.uint64()),
-                "clo": pa.array([int(mlo)], pa.uint64()),
-                "ihi": pa.array([int(ihi[iorder[-1]])], pa.uint64()),
-                "ilo": pa.array([int(ilo[iorder[-1]])], pa.uint64()),
-                "n": pa.array([int(at.sum())], pa.int64()),
-            }
-        )
-
-    rows = (
-        ray.data.read_parquet(
-            changelog_path,
-            columns=list(
-                ("commit_lsn_hi", "commit_lsn_lo", "intent_lsn_hi", "intent_lsn_lo")
-            ),
-            filter=flt,
-            override_num_blocks=num_blocks,
-        )
-        .map_batches(partial, batch_format="pyarrow", batch_size=1_000_000)
-        .take_all()
-    )
-    rows = [r for r in rows if r.get("n")]
-    if not rows:
+    event_serial_no}, Db2OffsetContext.java:66-80), computed DRIVER-SIDE
+    from parquet row-group statistics: only the group(s) whose commit-LSN
+    stats can still contain the window's max commit are read, and only the
+    four LSN columns of those groups — for an LSN-clustered log that is one
+    row group per window, with no Ray job launch at all (the earlier
+    cluster-pass version added seconds of fixed overhead per window).
+    serial = the final commit's total row count (windows align to commit
+    boundaries). Single-segment LSNs assumed (like the read pushdown);
+    multi-segment windows return None."""
+    if lo.hi != hi.hi:
         return None
-    top = max(rows, key=lambda r: (r["chi"], r["clo"]))
-    at_top = [r for r in rows if (r["chi"], r["clo"]) == (top["chi"], top["clo"])]
-    serial = sum(r["n"] for r in at_top)
-    imax = max((r["ihi"], r["ilo"]) for r in at_top)
+    lo_v, hi_v = lo.lo, hi.lo
+
+    import pyarrow.dataset as pads
+
+    try:
+        dset = pads.dataset(changelog_path)
+        groups = []  # (known_max | None, path, rg_index, known_min | None)
+        for frag in dset.get_fragments():
+            for rg in frag.row_groups:
+                st = rg.statistics or {}
+                s = st.get("commit_lsn_lo") or {}
+                groups.append((s.get("max"), frag.path, rg.id, s.get("min")))
+    except Exception:
+        return None  # not introspectable (e.g. non-parquet source)
+    # visit groups in descending order of their max stat (unknown first —
+    # they could contain anything)
+    groups.sort(key=lambda g: (g[0] is not None, -(g[0] or 0)))
+    best = None  # (chi, clo) of the max in-window commit found so far
+    serial = 0
+    imax = (0, 0)
+    readers: dict[str, pq.ParquetFile] = {}
+    for gmax, path, rg_idx, gmin in groups:
+        if gmin is not None and gmin > hi_v:
+            continue  # whole group above the window
+        if best is not None and gmax is not None and gmax < best[1]:
+            break  # no later group can contain the best commit
+        f = readers.get(path)
+        if f is None:
+            f = readers[path] = pq.ParquetFile(path)
+        t = f.read_row_group(rg_idx, columns=_LSN_COLS)
+        chi = t["commit_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        clo = t["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        in_w = (chi == lo.hi) & (
+            (clo >= lo_v) if inclusive_low else (clo > lo_v)
+        ) & (clo <= hi_v)
+        if not in_w.any():
+            continue
+        order = np.lexsort((clo[in_w], chi[in_w]))
+        mhi, mlo = int(chi[in_w][order[-1]]), int(clo[in_w][order[-1]])
+        if best is None or (mhi, mlo) > best:
+            best, serial, imax = (mhi, mlo), 0, (0, 0)
+        if (mhi, mlo) == best:
+            at = in_w & (chi == np.uint64(mhi)) & (clo == np.uint64(mlo))
+            serial += int(at.sum())
+            ihi = t["intent_lsn_hi"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
+            ilo = t["intent_lsn_lo"].to_numpy(zero_copy_only=False).astype(np.uint64)[at]
+            io = np.lexsort((ilo, ihi))
+            imax = max(imax, (int(ihi[io[-1]]), int(ilo[io[-1]])))
+    if best is None:
+        return None
     return {
-        "commit_lsn": lsn_hex(top["chi"], top["clo"]),
+        "commit_lsn": lsn_hex(best[0], best[1]),
         "change_lsn": lsn_hex(imax[0], imax[1]),
         "event_serial_no": int(serial),
     }
