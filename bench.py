@@ -221,6 +221,38 @@ def run_gate_queries(timings: dict) -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
 
+    # persisted-IVF probe cost: with the index built once, query wall time
+    # scales with lists probed (n_probe/n_lists of the corpus), not corpus
+    # size — the build-once/probe-many contract
+    import shutil as _sh
+
+    from debezium_connector_db2_ray.functions.queries import (
+        _ivf_index_dir,
+        _query_matrix,
+    )
+    from debezium_connector_db2_ray.functions.similarity import (
+        build_ivf_index,
+        ivf_indexed_topk,
+    )
+
+    idx = _ivf_index_dir(SF_DIR, 16)
+    _sh.rmtree(idx, ignore_errors=True)
+    import ray.data as _rd
+
+    t0 = time.perf_counter()
+    build_ivf_index(
+        _rd.read_parquet(f"{SF_DIR}/embeddings.parquet"), idx, n_lists=16,
+        sample_size=2000,
+    )
+    timings["ann_ivf_index_build_sec"] = round(time.perf_counter() - t0, 3)
+    qm = _query_matrix(SF_DIR)
+    for n_probe in (2, 8):
+        t0 = time.perf_counter()
+        ivf_indexed_topk(idx, qm, k=5, n_probe=n_probe).count()
+        timings[f"ann_ivf_probe{n_probe}_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+
 
 def main() -> None:
     import ray

@@ -75,12 +75,49 @@ class NoDataSnapshotter(Snapshotter):
         return False
 
 
+class WhenNeededSnapshotter(Snapshotter):
+    """Snapshot when the offset is missing OR a prior snapshot never
+    completed (Db2ConnectorConfig.java:95-98)."""
+
+    name = "when_needed"
+
+    def should_snapshot_data(self, offset_exists, snapshot_in_progress):
+        return not offset_exists or snapshot_in_progress
+
+
+class ConfigurationBasedSnapshotter(Snapshotter):
+    """Every decision driven by explicit flags — the reference's
+    snapshot.mode.configuration.based.* properties
+    (Db2ConnectorConfig.java:100-103)."""
+
+    name = "configuration_based"
+
+    def __init__(self, *, snapshot_data: bool = True,
+                 snapshot_schema: bool = True, stream: bool = True,
+                 snapshot_on_data_error: bool = False):
+        self._data = snapshot_data
+        self._schema = snapshot_schema
+        self._stream = stream
+        self._on_data_error = snapshot_on_data_error
+
+    def should_snapshot_data(self, offset_exists, snapshot_in_progress):
+        return self._data and (not offset_exists or snapshot_in_progress)
+
+    def should_snapshot_schema(self, offset_exists, snapshot_in_progress):
+        return self._schema
+
+    def should_stream(self) -> bool:
+        return self._stream
+
+
 _MODES = {
     "initial": InitialSnapshotter,
     "always": AlwaysSnapshotter,
     "initial_only": InitialOnlySnapshotter,
     "no_data": NoDataSnapshotter,
     "schema_only": NoDataSnapshotter,  # legacy alias
+    "when_needed": WhenNeededSnapshotter,
+    "configuration_based": ConfigurationBasedSnapshotter,
 }
 
 

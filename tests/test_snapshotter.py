@@ -63,6 +63,18 @@ def test_mode_registry_and_custom_passthrough():
     assert resolve_snapshotter(custom) is custom
     with pytest.raises(ValueError, match="unknown snapshot mode"):
         resolve_snapshotter("bogus")
+    wn = resolve_snapshotter("when_needed")
+    assert wn.should_snapshot_data(False, False)
+    assert wn.should_snapshot_data(True, True)  # prior snapshot incomplete
+    assert not wn.should_snapshot_data(True, False)
+    from debezium_connector_db2_ray.snapshotter import (
+        ConfigurationBasedSnapshotter,
+    )
+
+    cb = ConfigurationBasedSnapshotter(snapshot_data=False, stream=False)
+    assert not cb.should_snapshot_data(False, False)
+    assert cb.should_snapshot_schema(False, False)
+    assert not cb.should_stream()
 
 
 def test_initial_mode_skips_data_when_offset_exists(ray_session, tmp_path):
