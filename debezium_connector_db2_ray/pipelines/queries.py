@@ -316,21 +316,18 @@ FROM cls
 
 
 def q_classify_ops(sf_dir: str):
-    """S2/S3 opcode classification of the raw D/I capture stream, done the
-    scale way: partition by hash(commit_lsn) — classification is commit-local
-    — sort within partition, classify with the adjacency kernel."""
+    """S2/S3 opcode classification of the raw D/I capture stream — MAP-ONLY,
+    no shuffle: every commit's rows here derive from one source event row
+    (the op-5 expansion emits its D+I pair adjacently inside the same
+    batch), so same-commit adjacency is already batch-local. A captured log
+    whose multi-row commits live in a FILE instead uses the overlapped
+    row-group scan (stages/decode.py classify_parquet_stream), which is the
+    general zero-shuffle path; the round-1 hash(commit_lsn) exchange is
+    gone either way."""
     from debezium_connector_db2_ray.stages.decode import classify_ops, sort_by_position
 
-    raw = _events(sf_dir).map_batches(derive_raw_stream, batch_format="pyarrow")
-
-    def tag(batch: pa.Table) -> pa.Table:
-        part = (
-            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
-        ).astype(np.int32)
-        return batch.append_column("__part", pa.array(part))
-
-    def classify_group(group: pa.Table) -> pa.Table:
-        t = classify_ops(sort_by_position(group.drop_columns(["__part"])))
+    def classify_batch(batch: pa.Table) -> pa.Table:
+        t = classify_ops(sort_by_position(derive_raw_stream(batch)))
         return pa.table(
             {
                 "lsn": t["commit_lsn_lo"].cast(pa.int64()),
@@ -342,11 +339,7 @@ def q_classify_ops(sf_dir: str):
             }
         )
 
-    return (
-        raw.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(classify_group, batch_format="pyarrow")
-    )
+    return _events(sf_dir).map_batches(classify_batch, batch_format="pyarrow")
 
 
 SQL_MAX_LSN = """

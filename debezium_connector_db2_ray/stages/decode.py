@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from debezium_connector_db2_ray.lsn import position_order
 from debezium_connector_db2_ray.ops import (
@@ -96,7 +97,64 @@ def classify_ops(sorted_table: pa.Table, raw_col: str = "op_raw") -> pa.Table:
     return sorted_table.set_column(i, "op", pa.array(op, pa.int8()))
 
 
-def envelope_op_column(op: pa.ChunkedArray | pa.Array) -> pa.Array:
+def classify_parquet_stream(path: str, *, groups_per_task: int = 4,
+                            raw_col: str = "op_raw"):
+    """Zero-shuffle opcode classification of a FILE-resident raw D/I stream
+    whose multi-row commits may straddle row-group boundaries — the general
+    scale path replacing the round-1 hash(commit_lsn) all-to-all.
+
+    Overlapped scan: the file's row groups are split into contiguous task
+    ranges driver-side; each task reads its groups PLUS one peek row group
+    on each side, classifies with full adjacency, and emits exactly its own
+    rows. Classification of a row depends only on its immediate neighbors
+    (a D directly followed by a same-commit I is an update pair), so one
+    peek row on each side already gives every owned row its true context —
+    the peek group is more than enough and commits of any size are safe.
+    Deterministic, no all-to-all, overlap cost = 2 row groups per task.
+
+    Assumes the file is position-sorted (commit-major), as a captured CD
+    table is (reference: the classification SQL orders by
+    IBMSNAP_COMMITSEQ, IBMSNAP_INTENTSEQ — platform/LuwPlatform.java:29-39).
+    """
+    import ray
+
+    pf = pq.ParquetFile(path)
+    n_groups = pf.metadata.num_row_groups
+    ranges = [
+        (lo, min(lo + groups_per_task, n_groups))
+        for lo in range(0, n_groups, groups_per_task)
+    ]
+    items = [{"path": path, "lo": lo, "hi": hi, "n": n_groups}
+             for lo, hi in ranges]
+
+    def classify_range(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            f = pq.ParquetFile(row["path"])
+            lo, hi, n = row["lo"], row["hi"], row["n"]
+            peek_lo = max(0, lo - 1)
+            peek_hi = min(n, hi + 1)
+            t = f.read_row_groups(list(range(peek_lo, peek_hi)))
+            own_start = sum(
+                f.metadata.row_group(g).num_rows for g in range(peek_lo, lo)
+            )
+            own_len = sum(
+                f.metadata.row_group(g).num_rows for g in range(lo, hi)
+            )
+            # the file is position-sorted by contract, so the stable sort is
+            # an identity permutation and file row indices survive it
+            t = sort_by_position(t)
+            classified = classify_ops(t, raw_col=raw_col)
+            own = np.zeros(len(classified), dtype=bool)
+            own[own_start : own_start + own_len] = True
+            outs.append(classified.filter(pa.array(own)))
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(items).map_batches(
+        classify_range, batch_format="pyarrow", batch_size=1
+    )
     """Map raw int8 opcodes to Debezium envelope op chars 'r'/'c'/'u'/'d'
     (reference: Db2ChangeRecordEmitter.java:39-54). Unknown codes raise, like
     the reference's default branch."""

@@ -159,3 +159,57 @@ def test_lsn_hex_array_matches_scalar():
     lo = np.array([0, 2**63 + 5, 2**64 - 1], dtype=np.uint64)
     got = lsn_hex_array(hi, lo)
     assert list(got) == [lsn_hex(int(h), int(l)) for h, l in zip(hi, lo)]
+
+
+def test_classify_parquet_stream_pairs_straddle_row_groups(ray_session, tmp_path):
+    """The overlapped row-group scan classifies a file-resident raw stream
+    with NO shuffle, even when update pairs straddle row-group boundaries."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from debezium_connector_db2_ray.stages.decode import (
+        classify_ops,
+        classify_parquet_stream,
+        sort_by_position,
+    )
+
+    rows = []
+    lsn = 100
+    rng = __import__("numpy").random.default_rng(7)
+    for i in range(500):
+        kind = rng.choice(["ins", "del", "upd"])
+        if kind == "ins":
+            rows.append((lsn, 1, "I"))
+        elif kind == "del":
+            rows.append((lsn, 1, "D"))
+        else:  # update pair: D then I, same commit
+            rows.append((lsn, 1, "D"))
+            rows.append((lsn, 2, "I"))
+        lsn += 1
+    n = len(rows)
+    raw = pa.table(
+        {
+            "commit_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "commit_lsn_lo": pa.array([r[0] for r in rows], pa.uint64()),
+            "intent_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "intent_lsn_lo": pa.array([r[1] for r in rows], pa.uint64()),
+            "op_raw": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    path = str(tmp_path / "raw.parquet")
+    # tiny row groups (37 rows) force many pairs onto group boundaries
+    pq.write_table(raw, path, row_group_size=37)
+    got = (
+        classify_parquet_stream(path, groups_per_task=2)
+        .to_pandas()
+        .sort_values(["commit_lsn_lo", "intent_lsn_lo"])
+        .reset_index(drop=True)
+    )
+    want = (
+        classify_ops(sort_by_position(raw))
+        .to_pandas()
+        .sort_values(["commit_lsn_lo", "intent_lsn_lo"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == n
+    assert (got["op"].to_numpy() == want["op"].to_numpy()).all()
