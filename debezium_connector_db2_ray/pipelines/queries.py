@@ -459,20 +459,15 @@ FROM changelog
 def q_envelope_feed(sf_dir: str):
     """M1/M2 + serial numbers: the Debezium change-event feed — update pairs
     zipped into single 'u' envelopes with before/after images, serials
-    counting an update as 2 (Db2OffsetContext.java:95-104)."""
+    counting an update as 2 (Db2OffsetContext.java:95-104). MAP-ONLY: the
+    op-5 expansion emits each pair adjacently inside one batch and serials
+    are commit-local, so no shuffle is needed (a file-resident raw stream
+    would use the overlapped row-group scan instead)."""
     from debezium_connector_db2_ray.stages.envelope import to_envelopes
 
-    raw = _events(sf_dir).map_batches(expand_update_pairs, batch_format="pyarrow")
-
-    def tag(batch: pa.Table) -> pa.Table:
-        part = (
-            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
-        ).astype(np.int32)
-        return batch.append_column("__part", pa.array(part))
-
-    def env_group(group: pa.Table) -> pa.Table:
+    def env_batch(batch: pa.Table) -> pa.Table:
         t = to_envelopes(
-            group.drop_columns(["__part"]), image_columns=("text",)
+            expand_update_pairs(batch), image_columns=("text",)
         )
         return pa.table(
             {
@@ -486,11 +481,7 @@ def q_envelope_feed(sf_dir: str):
             }
         )
 
-    return (
-        raw.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(env_group, batch_format="pyarrow")
-    )
+    return _events(sf_dir).map_batches(env_batch, batch_format="pyarrow")
 
 
 SOURCE_NAME = "testdb-server"
@@ -529,17 +520,9 @@ def q_source_struct(sf_dir: str):
         with_source_info,
     )
 
-    raw = _events(sf_dir).map_batches(expand_update_pairs, batch_format="pyarrow")
-
-    def tag(batch: pa.Table) -> pa.Table:
-        part = (
-            batch["commit_lsn_lo"].to_numpy(zero_copy_only=False) % NP
-        ).astype(np.int32)
-        return batch.append_column("__part", pa.array(part))
-
-    def env_group(group: pa.Table) -> pa.Table:
+    def env_batch(batch: pa.Table) -> pa.Table:
         t = to_envelopes(
-            group.drop_columns(["__part"]), image_columns=("text", "ts")
+            expand_update_pairs(batch), image_columns=("text", "ts")
         )
         t = with_source_info(
             t, name=SOURCE_NAME, db=SOURCE_DB, schema=SOURCE_SCHEMA,
@@ -564,11 +547,7 @@ def q_source_struct(sf_dir: str):
             }
         )
 
-    return (
-        raw.map_batches(tag, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(env_group, batch_format="pyarrow")
-    )
+    return _events(sf_dir).map_batches(env_batch, batch_format="pyarrow")
 
 
 SQL_TOMBSTONES = f"""
