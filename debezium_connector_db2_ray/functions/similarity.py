@@ -268,6 +268,18 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                  "cos": pa.array([], pa.float64())}
             )
+        if len(uniq) > max_band_size:
+            # no-silent-caps rule: a degenerate bucket is truncated (it
+            # would explode quadratically) but the drop is LOGGED so a
+            # caller sees the coverage bound instead of assuming it's full
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "cosine near-dup bucket truncated: %d vectors > "
+                "max_band_size=%d — pairs among the overflow are not "
+                "emitted (raise max_band_size or add plane sets)",
+                len(uniq), max_band_size,
+            )
         sub = group.take(pa.array(first_idx[: max_band_size]))
         m = _normalize_rows(_batch_matrix(sub))
         ids = sub["vec_id"].to_numpy(zero_copy_only=False)

@@ -56,8 +56,6 @@ def to_envelopes(
     t = sort_by_position(fragment)
     op = t["op"].to_numpy(zero_copy_only=False)
     n = len(op)
-    if n == 0:
-        pass
     chi = t["commit_lsn_hi"].to_numpy(zero_copy_only=False)
     clo = t["commit_lsn_lo"].to_numpy(zero_copy_only=False)
 
