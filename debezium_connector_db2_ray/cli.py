@@ -43,7 +43,11 @@ def main(argv=None) -> int:
     sp.add_argument("--out", required=True)
     sp.add_argument("--snapshot-lsn", type=int, required=True)
     sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--salt", type=int, default=1)
     sp.add_argument("--chunks", type=int, default=0, help=">0: incremental")
+    sp.add_argument("--mode", default="initial",
+                    help="initial | always | initial_only | no_data | "
+                    "schema_only | when_needed | configuration_based")
 
     rp = sub.add_parser("replay")
     rp.add_argument("--changelog", required=True)
@@ -110,13 +114,17 @@ def main(argv=None) -> int:
         import ray.data as rd
 
         if args.cmd == "snapshot":
-            eng = CdcEngine(out_dir=args.out, num_partitions=args.partitions)
+            eng = CdcEngine(
+                out_dir=args.out, num_partitions=args.partitions,
+                salt=args.salt,
+            )
             lake = rd.read_parquet(args.lake)
             fence = Lsn.from_int(args.snapshot_lsn)
             if args.chunks > 0:
                 ms = eng.incremental_snapshot(lake, fence, n_chunks=args.chunks)
             else:
-                ms = [eng.snapshot(lake, fence)]
+                m = eng.run_snapshot(lake, fence, mode=args.mode)
+                ms = [m] if m is not None else []
             print(json.dumps({"committed_windows": [m.window_id for m in ms]}))
         elif args.cmd == "replay":
             eng = CdcEngine(

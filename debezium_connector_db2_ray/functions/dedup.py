@@ -11,11 +11,12 @@ Scale shapes (100 TB design):
   64 vectorized permutation passes + segment-min (np.minimum.reduceat) ->
   explode to (band, band_hash, doc_id) rows (tiny) -> groupby band bucket ->
   candidate pairs -> distinct -> exact-Jaccard verification by JOINING the
-  pairs against a (doc_id, shingle-set) dataset — a distributed hash join,
-  NOT a driver-built broadcast lookup, so nothing ever materializes the
-  corpus in one place.
+  pairs against a (doc_id, shingle-set) dataset — a distributed repartition
+  join on the sort exchange, NOT a driver-built broadcast lookup, so
+  nothing ever materializes the corpus in one place.
 - SimHash: 64-bit signature per doc (vectorized bit-count over token
-  hashes); band buckets on 16-bit quarters; exact Hamming verify in-bucket.
+  hashes); band width adapts to max_hamming (pigeonhole guarantee); exact
+  Hamming verify in-bucket.
 
 No stage reads the whole corpus on the driver and no per-row hashlib loops
 remain (round-1 advisor/judge findings).

@@ -428,6 +428,34 @@ def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
     return f"/tmp/db2ray_ivf_index/{tag}_l{n_lists}"
 
 
+def _lsh_index_dir(sf_dir: str, nbits: int) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/db2ray_lsh_index/{tag}_b{nbits}"
+
+
+def q_ann_lsh_indexed(sf_dir: str):
+    """ANN over a PERSISTED LSH bucket index: corpus written once as
+    bucket-partitioned parquet; each query set reads only its matching
+    bucket directories (rows-only check; recall pinned in pytest)."""
+    import os
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        build_lsh_index,
+        lsh_indexed_topk,
+    )
+
+    qm = _query_matrix(sf_dir)
+    idx = _lsh_index_dir(sf_dir, 6)
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_lsh_index(_emb(sf_dir), idx, dim=qm["matrix"].shape[1], nbits=6)
+    out = lsh_indexed_topk(idx, qm, k=ANN_K)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "rank", "vec_id"]), batch_format="pyarrow"
+    )
+
+
 def q_ann_ivf_indexed(sf_dir: str):
     """ANN over a PERSISTED IVF index: built once (parquet partitioned by
     inverted-list id + saved centroids), then every query reads only its
@@ -621,6 +649,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_ivf_indexed": q_ann_ivf_indexed,
+    "ann_lsh_indexed": q_ann_lsh_indexed,
     "emb_near_dup_exact": q_emb_near_dup_exact,
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "mm_media_meta": q_media_meta,

@@ -229,6 +229,63 @@ def ivf_indexed_topk(index_dir: str, queries: dict, *, k: int = 10,
     return brute_force_topk(ds, ref, k=k, concurrency=concurrency)
 
 
+def build_lsh_index(ds, index_dir: str, *, dim: int, nbits: int = 6,
+                    seed: int = 5, concurrency: int | None = None) -> None:
+    """Persisted random-hyperplane LSH index: the corpus written as parquet
+    partitioned by bucket id (``bucket=<id>/`` directories), planes derived
+    from the seed (no training). Build once; a query later reads ONLY its
+    matching bucket directories."""
+    import json
+    import os
+
+    bucketer = LshBucketer(dim, nbits=nbits, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        b = bucketer.bucket_of(_normalize_rows(m)).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b, pa.int32()))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(
+        assign, batch_format="pyarrow", concurrency=concurrency
+    ).write_parquet(os.path.join(index_dir, "buckets"), partition_cols=["bucket"])
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump({"dim": dim, "nbits": nbits, "seed": seed}, f)
+
+
+def lsh_indexed_topk(index_dir: str, queries: dict, *, k: int = 10,
+                     concurrency: int = 2):
+    """Query path over a persisted LSH index: hash the queries with the
+    index's planes and read ONLY the matching bucket directories —
+    directory-level pruning, no corpus re-hash (the round-1 version
+    re-scanned and re-bucketed the full corpus on every query set)."""
+    import glob
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    bucketer = LshBucketer(meta["dim"], nbits=meta["nbits"], seed=meta["seed"])
+    qb = np.unique(
+        bucketer.bucket_of(_normalize_rows(queries["matrix"].astype(np.float64)))
+    )
+    paths = [
+        f
+        for b in qb
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, "buckets", f"bucket={b}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return rd.from_items([])
+    ds = rd.read_parquet(paths, columns=["vec_id", "embedding"])
+    ref = ray.put({"qids": queries["qids"], "matrix": queries["matrix"]})
+    return brute_force_topk(ds, ref, k=k, concurrency=concurrency)
+
+
 def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2048):
     """Embedding-cosine near-duplicate pairs: all (a < b) with
     cos(a, b) >= threshold.

@@ -713,6 +713,9 @@ def q_masked_columns(sf_dir: str):
 
     def mask(t: pa.Table) -> pa.Table:
         text = t["text"]
+        # md5 is the SEMANTIC (the reference's mask.hash and the DuckDB
+        # oracle both use it), so no vectorized substitute applies; the loop
+        # is one C md5 call per row, distributed across batches
         hashes = pa.array(
             [hashlib.md5(("s4lt" + v).encode()).hexdigest() for v in text.to_pylist()],
             pa.string(),

@@ -152,6 +152,35 @@ def test_ivf_ann_recall_against_exact(ray_session):
         assert (q, q) in approx  # a query's own vector is always in its list
 
 
+def test_lsh_indexed_matches_inmemory_lsh(ray_session):
+    """The persisted LSH bucket index returns the same results as the
+    in-memory prefilter variant (same planes, same buckets), without
+    re-hashing the corpus at query time."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from debezium_connector_db2_ray.functions.queries import (
+        _lsh_index_dir,
+        q_ann_lsh,
+        q_ann_lsh_indexed,
+    )
+
+    shutil.rmtree(_lsh_index_dir(SF, 6), ignore_errors=True)
+    mem = {(r["query_id"], r["vec_id"], r["rank"]) for r in q_ann_lsh(SF).take_all()}
+    idx = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in q_ann_lsh_indexed(SF).take_all()
+    }
+    assert idx == mem
+    # second call reuses the on-disk index (build-once contract)
+    idx2 = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in q_ann_lsh_indexed(SF).take_all()
+    }
+    assert idx2 == mem
+
+
 def test_ivf_indexed_recall_and_probe_pruning(ray_session, tmp_path):
     """The persisted IVF index matches the in-memory IVF's recall bar, and
     probing fewer lists reads strictly fewer bytes (the build-once index
