@@ -263,6 +263,16 @@ class CdcEngine:
             )
 
     @property
+    def notifications(self):
+        """Durable notification channel (reference NotificationService /
+        NotificationsIT) — snapshot/backfill/compaction progress events."""
+        from debezium_connector_db2_ray.state.notifications import (
+            NotificationLog,
+        )
+
+        return NotificationLog(self.out_dir)
+
+    @property
     def schema_history(self):
         """Durable CREATE/ALTER log (reference Db2DatabaseSchema.java:51-71);
         rebuilt lazily from disk — recovery after restart is just re-reading
@@ -321,6 +331,11 @@ class CdcEngine:
         wid = next_window_id(self.out_dir)
         delta_dir = os.path.join(self.out_dir, f"delta/w={wid:06d}")
         fence = snapshot_lsn
+        self.notifications.emit(
+            "Initial Snapshot", "STARTED",
+            {"table": self.table_name, "snapshot_lsn": snapshot_lsn.hex(),
+             "replace": replace},
+        )
 
         tagger = tag_partitions(self.num_partitions, self.salt)
 
@@ -345,6 +360,11 @@ class CdcEngine:
             partitioning=self._partitioning(),
         )
         commit_manifest(self.out_dir, m)
+        self.notifications.emit(
+            "Initial Snapshot", "COMPLETED",
+            {"table": self.table_name, "window_id": wid,
+             "rows": sum(p["rows"] for p in m.partitions.values())},
+        )
         # CREATE schema event at snapshot, as the reference emits one DDL
         # record per captured table (SchemaHistoryTopicIT.java:96-111)
         self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
@@ -464,6 +484,12 @@ class CdcEngine:
                 partitioning=self._partitioning(),
             )
             commit_manifest(self.out_dir, m)
+            self.notifications.emit(
+                "Incremental Snapshot",
+                "COMPLETED" if c == n_chunks - 1 else "IN_PROGRESS",
+                {"table": self.table_name, "chunk": c, "n_chunks": n_chunks,
+                 "tag": tag, "window_id": wid},
+            )
             out.append(m)
         return out
 
@@ -506,6 +532,9 @@ class CdcEngine:
             else:
                 log.warning("unknown signal type %r — skipped", sig.type)
             mark_processed(self.out_dir, sig.id)
+            self.notifications.emit(
+                "Signal", "PROCESSED", {"signal_id": sig.id, "type": sig.type}
+            )
         return out
 
     def replay_window(
@@ -770,6 +799,10 @@ class CdcEngine:
             partitioning=self._partitioning(),
         )
         commit_manifest(self.out_dir, m)
+        self.notifications.emit(
+            "Compaction", "COMPLETED",
+            {"table": self.table_name, "window_id": wid},
+        )
         return m
 
     # ---- helpers ----------------------------------------------------------

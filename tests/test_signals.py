@@ -164,3 +164,30 @@ def test_unknown_and_log_signals_are_acked(ray_session, scenario, tmp_path):
     ms = eng.drain_signals(lambda: (_ for _ in ()).throw(AssertionError("no lake read")))
     assert ms == []
     assert pending_signals(out) == []
+
+
+def test_notification_channel_records_progress(ray_session, scenario, tmp_path):
+    """The notification channel (reference NotificationsIT semantics) logs
+    snapshot STARTED/COMPLETED, per-chunk incremental progress, signal
+    processing, and compaction."""
+    import ray.data as rd
+
+    sc, data_dir, _ = scenario
+    out = str(tmp_path / "notif")
+    eng = CdcEngine(out_dir=out, num_partitions=2, validate_pairs=False)
+    lake = lambda: rd.read_parquet(os.path.join(data_dir, "lake.parquet"))  # noqa: E731
+    eng.snapshot(lake(), sc.snapshot_lsn)
+    send_signal(out, "execute-snapshot", {"type": "INCREMENTAL", "chunks": 2})
+    eng.drain_signals(lake)
+    eng.compact()
+    kinds = [(n.aggregate_type, n.type) for n in eng.notifications.read()]
+    assert ("Initial Snapshot", "STARTED") in kinds
+    assert ("Initial Snapshot", "COMPLETED") in kinds
+    assert ("Incremental Snapshot", "IN_PROGRESS") in kinds
+    assert ("Incremental Snapshot", "COMPLETED") in kinds
+    assert ("Signal", "PROCESSED") in kinds
+    assert ("Compaction", "COMPLETED") in kinds
+    # ordering: snapshot STARTED precedes its COMPLETED
+    assert kinds.index(("Initial Snapshot", "STARTED")) < kinds.index(
+        ("Initial Snapshot", "COMPLETED")
+    )
