@@ -1,0 +1,123 @@
+"""Connector-level coordinator: one streaming task, many captured tables.
+
+The reference's connector runs exactly ONE task (Db2Connector.java:55-61)
+that snapshots and streams EVERY captured table, routing each change to its
+table's topic (Db2TopicSelector; capture set discovered from the
+IBMSNAP_REGISTER catalog, with include/exclude list filtering
+Db2ConnectorConfig table.include.list/table.exclude.list and the hard
+system-table exclusion Db2ConnectorConfig.java:645-656).
+
+Ray-Data-shaped equivalent: a ``CdcConnector`` owns one lake directory per
+captured table under a shared root, discovers the capture set from the
+stream's routing column (the S7 new-change-table detection), filters it
+through include/exclude + the system-table predicate, and replays a shared
+change stream by fanning each window out per table with a pushed-down
+routing filter. The signal/notification channels live at the ROOT so one
+operator surface controls every table, like the reference's single task.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from debezium_connector_db2_ray.lsn import Lsn
+from debezium_connector_db2_ray.pipelines.replay import CdcEngine, plan_windows
+from debezium_connector_db2_ray.stages.apply import is_system_table
+
+
+@dataclass
+class CdcConnector:
+    root_dir: str
+    num_partitions: int = 32
+    salt: int = 1
+    exchange: str = "shuffle"
+    validate_pairs: bool = True
+    #: include wins over exclude when both name a table, like the reference
+    #: (table.include.list takes precedence)
+    table_include: tuple[str, ...] | None = None
+    table_exclude: tuple[str, ...] = ()
+    routing_col: str = "src_table"
+    _engines: dict[str, CdcEngine] = field(default_factory=dict, repr=False)
+
+    # ---- capture set -------------------------------------------------------
+
+    def captures(self, table: str) -> bool:
+        """The reference's table-filter chain: system tables are hard-dropped,
+        then include/exclude lists apply."""
+        if is_system_table(table):
+            return False
+        if self.table_include is not None:
+            return table in self.table_include
+        return table not in self.table_exclude
+
+    def discover_tables(self, stream) -> list[str]:
+        """S7 new-change-table detection: the capture set observed in the
+        stream's routing column (unique values — a tiny aggregate), filtered
+        through the capture predicate."""
+        names = sorted(
+            v
+            for v in stream.select_columns([self.routing_col]).unique(
+                self.routing_col
+            )
+            if v is not None
+        )
+        return [t for t in names if self.captures(t)]
+
+    def engine(self, table: str) -> CdcEngine:
+        eng = self._engines.get(table)
+        if eng is None:
+            eng = CdcEngine(
+                out_dir=os.path.join(self.root_dir, table),
+                num_partitions=self.num_partitions,
+                salt=self.salt,
+                exchange=self.exchange,
+                validate_pairs=self.validate_pairs,
+                table_name=table,
+            )
+            self._engines[table] = eng
+        return eng
+
+    # ---- phases ------------------------------------------------------------
+
+    def snapshot_all(self, lakes: dict, snapshot_lsn: Lsn, *, mode="initial"):
+        """Snapshot every captured table (one manifest per table)."""
+        out = {}
+        for table, lake in lakes.items():
+            if not self.captures(table):
+                continue
+            out[table] = self.engine(table).run_snapshot(
+                lake, snapshot_lsn, mode=mode
+            )
+        return out
+
+    def replay(self, stream, from_lsn: Lsn, to_lsn: Lsn, n_windows: int):
+        """Replay a SHARED change stream carrying ``routing_col``: windows
+        are planned once and each captured table applies its own routed
+        slice — the reference's single task emitting to per-table topics.
+        Tables appearing mid-stream (new capture instances) are picked up
+        window by window via discovery."""
+        tables = self.discover_tables(stream)
+        manifests = {t: [] for t in tables}
+        for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            for table in tables:
+                routed = stream.map_batches(
+                    _route(self.routing_col, table), batch_format="pyarrow"
+                )
+                m = self.engine(table).replay_window(routed, lo, hi)
+                if m is not None:
+                    manifests[table].append(m)
+        return manifests
+
+    def state(self, table: str):
+        return self.engine(table).state_dataset()
+
+
+def _route(col: str, table: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[col], table)).drop_columns([col])
+
+    return fn

@@ -95,3 +95,61 @@ def test_incremental_snapshot_interleaved_with_streaming(ray_session, tmp_path):
         eng.state_dataset().to_pandas(), preserve_index=False
     ).select(expected.column_names)
     assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_connector_coordinates_multiple_tables(ray_session, tmp_path):
+    """CdcConnector: discovery from the routing column, include/exclude +
+    system-table filtering, per-table engines under one root, shared replay
+    of one stream — the reference's single-task-many-topics shape."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+
+    sc_a = generate_scenario(n_convs=12, turns_per_conv=4, n_commits=120, seed=61)
+    sc_b = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=90, seed=62)
+    d = tmp_path / "data"
+    d.mkdir()
+    cl_a = sc_a.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc_a.changelog.num_rows)
+    )
+    cl_b = sc_b.changelog.append_column(
+        "src_table", pa.array(["TABLEB"] * sc_b.changelog.num_rows)
+    )
+    # a system table in the stream must be hard-dropped from the capture set
+    cl_sys = sc_b.changelog.slice(0, 5).append_column(
+        "src_table", pa.array(["IBMSNAP_REGISTER"] * 5)
+    )
+    pq.write_table(
+        pa.concat_tables([cl_a, cl_b, cl_sys]), str(d / "stream.parquet")
+    )
+
+    conn = CdcConnector(
+        root_dir=str(tmp_path / "lakehouse"), num_partitions=4,
+        table_exclude=("TABLEC",),
+    )
+    stream = rd.read_parquet(str(d / "stream.parquet"))
+    assert conn.discover_tables(stream) == ["TABLEA", "TABLEB"]
+    assert not conn.captures("IBMSNAP_REGISTER")
+    assert not conn.captures("TABLEC")
+
+    fences = {"TABLEA": sc_a, "TABLEB": sc_b}
+    snap_lsn = sc_a.snapshot_lsn  # both scenarios share the default fence
+    conn.snapshot_all(
+        {
+            "TABLEA": rd.from_arrow(sc_a.lake),
+            "TABLEB": rd.from_arrow(sc_b.lake),
+            "IBMSNAP_REGISTER": rd.from_arrow(sc_b.lake),  # must be ignored
+        },
+        snap_lsn,
+    )
+    assert not os.path.exists(str(tmp_path / "lakehouse" / "IBMSNAP_REGISTER"))
+    hi = Lsn(0, max(sc_a.max_lsn.to_int(), sc_b.max_lsn.to_int()))
+    ms = conn.replay(stream, snap_lsn, hi, 2)
+    assert set(ms) == {"TABLEA", "TABLEB"}
+    for name, sc in fences.items():
+        expected = oracle_apply(sc.lake, sc.ordered_changelog, sc.snapshot_lsn)
+        got = pa.Table.from_pandas(
+            conn.state(name).to_pandas(), preserve_index=False
+        ).select(expected.column_names)
+        assert sorted_pdf(got).equals(sorted_pdf(expected))
