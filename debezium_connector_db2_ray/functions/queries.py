@@ -636,6 +636,172 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# relational operators: as-of join, components, sampling, top-k terms
+# ---------------------------------------------------------------------------
+
+SQL_ASOF = """
+WITH p AS (
+  SELECT user_id, ts, max(event_id) AS pid
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, p.pid AS last_purchase_id
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: every event picks up the latest purchase event id of the
+    same user at or before its timestamp (the streaming enrich-with-state
+    shape Ray Data lacks natively; hash-partition + sorted-merge here,
+    DuckDB ASOF JOIN as the oracle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max
+
+    from debezium_connector_db2_ray.functions.relational import asof_join
+
+    left = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        .filter(lambda r: r["event_type"] == "purchase")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="pid"))
+    )
+    out = asof_join(
+        left, right, key="user_id", ts="ts", value_cols=("pid",)
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "last_purchase_id": t["asof_pid"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_COMPONENTS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS g
+  FROM toks
+),
+gr AS (SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams),
+cnt AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM gr x JOIN gr y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN cnt ca ON ca.doc_id = a
+  JOIN cnt cb ON cb.doc_id = b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u
+"""
+
+
+def q_dedup_components(sf_dir: str):
+    """Near-dup clustering: connected components over the verified MinHash
+    pairs, each doc labeled with its component's minimum id (the canonical
+    keeper) — the step that turns pairwise dedup into keep/drop decisions.
+    Oracle: DuckDB recursive transitive closure over the exact-Jaccard
+    pairs."""
+    from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = minhash_duplicate_pairs(ds, threshold=0.5)
+    return duplicate_components(pairs)
+
+
+SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.0}
+SAMPLE_DEFAULT = 1.0
+
+SQL_STRATIFIED = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) * 16 +
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+              AS BIGINT) AS b0
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE b0 < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
+                     WHEN 'zh' THEN 0 ELSE 256 END
+"""
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling: per-language keep rates applied
+    via the first byte of md5(doc_id) — reproducible across engines (the
+    SQL computes the identical predicate), no RNG state, no shuffle."""
+    from debezium_connector_db2_ray.functions.relational import (
+        stratified_sample,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, stratum_col="lang", id_col="doc_id", rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+    )
+
+
+TOPK_TERMS = 20
+
+SQL_TOPK_TERMS = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM t GROUP BY term
+ORDER BY cnt DESC, term ASC
+LIMIT {TOPK_TERMS}
+"""
+
+
+def q_topk_terms(sf_dir: str):
+    """Corpus-wide top-{TOPK} terms: per-batch partial counts (combiner),
+    small groupby(term) sum, ordered limit with deterministic tiebreak."""
+    from debezium_connector_db2_ray.functions.relational import topk_terms
+
+    return topk_terms(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=TOPK_TERMS
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -658,6 +824,10 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "stream_sessionize": q_sessionize,
     "text_bpe_tokens": q_bpe_tokens,
     "dedup_ngram": q_dedup_ngram,
+    "events_asof_join": q_asof_join,
+    "dedup_components": q_dedup_components,
+    "sample_stratified": q_sample_stratified,
+    "text_topk_terms": q_topk_terms,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -676,6 +846,10 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_minhash": SQL_JACCARD_PAIRS,
     "dedup_ngram": SQL_JACCARD_PAIRS,
     "mm_media_features": SQL_MEDIA_FEATURES,
+    "events_asof_join": SQL_ASOF,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "sample_stratified": SQL_STRATIFIED,
+    "text_topk_terms": SQL_TOPK_TERMS,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead
