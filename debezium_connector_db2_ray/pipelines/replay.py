@@ -47,7 +47,11 @@ import ray.data
 
 from debezium_connector_db2_ray.lsn import Lsn, lsn_hex
 from debezium_connector_db2_ray.ops import OP_DELETE
-from debezium_connector_db2_ray.schema import CHANGELOG_META_COLUMNS, conform_table
+from debezium_connector_db2_ray.schema import (
+    CHANGELOG_META_COLUMNS,
+    KEY_COLUMNS,
+    conform_table,
+)
 
 META_SET = set(CHANGELOG_META_COLUMNS)
 
@@ -91,14 +95,23 @@ _MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
-def tag_partitions(num_partitions: int, salt: int = 1):
-    """map_batches fn: drop NULL-LSN rows and add the hash-partition column."""
+def tag_partitions(num_partitions: int, salt: int = 1,
+                   key_columns: tuple[str, ...] = KEY_COLUMNS):
+    """map_batches fn: drop NULL-LSN rows and add the hash-partition column.
+    Partitions by hash of the FIRST key column; ``salt`` sub-partitions by
+    the second (requires a composite key)."""
+    sub_col = key_columns[1] if len(key_columns) > 1 else None
+    if salt > 1 and sub_col is None:
+        raise ValueError(
+            "salting requires a second key column to sub-partition by"
+        )
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = drop_null_lsn(batch)
         pid = partition_ids(
-            batch["conv_id"],
-            batch["turn_idx"].to_numpy(zero_copy_only=False),
+            batch[key_columns[0]],
+            batch[sub_col].to_numpy(zero_copy_only=False)
+            if sub_col is not None else None,
             num_partitions,
             salt,
         )
@@ -125,7 +138,8 @@ def _lsn_range(table: pa.Table) -> tuple[str | None, str | None]:
 
 
 def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool = False,
-                  compression: str = "zstd"):
+                  compression: str = "zstd",
+                  key_columns: tuple[str, ...] = KEY_COLUMNS):
     """map_groups fn over one hash partition: LWW-collapse the partition and
     stage its parquet file; emit one manifest row. The file only becomes
     visible when the driver commits the window manifest (two-phase sink)."""
@@ -133,7 +147,8 @@ def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool
     def fn(group: pa.Table) -> pa.Table:
         part = int(group[PART_COL][0].as_py())
         collapsed = lww_collapse(
-            group.drop_columns([PART_COL]), validate_pairs=validate_pairs
+            group.drop_columns([PART_COL]), validate_pairs=validate_pairs,
+            key_columns=key_columns,
         )
         if drop_tombstones and collapsed.num_rows:
             collapsed = collapsed.filter(pc.not_equal(collapsed["op"], OP_DELETE))
@@ -162,7 +177,8 @@ def staged_writer(delta_dir: str, *, validate_pairs: bool, drop_tombstones: bool
     return fn
 
 
-def fragment_writer(delta_dir: str, *, compression: str = "zstd"):
+def fragment_writer(delta_dir: str, *, compression: str = "zstd",
+                    key_columns: tuple[str, ...] = KEY_COLUMNS):
     """map_batches fn for the WRITE-EXCHANGE sink: partial-collapse the batch,
     cluster it by hash partition, and write ONE fragment parquet whose row
     groups are partition-aligned — then emit one manifest row per partition
@@ -172,7 +188,8 @@ def fragment_writer(delta_dir: str, *, compression: str = "zstd"):
     O(events) to O(manifest rows)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        batch = lww_collapse(batch, validate_pairs=False, partial=True)
+        batch = lww_collapse(batch, validate_pairs=False, partial=True,
+                             key_columns=key_columns)
         if batch.num_rows == 0:
             return _MANIFEST_ROW_SCHEMA.empty_table()
         parts = batch[PART_COL].to_numpy(zero_copy_only=False)
@@ -241,6 +258,11 @@ class CdcEngine:
     validate_pairs: bool = True
     combiner: bool = True  # per-batch partial LWW before the shuffle
     table_name: str = "transcripts"
+    #: the table's primary key — last-writer-wins identity, hash-partition
+    #: key (first column; the second sub-partitions under salt). The
+    #: reference reads each table's PK from the catalog (Db2Connection
+    #: schema read); here the caller supplies it per engine.
+    key_columns: tuple[str, ...] = KEY_COLUMNS
     exchange: str = "shuffle"  # "shuffle" | "write"
     batch_size: int = 400_000  # rows per map batch (reader emits ~8k-row
     # record batches; mapping per tiny batch multiplies per-call overhead)
@@ -291,7 +313,11 @@ class CdcEngine:
         hist.record(kind, self.table_name, lsn, payload)
 
     def _partitioning(self) -> dict:
-        return {"num_partitions": self.num_partitions, "salt": self.salt}
+        return {
+            "num_partitions": self.num_partitions,
+            "salt": self.salt,
+            "key": list(self.key_columns),
+        }
 
     def _check_partitioning(self) -> None:
         """A key must map to ONE partition across all live files, or the
@@ -337,7 +363,7 @@ class CdcEngine:
              "replace": replace},
         )
 
-        tagger = tag_partitions(self.num_partitions, self.salt)
+        tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
 
         def to_events(batch: pa.Table) -> pa.Table:
             return tagger(snapshot_as_events(batch, fence))
@@ -346,7 +372,9 @@ class CdcEngine:
             lake.map_batches(to_events, batch_format="pyarrow", batch_size=self.batch_size)
             .groupby(PART_COL)
             .map_groups(
-                staged_writer(delta_dir, validate_pairs=False), batch_format="pyarrow"
+                staged_writer(delta_dir, validate_pairs=False,
+                              key_columns=self.key_columns),
+                batch_format="pyarrow"
             )
         )
         rows = ds.take_all()
@@ -445,7 +473,7 @@ class CdcEngine:
 
         self._check_partitioning()
         done_kinds = {m.kind for m in load_manifests(self.out_dir)}
-        tagger = tag_partitions(self.num_partitions, self.salt)
+        tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
         fence = snapshot_lsn
         out = []
         prefix = f"snapshot_chunk:{tag}:" if tag else "snapshot_chunk:"
@@ -469,7 +497,8 @@ class CdcEngine:
                 lake.map_batches(chunk_prep, batch_format="pyarrow", batch_size=self.batch_size)
                 .groupby(PART_COL)
                 .map_groups(
-                    staged_writer(delta_dir, validate_pairs=False),
+                    staged_writer(delta_dir, validate_pairs=False,
+                                  key_columns=self.key_columns),
                     batch_format="pyarrow",
                 )
                 .take_all()
@@ -560,7 +589,7 @@ class CdcEngine:
 
         lo, hi = from_lsn, to_lsn
         inclusive_low = not snapshot_completed  # un-incremented first window
-        tagger = tag_partitions(self.num_partitions, self.salt)
+        tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
         use_combiner = (self.combiner and not self.validate_pairs) or (
             self.exchange == "write"
         )
@@ -580,11 +609,12 @@ class CdcEngine:
             if use_combiner and self.exchange != "write":
                 # partial collapse bounds shuffle volume by touched keys
                 # (fragment_writer does its own collapse in write mode)
-                batch = lww_collapse(batch, validate_pairs=False, partial=True)
+                batch = lww_collapse(batch, validate_pairs=False, partial=True,
+                                     key_columns=self.key_columns)
             return batch
 
         if self.exchange == "write":
-            writer = fragment_writer(delta_dir)
+            writer = fragment_writer(delta_dir, key_columns=self.key_columns)
 
             def prep_write(batch: pa.Table) -> pa.Table:
                 return writer(window_prep(batch))
@@ -597,7 +627,8 @@ class CdcEngine:
                 window_prep, batch_format="pyarrow", batch_size=self.batch_size
             )
             ds = ds.groupby(PART_COL).map_groups(
-                staged_writer(delta_dir, validate_pairs=self.validate_pairs),
+                staged_writer(delta_dir, validate_pairs=self.validate_pairs,
+                              key_columns=self.key_columns),
                 batch_format="pyarrow",
             )
             rows = ds.take_all()
@@ -719,6 +750,7 @@ class CdcEngine:
         hist = self.schema_history
         bounds = hist.boundaries(self.table_name)
         latest_payload = bounds[-1][1] if bounds else None
+        keys = self.key_columns
 
         def read_partition(batch: pa.Table) -> pa.Table:
             outs = []
@@ -727,7 +759,8 @@ class CdcEngine:
                 if t is None:
                     continue
                 collapsed = lww_collapse(
-                    t.drop_columns([PART_COL]), validate_pairs=False
+                    t.drop_columns([PART_COL]), validate_pairs=False,
+                    key_columns=keys,
                 )
                 st = final_state(collapsed, keep_meta=keep_meta)
                 if latest_payload is not None and not keep_meta:
@@ -761,17 +794,20 @@ class CdcEngine:
         wm = committed_watermark(self.out_dir)
         by_part = partition_files(self.out_dir)
         items = [{"partition": k, "files": v} for k, v in sorted(by_part.items())]
-        tagger = tag_partitions(self.num_partitions, self.salt)
+        tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
+
+        keys = self.key_columns
 
         def compact_partition(batch: pa.Table) -> pa.Table:
             out = []
-            writer = fragment_writer(delta_dir)
+            writer = fragment_writer(delta_dir, key_columns=self.key_columns)
             for row in batch.to_pylist():
                 t = read_partition_table(row["files"], row["partition"])
                 if t is None:
                     continue
                 collapsed = lww_collapse(
-                    t.drop_columns([PART_COL]), validate_pairs=False
+                    t.drop_columns([PART_COL]), validate_pairs=False,
+                    key_columns=keys,
                 )
                 if collapsed.num_rows:
                     collapsed = collapsed.filter(

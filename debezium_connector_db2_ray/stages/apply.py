@@ -51,22 +51,31 @@ META = set(CHANGELOG_META_COLUMNS)
 
 
 def partition_ids(
-    conv_id: pa.ChunkedArray | pa.Array | np.ndarray,
-    turn_idx: np.ndarray | None,
+    primary,
+    sub,
     num_partitions: int,
     salt: int = 1,
 ) -> np.ndarray:
-    """Stable hash partition of the key. With ``salt > 1`` a hot conv_id is
-    split across ``salt`` sub-partitions keyed by ``turn_idx % salt`` — legal
-    because last-writer-wins is per (conv_id, turn_idx) and turn_idx
-    determines the sub-key (SURVEY.md §4 skew row)."""
-    if isinstance(conv_id, (pa.ChunkedArray, pa.Array)):
-        conv_id = conv_id.to_pandas()
-    h = pd.util.hash_pandas_object(pd.Series(conv_id), index=False).to_numpy()
+    """Stable hash partition of the key. ``primary`` is the first key
+    column; with ``salt > 1`` a hot primary value is split across ``salt``
+    sub-partitions keyed by the SECOND key column (``sub``) — legal because
+    last-writer-wins is per full key and the sub column determines the
+    sub-key (SURVEY.md §4 skew row). ``sub`` may be any type; non-integer
+    values are hashed first."""
+    if isinstance(primary, (pa.ChunkedArray, pa.Array)):
+        primary = primary.to_pandas()
+    h = pd.util.hash_pandas_object(pd.Series(primary), index=False).to_numpy()
     if salt > 1:
-        if turn_idx is None:
-            raise ValueError("salting requires turn_idx")
-        t = np.asarray(turn_idx, dtype=np.uint64)
+        if sub is None:
+            raise ValueError(
+                "salting requires a second key column to sub-partition by"
+            )
+        t = np.asarray(sub)
+        if not np.issubdtype(t.dtype, np.integer):
+            t = pd.util.hash_pandas_object(
+                pd.Series(t), index=False
+            ).to_numpy()
+        t = t.astype(np.uint64)
         h = h * np.uint64(1_000_003) + (t % np.uint64(salt))
     return (h % np.uint64(num_partitions)).astype(np.int32)
 

@@ -153,3 +153,64 @@ def test_connector_coordinates_multiple_tables(ray_session, tmp_path):
             conn.state(name).to_pandas(), preserve_index=False
         ).select(expected.column_names)
         assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_engine_with_custom_primary_key(ray_session, tmp_path):
+    """A table keyed (id) instead of (conv_id, turn_idx): the engine's
+    key_columns field drives partitioning, LWW collapse, merge-on-read and
+    compaction — the per-table PK the reference reads from the catalog."""
+    import numpy as np
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.ops import OP_DELETE, OP_INSERT
+
+    def log_table(rows):
+        n = len(rows)
+        return pa.table(
+            {
+                "commit_lsn_hi": pa.array([0] * n, pa.uint64()),
+                "commit_lsn_lo": pa.array([r[0] for r in rows], pa.uint64()),
+                "intent_lsn_hi": pa.array([0] * n, pa.uint64()),
+                "intent_lsn_lo": pa.array([r[0] for r in rows], pa.uint64()),
+                "op": pa.array([r[1] for r in rows], pa.int8()),
+                "id": pa.array([r[2] for r in rows], pa.int64()),
+                "val": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+
+    lake = pa.table(
+        {"id": pa.array([1, 2, 3], pa.int64()), "val": ["a", "b", "c"]}
+    )
+    # stream: update id=1 twice (last wins), delete id=2, insert id=4
+    log = log_table(
+        [
+            (110, OP_INSERT, 1, "a2"),
+            (120, OP_DELETE, 2, "b"),
+            (130, OP_INSERT, 4, "d"),
+            (140, OP_INSERT, 1, "a3"),
+        ]
+    )
+    out = str(tmp_path / "custom_key")
+    eng = CdcEngine(
+        out_dir=out, num_partitions=4, key_columns=("id",),
+        table_name="widgets",
+    )
+    eng.snapshot(rd.from_arrow(lake), Lsn(0, 100))
+    eng.replay_window(rd.from_arrow(log), Lsn(0, 100), Lsn(0, 140))
+    got = eng.state_dataset().to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(got["id"]) == [1, 3, 4]
+    assert list(got["val"]) == ["a3", "c", "d"]
+    # compaction preserves the custom-keyed state
+    eng.compact()
+    got2 = eng.state_dataset().to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(got2["val"]) == ["a3", "c", "d"]
+    # salting demands a composite key — single-column keys refuse
+    import pytest as _pytest
+
+    eng_salted = CdcEngine(
+        out_dir=str(tmp_path / "salted"), num_partitions=4, salt=2,
+        key_columns=("id",),
+    )
+    with _pytest.raises(ValueError, match="second key column"):
+        eng_salted.snapshot(rd.from_arrow(lake), Lsn(0, 100))
