@@ -777,6 +777,63 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+SQL_INTERVAL_JOIN = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 120 * 60 * CAST(1000000 AS BIGINT)
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, session_idx, min(ts) AS start_ts, max(ts) AS end_ts
+  FROM sess GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, s.session_idx
+FROM events e
+JOIN sessions s ON e.user_id = s.user_id
+              AND e.ts BETWEEN s.start_ts AND s.end_ts
+"""
+
+
+def q_interval_join(sf_dir: str):
+    """Range join: every event tagged with the session window that contains
+    it — points x non-overlapping intervals, one union + sort exchange
+    (each row moves once), vectorized containment per partition. The
+    interval side IS the sessionize output, so this also closes the loop
+    from window derivation to event attribution."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import interval_join
+    from debezium_connector_db2_ray.functions.streaming import sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sessions = sessionize(ev, gap_minutes=120)
+    out = interval_join(
+        ev, sessions, key="user_id", ts="ts", start="start_ts", end="end_ts",
+        value_cols=("session_idx",),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "session_idx": t["iv_session_idx"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 TOPK_TERMS = 20
 
 SQL_TOPK_TERMS = f"""
@@ -825,6 +882,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "text_bpe_tokens": q_bpe_tokens,
     "dedup_ngram": q_dedup_ngram,
     "events_asof_join": q_asof_join,
+    "events_interval_join": q_interval_join,
     "dedup_components": q_dedup_components,
     "sample_stratified": q_sample_stratified,
     "text_topk_terms": q_topk_terms,
@@ -847,6 +905,7 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_ngram": SQL_JACCARD_PAIRS,
     "mm_media_features": SQL_MEDIA_FEATURES,
     "events_asof_join": SQL_ASOF,
+    "events_interval_join": SQL_INTERVAL_JOIN,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "sample_stratified": SQL_STRATIFIED,
     "text_topk_terms": SQL_TOPK_TERMS,

@@ -120,6 +120,121 @@ def asof_join(
 
 
 # ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+def interval_join(
+    points,
+    intervals,
+    *,
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    value_cols: tuple[str, ...],
+    num_partitions: int = 16,
+):
+    """Range join: every point row gets the value columns of the interval
+    row with the same key whose [start, end] contains its timestamp
+    (intervals per key assumed NON-OVERLAPPING, e.g. sessionize output —
+    the at-most-one-match contract that keeps output size = input size).
+
+    Scale shape: like asof_join — both sides tag hash(key) % P and union
+    (one sort exchange, each row moves once); per partition a lexsort +
+    segment forward-fill finds each point's most recent interval START, and
+    one vectorized end-check decides containment. Integer keys only."""
+    pschema = points.schema()
+    ischema = intervals.schema()
+    p_types = dict(zip(pschema.names, pschema.types))
+    i_types = dict(zip(ischema.names, ischema.types))
+    pcols = list(pschema.names)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "__part": pa.array((k % num_partitions).astype(np.int32)),
+            "__side": pa.array(np.full(batch.num_rows, 0, np.int8)),
+            key: batch[key],
+            "__t": pc.cast(batch[ts], pa.int64()),
+            "__end": pa.nulls(batch.num_rows, pa.int64()),
+        }
+        for c in value_cols:
+            cols[c] = pa.nulls(batch.num_rows, i_types[c])
+        for c in pcols:
+            if c != key:
+                cols[f"__p_{c}"] = batch[c]
+        return pa.table(cols)
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {
+            "__part": pa.array((k % num_partitions).astype(np.int32)),
+            "__side": pa.array(np.full(batch.num_rows, 1, np.int8)),
+            key: batch[key],
+            "__t": pc.cast(batch[start], pa.int64()),
+            "__end": pc.cast(batch[end], pa.int64()),
+        }
+        for c in value_cols:
+            cols[c] = batch[c]
+        for c in pcols:
+            if c != key:
+                cols[f"__p_{c}"] = pa.nulls(batch.num_rows, p_types[c])
+        return pa.table(cols)
+
+    u = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    def empty_out() -> pa.Table:
+        cols = {key: pa.array([], p_types[key])}
+        for c in pcols:
+            if c != key:
+                cols[c] = pa.array([], p_types[c])
+        for c in value_cols:
+            cols[f"iv_{c}"] = pa.array([], i_types[c])
+        return pa.table(cols)
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__side" not in group.column_names:
+            return empty_out()
+        kv = group[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        t_ = group["__t"].to_numpy(zero_copy_only=False)
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((1 - side, t_, kv))  # interval starts before points
+        kv_s, side_s = kv[order], side[order]
+        n = len(order)
+        new_key = np.ones(n, bool)
+        new_key[1:] = kv_s[1:] != kv_s[:-1]
+        run_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+        m = np.where(side_s == 1, np.arange(n), -1)
+        cm = np.maximum.accumulate(m)
+        in_run = cm >= run_start
+        sorted_g = group.take(pa.array(order))
+        ends = sorted_g["__end"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side_s == 0)
+        src = cm[li]
+        safe = np.where(in_run[li], src, 0).astype(np.int64)
+        contained = in_run[li] & (
+            t_[order][li] <= np.where(
+                in_run[li], ends[safe].astype("float64"), -np.inf
+            )
+        )
+        out_cols = {key: sorted_g[key].take(pa.array(li))}
+        for c in pcols:
+            if c != key:
+                out_cols[c] = sorted_g[f"__p_{c}"].take(pa.array(li))
+        take_idx = pa.array(safe)
+        for c in value_cols:
+            vals = sorted_g[c].take(take_idx)
+            out_cols[f"iv_{c}"] = pc.if_else(
+                pa.array(contained), vals, pa.nulls(len(li), i_types[c])
+            )
+        return pa.table(out_cols)
+
+    return u.groupby("__part").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # connected-components dedup
 # ---------------------------------------------------------------------------
 
