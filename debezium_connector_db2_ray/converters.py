@@ -63,6 +63,32 @@ class ColumnSpec:
         t = self.type_name.upper()
         return t.split("(", 1)[0].strip()
 
+    def _parenthesized(self) -> tuple[int | None, int | None]:
+        """(length, scale) parsed from a ``TYPE(l[,s])`` type name."""
+        t = self.type_name
+        if "(" not in t or not t.rstrip().endswith(")"):
+            return None, None
+        inner = t[t.index("(") + 1 : t.rindex(")")]
+        parts = [p.strip() for p in inner.split(",")]
+        try:
+            ln = int(parts[0])
+            sc = int(parts[1]) if len(parts) > 1 else None
+            return ln, sc
+        except ValueError:
+            return None, None
+
+    @property
+    def effective_length(self) -> int | None:
+        if self.length is not None:
+            return self.length
+        return self._parenthesized()[0]
+
+    @property
+    def effective_scale(self) -> int | None:
+        if self.scale is not None:
+            return self.scale
+        return self._parenthesized()[1]
+
 
 class Db2ValueConverters:
     """The pluggable converter table: column spec -> (Arrow type, vectorized
@@ -100,7 +126,9 @@ class Db2ValueConverters:
             return pa.float64()
         if t in ("DECIMAL", "NUMERIC"):
             if self.decimal_mode == PRECISE:
-                return pa.decimal128(col.length or 31, col.scale or 0)
+                return pa.decimal128(
+                    col.effective_length or 31, col.effective_scale or 0
+                )
             return pa.float64() if self.decimal_mode == DOUBLE else pa.string()
         if t == "DECFLOAT":
             if self.decimal_mode == PRECISE:
@@ -194,10 +222,11 @@ class DefaultValueConverter:
             return float(v)
         if t in ("DECIMAL", "NUMERIC", "DECFLOAT"):
             d = Decimal(_unquote(v))
-            if col.scale is not None and -d.as_tuple().exponent != col.scale:
+            scale = col.effective_scale
+            if scale is not None and -d.as_tuple().exponent != scale:
                 # adjust to the declared scale, HALF_EVEN
                 # (Db2DefaultValueConverterTest.java:39-160)
-                d = d.quantize(Decimal(1).scaleb(-col.scale), ROUND_HALF_EVEN)
+                d = d.quantize(Decimal(1).scaleb(-scale), ROUND_HALF_EVEN)
             return d
         if t == "DATE":
             if v.upper() == "CURRENT DATE":
@@ -213,7 +242,8 @@ class DefaultValueConverter:
             return _dt.datetime.fromisoformat(_unquote(v))
         if t in ("CHAR", "NCHAR"):
             s = _unquote(v)
-            return s.ljust(col.length, " ") if col.length else s
+            ln = col.effective_length
+            return s.ljust(ln, " ") if ln else s
         if t in ("VARCHAR", "NVARCHAR", "CLOB"):
             return _unquote(v)
         return v

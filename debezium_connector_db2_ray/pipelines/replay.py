@@ -225,14 +225,33 @@ def fragment_writer(delta_dir: str, *, compression: str = "zstd",
     return fn
 
 
-def read_partition_table(files: list[str], partition: int) -> pa.Table:
+def read_partition_table(
+    files: list[str], partition: int,
+    default_fill: dict | None = None,
+) -> pa.Table:
     """Read one hash partition's rows from its live files: per-partition
     delta files load whole; fragment files prune to the partition's row
-    groups via the ``__part`` statistics."""
+    groups via the ``__part`` statistics.
+
+    ``default_fill`` maps column -> (arrow type, typed default): a column
+    an ALTER added WITH a DEFAULT is materialized PER FILE before the
+    concat, so pre-ALTER rows carry the typed default even when the
+    partition mixes file generations (a permissive concat would null-fill
+    them and the default would be unrecoverable downstream —
+    AbstractDb2DefaultValueIT semantics)."""
     tables = []
     for f in files:
         t = pq.read_table(f, filters=[(PART_COL, "=", partition)])
         if t.num_rows:
+            if default_fill:
+                for c, (typ, val) in default_fill.items():
+                    if c not in t.column_names:
+                        t = t.append_column(
+                            c,
+                            pa.nulls(t.num_rows, typ).fill_null(
+                                pa.scalar(val, typ)
+                            ),
+                        )
             tables.append(t)
     if not tables:
         return None
@@ -736,6 +755,19 @@ class CdcEngine:
 
     # ---- reads ------------------------------------------------------------
 
+    def _default_fill(self) -> dict:
+        """{column -> (arrow type, typed default)} for columns the governing
+        schema records a DEFAULT expression for — materialized per FILE at
+        every merge-on-read so pre-ALTER rows carry the typed value."""
+        from debezium_connector_db2_ray.schema import defaults_from_schema
+
+        bounds = self.schema_history.boundaries(self.table_name)
+        if not bounds:
+            return {}
+        payload = bounds[-1][1]
+        vals = defaults_from_schema(payload)
+        return {c: (payload.field(c).type, v) for c, v in vals.items()}
+
     def state_dataset(self, *, keep_meta: bool = False) -> "ray.data.Dataset":
         """Current lake state, merge-on-read: one task per hash partition
         reads ONLY that partition's committed files and collapses them — no
@@ -751,11 +783,14 @@ class CdcEngine:
         bounds = hist.boundaries(self.table_name)
         latest_payload = bounds[-1][1] if bounds else None
         keys = self.key_columns
+        fill = self._default_fill()
 
         def read_partition(batch: pa.Table) -> pa.Table:
             outs = []
             for row in batch.to_pylist():
-                t = read_partition_table(row["files"], row["partition"])
+                t = read_partition_table(
+                    row["files"], row["partition"], default_fill=fill
+                )
                 if t is None:
                     continue
                 collapsed = lww_collapse(
@@ -765,11 +800,17 @@ class CdcEngine:
                 st = final_state(collapsed, keep_meta=keep_meta)
                 if latest_payload is not None and not keep_meta:
                     from debezium_connector_db2_ray.schema import (
+                        defaults_from_schema,
                         unify_payload_schemas,
                     )
 
                     target = unify_payload_schemas(latest_payload, st.schema)
-                    st = conform_table(st, target)
+                    # columns an ALTER added WITH a DEFAULT backfill typed
+                    # values into pre-ALTER rows, not nulls
+                    # (AbstractDb2DefaultValueIT)
+                    st = conform_table(
+                        st, target, defaults=defaults_from_schema(target)
+                    )
                 outs.append(st)
             if not outs:
                 return pa.table({})
@@ -797,12 +838,15 @@ class CdcEngine:
         tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
 
         keys = self.key_columns
+        fill = self._default_fill()
 
         def compact_partition(batch: pa.Table) -> pa.Table:
             out = []
             writer = fragment_writer(delta_dir, key_columns=self.key_columns)
             for row in batch.to_pylist():
-                t = read_partition_table(row["files"], row["partition"])
+                t = read_partition_table(
+                    row["files"], row["partition"], default_fill=fill
+                )
                 if t is None:
                     continue
                 collapsed = lww_collapse(

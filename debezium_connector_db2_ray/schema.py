@@ -115,6 +115,92 @@ def propagate_source_types(schema: pa.Schema, source_types: dict[str, dict]) -> 
     return pa.schema(fields)
 
 
+DEFAULT_EXPR_KEY = b"__db2.default.expr"
+DEFAULT_TYPE_KEY = b"__db2.default.type"
+
+
+def attach_column_defaults(
+    schema: pa.Schema, defaults: dict[str, str | tuple[str, str]]
+) -> pa.Schema:
+    """Annotate schema fields with their catalog DEFAULT expression (and
+    optionally the source type name) as field metadata — the channel that
+    rides with the schema through the durable history, so an ALTER that
+    adds a defaulted column can backfill old rows with the TYPED value
+    instead of null (AbstractDb2DefaultValueIT semantics). ``defaults``
+    maps column -> raw expression, or -> (raw expression, source type
+    name)."""
+    fields = []
+    for f in schema:
+        d = defaults.get(f.name)
+        if d is not None:
+            md = dict(f.metadata or {})
+            if isinstance(d, tuple):
+                raw, type_name = d
+                md[DEFAULT_TYPE_KEY] = type_name.encode()
+            else:
+                raw = d
+            md[DEFAULT_EXPR_KEY] = raw.encode()
+            f = f.with_metadata(md)
+        fields.append(f)
+    return pa.schema(fields)
+
+
+def _source_type_name(t: pa.DataType) -> str:
+    """Best-effort source type name for a bare Arrow type (used when the
+    catalog name wasn't recorded)."""
+    if pa.types.is_boolean(t):
+        return "BOOLEAN"
+    if pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "SMALLINT"
+    if pa.types.is_int32(t):
+        return "INTEGER"
+    if pa.types.is_integer(t):
+        return "BIGINT"
+    if pa.types.is_float32(t):
+        return "REAL"
+    if pa.types.is_floating(t):
+        return "DOUBLE"
+    if pa.types.is_decimal(t):
+        return "DECIMAL"
+    if pa.types.is_date(t):
+        return "DATE"
+    if pa.types.is_time(t):
+        return "TIME"
+    if pa.types.is_timestamp(t):
+        return "TIMESTAMP"
+    return "VARCHAR"
+
+
+def defaults_from_schema(schema: pa.Schema) -> dict[str, object]:
+    """Parse every field's recorded DEFAULT expression into a typed value
+    (converters.DefaultValueConverter) — the dict conform_table consumes."""
+    from debezium_connector_db2_ray.converters import (
+        ColumnSpec,
+        DefaultValueConverter,
+    )
+
+    dv = DefaultValueConverter()
+    out: dict[str, object] = {}
+    for f in schema:
+        md = f.metadata or {}
+        raw = md.get(DEFAULT_EXPR_KEY)
+        if raw is None:
+            continue
+        type_name = md.get(DEFAULT_TYPE_KEY, b"").decode() or _source_type_name(
+            f.type
+        )
+        spec = ColumnSpec(
+            f.name, type_name,
+            length=getattr(f.type, "precision", None),
+            scale=getattr(f.type, "scale", None),
+            optional=f.nullable,
+        )
+        val = dv.parse(spec, raw.decode())
+        if val is not None:
+            out[f.name] = val
+    return out
+
+
 def conform_table(
     table: pa.Table, target: pa.Schema, defaults: dict[str, object] | None = None
 ) -> pa.Table:

@@ -93,3 +93,80 @@ def test_durable_widened_window(ray_session, tmp_path):
     latest = hist.boundaries("transcripts")[-1][1]
     assert latest.field("turn_idx").type == pa.int64()
     assert "lang" in latest.names
+
+
+def test_alter_with_default_backfills_typed_values(ray_session, tmp_path):
+    """A column added by ALTER with a catalog DEFAULT backfills pre-ALTER
+    rows with the TYPED default (not null) at merge-on-read, survives
+    mixed-generation partitions, and persists through compaction
+    (AbstractDb2DefaultValueIT semantics; expression parsing
+    Db2DefaultValueConverter.java:109-229)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.ops import OP_INSERT
+    from debezium_connector_db2_ray.pipelines.replay import CdcEngine
+    from debezium_connector_db2_ray.schema import attach_column_defaults
+
+    lake = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["one", "two"],
+            "tool": pa.array([None, None], pa.string()),
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    out = str(tmp_path / "defaults")
+    eng = CdcEngine(out_dir=out, num_partitions=2)
+    eng.snapshot(rd.from_arrow(lake), Lsn(0, 100))
+
+    # v2 stream: ALTER adds priority INT DEFAULT 5 and label CHAR(4) 'ab'
+    v2_payload = pa.schema(
+        list(lake.schema)
+        + [pa.field("priority", pa.int32()), pa.field("label", pa.string())]
+    )
+    v2_payload = attach_column_defaults(
+        v2_payload, {"priority": "5", "label": ("'ab'", "CHAR(4)")}
+    )
+    n = 1
+    log = pa.table(
+        {
+            "commit_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "commit_lsn_lo": pa.array([150], pa.uint64()),
+            "intent_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "intent_lsn_lo": pa.array([150], pa.uint64()),
+            "op": pa.array([OP_INSERT] * n, pa.int8()),
+            "conv_id": pa.array(["c3"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array(["three"], pa.string()),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+            "priority": pa.array([9], pa.int32()),
+            "label": pa.array(["xyz "], pa.string()),
+        },
+        schema=pa.schema(
+            [
+                ("commit_lsn_hi", pa.uint64()),
+                ("commit_lsn_lo", pa.uint64()),
+                ("intent_lsn_hi", pa.uint64()),
+                ("intent_lsn_lo", pa.uint64()),
+                ("op", pa.int8()),
+            ]
+            + list(v2_payload)
+        ),
+    )
+    eng.replay_window(rd.from_arrow(log), Lsn(0, 100), Lsn(0, 200))
+    got = eng.state_dataset().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(got["conv_id"]) == ["c1", "c2", "c3"]
+    # pre-ALTER rows: typed defaults, not nulls; post-ALTER row keeps values
+    assert list(got["priority"]) == [5, 5, 9]
+    assert list(got["label"]) == ["ab  ", "ab  ", "xyz "]  # CHAR(4) padded
+    # compaction materializes the defaults into the new base files
+    eng.compact()
+    got2 = eng.state_dataset().to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(got2["priority"]) == [5, 5, 9]
+    assert list(got2["label"]) == ["ab  ", "ab  ", "xyz "]
