@@ -82,3 +82,119 @@ def test_composite_key_extension():
     assert lww_collapse(log).num_rows == 1
     out = lww_collapse(log, key_columns=("conv_id", "turn_idx", "role"))
     assert out.num_rows == 2
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), n_keys=st.integers(1, 6),
+       n_left=st.integers(1, 60), n_right=st.integers(0, 40))
+def test_asof_join_matches_bruteforce(ray_session, seed, n_keys, n_left, n_right):
+    """asof_join == per-row brute force under random keys/timestamps
+    (including duplicate timestamps and keys with no right rows)."""
+    import numpy as np
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import asof_join
+
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, n_keys, n_left)
+    lt = rng.integers(0, 50, n_left)
+    rk = rng.integers(0, n_keys, n_right)
+    rt = rng.integers(0, 50, n_right)
+    # right unique per (key, ts): keep max rid
+    seen = {}
+    for i, (k, t) in enumerate(zip(rk, rt)):
+        seen[(int(k), int(t))] = i
+    rrows = sorted(seen.items())
+    left = pa.table(
+        {
+            "lid": pa.array(range(n_left), pa.int64()),
+            "k": pa.array(lk, pa.int64()),
+            "t": pa.array(lt, pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([k for (k, _), _ in rrows], pa.int64()),
+            "t": pa.array([t for (_, t), _ in rrows], pa.int64()),
+            "rid": pa.array([i for _, i in rrows], pa.int64()),
+        }
+    )
+    got = {
+        r["lid"]: r["asof_rid"]
+        for r in asof_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            key="k", ts="t", value_cols=("rid",), num_partitions=3,
+        ).take_all()
+    }
+    for i in range(n_left):
+        cands = [
+            rid for (k, t), rid in rrows if k == lk[i] and t <= lt[i]
+        ]
+        # latest ts wins (unique per (key, ts) so the max-ts candidate is it)
+        want = None
+        if cands:
+            best_t = max(t for (k, t), rid in rrows
+                         if k == lk[i] and t <= lt[i])
+            want = seen[(int(lk[i]), int(best_t))]
+        assert got[i] == want, (i, got[i], want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), n_keys=st.integers(1, 5),
+       n_points=st.integers(1, 50), n_iv=st.integers(0, 8))
+def test_interval_join_matches_bruteforce(ray_session, seed, n_keys, n_points, n_iv):
+    """interval_join == per-row brute force for non-overlapping intervals."""
+    import numpy as np
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import interval_join
+
+    rng = np.random.default_rng(seed)
+    # non-overlapping intervals per key
+    ivs = []
+    for k in range(n_keys):
+        cur = 0
+        for j in range(n_iv):
+            start = cur + int(rng.integers(1, 5))
+            end = start + int(rng.integers(0, 6))
+            ivs.append((k, start, end, len(ivs)))
+            cur = end + 1
+    pk = rng.integers(0, n_keys, n_points)
+    pt = rng.integers(0, 60, n_points)
+    points = pa.table(
+        {
+            "pid": pa.array(range(n_points), pa.int64()),
+            "k": pa.array(pk, pa.int64()),
+            "t": pa.array(pt, pa.int64()),
+        }
+    )
+    intervals = pa.table(
+        {
+            "k": pa.array([k for k, _, _, _ in ivs], pa.int64()),
+            "s": pa.array([s for _, s, _, _ in ivs], pa.int64()),
+            "e": pa.array([e for _, _, e, _ in ivs], pa.int64()),
+            "ivid": pa.array([i for _, _, _, i in ivs], pa.int64()),
+        }
+    )
+    got = {
+        r["pid"]: r["iv_ivid"]
+        for r in interval_join(
+            rd.from_arrow(points), rd.from_arrow(intervals),
+            key="k", ts="t", start="s", end="e", value_cols=("ivid",),
+            num_partitions=3,
+        ).take_all()
+    }
+    for i in range(n_points):
+        want = None
+        for k, s, e, ivid in ivs:
+            if k == pk[i] and s <= pt[i] <= e:
+                want = ivid
+        assert got[i] == want, (i, got[i], want)
