@@ -96,15 +96,20 @@ class CdcConnector:
 
     def replay(self, stream, from_lsn: Lsn, to_lsn: Lsn, n_windows: int):
         """Replay a SHARED change stream carrying ``routing_col``: windows
-        are planned once and each captured table applies its own routed
-        slice — the reference's single task emitting to per-table topics.
-        Tables appearing mid-stream (new capture instances) are picked up
-        window by window via discovery."""
+        are planned once; each window's slice is materialized ONCE and every
+        captured table applies its routed view of it — the reference's
+        single task emitting to per-table topics. The materialize is the
+        deliberate bounded exception: it holds ONE window's events (the
+        streaming working set), so T tables cost one scan + T in-memory
+        filters instead of T full re-scans of the source."""
         tables = self.discover_tables(stream)
         manifests = {t: [] for t in tables}
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            win = stream.map_batches(
+                _window_slice(lo, hi), batch_format="pyarrow"
+            ).materialize()
             for table in tables:
-                routed = stream.map_batches(
+                routed = win.map_batches(
                     _route(self.routing_col, table), batch_format="pyarrow"
                 )
                 m = self.engine(table).replay_window(routed, lo, hi)
@@ -119,5 +124,24 @@ class CdcConnector:
 def _route(col: str, table: str):
     def fn(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.equal(batch[col], table)).drop_columns([col])
+
+    return fn
+
+
+def _window_slice(lo: Lsn, hi: Lsn):
+    """Filter a batch to commit LSNs in (lo, hi] — the window's bounded
+    working set (the per-engine window_prep re-checks, harmlessly)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        chi = batch["commit_lsn_hi"].to_numpy(zero_copy_only=False)
+        clo = batch["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        above = (chi > lo.hi) | ((chi == lo.hi) & (clo > lo.lo))
+        below = (chi < hi.hi) | ((chi == hi.hi) & (clo <= hi.lo))
+        keep = above & below
+        if keep.all():
+            return batch
+        return batch.filter(pa.array(keep))
 
     return fn
