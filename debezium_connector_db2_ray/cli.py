@@ -163,12 +163,17 @@ def main(argv=None) -> int:
             )
 
             live = live_partitioning(args.out) or {}
-            eng = CdcEngine(
+            kwargs = dict(
                 out_dir=args.out,
                 num_partitions=args.partitions
                 or live.get("num_partitions", 32),
                 salt=args.salt or live.get("salt", 1),
             )
+            if live.get("key"):
+                # a custom-PK lake must compact under ITS key, not the
+                # default — collapsing by the wrong key loses data
+                kwargs["key_columns"] = tuple(live["key"])
+            eng = CdcEngine(**kwargs)
             m = eng.compact()
             print(json.dumps({"compaction_window": m.window_id}))
         return 0

@@ -117,6 +117,22 @@ class CdcConnector:
                     manifests[table].append(m)
         return manifests
 
+    def run(self, lakes: dict, stream, snapshot_lsn: Lsn, to_lsn: Lsn,
+            n_windows: int, *, mode="initial"):
+        """Full task lifecycle under a snapshotter policy (the reference's
+        Db2ConnectorTask: snapshot phase, then the streaming loop — unless
+        the policy says not to stream, e.g. initial_only /
+        configuration_based(stream=False))."""
+        from debezium_connector_db2_ray.snapshotter import resolve_snapshotter
+
+        snaps = self.snapshot_all(lakes, snapshot_lsn, mode=mode)
+        if not resolve_snapshotter(mode).should_stream():
+            return {"snapshots": snaps, "streams": {}}
+        return {
+            "snapshots": snaps,
+            "streams": self.replay(stream, snapshot_lsn, to_lsn, n_windows),
+        }
+
     def state(self, table: str):
         return self.engine(table).state_dataset()
 

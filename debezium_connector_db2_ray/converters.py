@@ -169,7 +169,11 @@ class Db2ValueConverters:
             if self.decimal_mode == DOUBLE:
                 return pc.cast(arr, pa.float64())
             # STRING: full-scale rendering via the fixed-scale decimal
-            dec = pc.cast(arr, pa.decimal128(col.length or 31, col.scale or 0))
+            dec = pc.cast(
+                arr,
+                pa.decimal128(col.effective_length or 31,
+                              col.effective_scale or 0),
+            )
             return pc.cast(dec, pa.string())
         if t == "DECFLOAT":
             if self.decimal_mode == DOUBLE:

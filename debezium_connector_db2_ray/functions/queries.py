@@ -421,18 +421,29 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Identity of the embeddings source file (size + mtime): a regenerated
+    or different-but-same-named dataset gets a DIFFERENT index directory,
+    so a persisted index can never silently serve a stale corpus."""
+    import os
+
+    p = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(p)
+    return f"{st.st_size}_{int(st.st_mtime)}"
+
+
 def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/db2ray_ivf_index/{tag}_l{n_lists}"
+    return f"/tmp/db2ray_ivf_index/{tag}_{_source_fingerprint(sf_dir)}_l{n_lists}"
 
 
 def _lsh_index_dir(sf_dir: str, nbits: int) -> str:
     import os
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/db2ray_lsh_index/{tag}_b{nbits}"
+    return f"/tmp/db2ray_lsh_index/{tag}_{_source_fingerprint(sf_dir)}_b{nbits}"
 
 
 def q_ann_lsh_indexed(sf_dir: str):

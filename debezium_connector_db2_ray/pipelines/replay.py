@@ -346,6 +346,10 @@ class CdcEngine:
         from debezium_connector_db2_ray.state.manifest import live_partitioning
 
         committed = live_partitioning(self.out_dir)
+        if committed is not None and "key" not in committed:
+            # manifests written before key tracking: physical layout is the
+            # default key's — compare tolerantly instead of forcing a rewrite
+            committed = {**committed, "key": list(KEY_COLUMNS)}
         if committed is not None and committed != self._partitioning():
             raise ValueError(
                 f"committed state uses partitioning {committed} but this "
@@ -417,6 +421,16 @@ class CdcEngine:
         self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
         return m
 
+    def snapshot_in_progress(self) -> bool:
+        """True when live manifests contain snapshot work whose final chunk
+        never committed — the ``snapshotInProgress`` flag the snapshotter
+        policy consults (when_needed re-snapshots in that state)."""
+        from debezium_connector_db2_ray.state.manifest import _live_manifests
+
+        ms = [m for m in _live_manifests(self.out_dir)
+              if m.kind.startswith("snapshot") or m.kind == "schema_only"]
+        return bool(ms) and not any(m.snapshot_completed for m in ms)
+
     def run_snapshot(
         self,
         lake: "ray.data.Dataset",
@@ -439,12 +453,13 @@ class CdcEngine:
 
         snap = resolve_snapshotter(mode)
         offset_exists = committed_watermark(self.out_dir) is not None
-        if snap.should_snapshot_schema(offset_exists, False):
+        in_progress = self.snapshot_in_progress()
+        if snap.should_snapshot_schema(offset_exists, in_progress):
             try:
                 self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
             except Exception:
                 pass  # schema introspection is best-effort lineage
-        if snap.should_snapshot_data(offset_exists, False):
+        if snap.should_snapshot_data(offset_exists, in_progress):
             cols = snap.snapshot_projection(
                 self.table_name, list(_arrow_schema(lake).names)
             )
@@ -488,10 +503,13 @@ class CdcEngine:
         last-writer-wins to any later change (watermark dedup for free).
         ``tag`` namespaces the chunk identity so distinct backfill requests
         (e.g. separate signals) don't satisfy each other's resume check."""
-        from debezium_connector_db2_ray.state.manifest import load_manifests
+        from debezium_connector_db2_ray.state.manifest import _live_manifests
 
         self._check_partitioning()
-        done_kinds = {m.kind for m in load_manifests(self.out_dir)}
+        # LIVE manifests only: chunks superseded by a snapshot_replace
+        # barrier are dead and must NOT satisfy a later backfill's resume
+        # check (same rule committed_watermark follows)
+        done_kinds = {m.kind for m in _live_manifests(self.out_dir)}
         tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)
         fence = snapshot_lsn
         out = []
@@ -738,6 +756,11 @@ class CdcEngine:
                 flt = lo_expr & (pads.field("commit_lsn_lo") <= hi.lo)
             else:
                 flt = None
+            wm = committed_watermark(self.out_dir)
+            if wm is not None and hi <= wm:
+                first = False
+                continue  # already applied — skip BEFORE paying the
+                # driver-side offset-stats read (replay_window re-checks)
             ds = ray.data.read_parquet(
                 changelog_path, filter=flt, override_num_blocks=nb
             )

@@ -155,6 +155,9 @@ def classify_parquet_stream(path: str, *, groups_per_task: int = 4,
     return ray.data.from_items(items).map_batches(
         classify_range, batch_format="pyarrow", batch_size=1
     )
+
+
+def envelope_op_column(op: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Map raw int8 opcodes to Debezium envelope op chars 'r'/'c'/'u'/'d'
     (reference: Db2ChangeRecordEmitter.java:39-54). Unknown codes raise, like
     the reference's default branch."""

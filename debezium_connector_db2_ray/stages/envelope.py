@@ -182,11 +182,20 @@ def with_source_info(
         ts = env[ts_after]
     elif ts_before in names:
         ts = env[ts_before]
-    ts_ms = (
-        pc.divide(pc.cast(ts, pa.int64()), 1000)
-        if ts is not None
-        else pa.nulls(n, pa.int64())
-    )
+    if ts is not None:
+        # normalize by the column's unit — a cast to int64 yields ticks in
+        # the SOURCE unit, not microseconds
+        unit = getattr(ts.type, "unit", "us")
+        divisor = {"s": None, "ms": 1, "us": 1000, "ns": 1_000_000}[unit]
+        ticks = pc.cast(ts, pa.int64())
+        if unit == "s":
+            ts_ms = pc.multiply(ticks, pa.scalar(1000, pa.int64()))
+        elif divisor == 1:
+            ts_ms = ticks
+        else:
+            ts_ms = pc.divide(ticks, pa.scalar(divisor, pa.int64()))
+    else:
+        ts_ms = pa.nulls(n, pa.int64())
     snapshot = pc.if_else(
         pc.equal(env["op_char"], "r"),
         pa.scalar("true", pa.string()),

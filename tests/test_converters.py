@@ -178,3 +178,38 @@ def test_typed_defaults_feed_conform_table():
     assert out["code"].to_pylist() == ["ab  "]
     assert out["n"].to_pylist() == [7]
     assert out["skip"].to_pylist() == [None]
+
+
+def test_string_mode_with_parenthesized_type_name():
+    """Review regression: STRING mode must honor TYPE(l,s) names like the
+    PRECISE path does (decimal128(31,0) would reject '123.45')."""
+    col = ColumnSpec("amount", "DECIMAL(18,2)")
+    raw = pa.array(["123.45", "7"], pa.string())
+    s = Db2ValueConverters(STRING).convert(raw, col)
+    assert s.to_pylist() == ["123.45", "7.00"]
+    p = Db2ValueConverters(PRECISE).convert(raw, col)
+    assert p.type == pa.decimal128(18, 2)
+
+
+def test_source_ts_ms_respects_timestamp_unit():
+    from debezium_connector_db2_ray.stages.envelope import with_source_info
+
+    def env_with(unit, val):
+        return pa.table(
+            {
+                "commit_lsn_hi": pa.array([0], pa.uint64()),
+                "commit_lsn_lo": pa.array([1], pa.uint64()),
+                "intent_lsn_hi": pa.array([0], pa.uint64()),
+                "intent_lsn_lo": pa.array([1], pa.uint64()),
+                "op_char": pa.array(["c"], pa.string()),
+                "after_ts": pa.array([val], pa.int64()).cast(pa.timestamp(unit)),
+            }
+        )
+
+    for unit, ticks in (("s", 12), ("ms", 12_000), ("us", 12_000_000),
+                        ("ns", 12_000_000_000)):
+        out = with_source_info(
+            env_with(unit, ticks), name="n", db="d", schema="s", table="t",
+            ts_before="nope",
+        )
+        assert out["source_ts_ms"][0].as_py() == 12_000, unit

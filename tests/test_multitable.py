@@ -214,3 +214,24 @@ def test_engine_with_custom_primary_key(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="second key column"):
         eng_salted.snapshot(rd.from_arrow(lake), Lsn(0, 100))
+
+
+def test_cli_compact_preserves_custom_key(ray_session, tmp_path):
+    """Review regression: `cli compact` on a custom-PK lake must compact
+    under the lake's live key, not the default transcript key."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.cli import main as cli_main
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.state.manifest import live_partitioning
+
+    lake = pa.table({"id": pa.array([1, 2], pa.int64()), "val": ["a", "b"]})
+    out = str(tmp_path / "custom_cli")
+    eng = CdcEngine(out_dir=out, num_partitions=2, key_columns=("id",))
+    eng.snapshot(rd.from_arrow(lake), Lsn(0, 100))
+    rc = cli_main(["compact", "--out", out])
+    assert rc == 0
+    assert live_partitioning(out)["key"] == ["id"]
+    got = CdcEngine(out_dir=out, num_partitions=2, key_columns=("id",)) \
+        .state_dataset().to_pandas()
+    assert sorted(got["id"]) == [1, 2]

@@ -159,3 +159,81 @@ def test_custom_snapshotter_projection_and_table_skip(ray_session, tmp_path):
     # exactly like the reference's snapshot.select.statement.overrides
     assert got["tool"].isna().all()
     assert set(got["conv_id"]) == {"c1", "c2"}
+
+
+def test_when_needed_resnapshots_incomplete_chunked(ray_session, tmp_path):
+    """when_needed: an interrupted chunked snapshot (no final chunk) counts
+    as snapshot-in-progress, so the next start re-snapshots even though a
+    watermark exists (Db2ConnectorConfig.java:95-98)."""
+    import ray.data as rd
+
+    out = str(tmp_path / "when_needed")
+    eng = CdcEngine(out_dir=out, num_partitions=4)
+    # 1 of 3 chunks, then "die"
+    eng.incremental_snapshot(
+        rd.from_arrow(LAKE), Lsn(0, 100), n_chunks=3, max_chunks_per_call=1
+    )
+    assert eng.snapshot_in_progress()
+    m = eng.run_snapshot(rd.from_arrow(LAKE), Lsn(0, 100), mode="when_needed")
+    assert m is not None and m.kind == "snapshot"
+    assert not eng.snapshot_in_progress()
+    # INITIAL in the same state would have skipped data
+    out2 = str(tmp_path / "initial_skips")
+    eng2 = CdcEngine(out_dir=out2, num_partitions=4)
+    eng2.incremental_snapshot(
+        rd.from_arrow(LAKE), Lsn(0, 100), n_chunks=3, max_chunks_per_call=1
+    )
+    # initial: offset exists (chunk watermark) but in_progress ALSO triggers
+    # the base policy, matching the reference's shouldSnapshotData contract
+    m2 = eng2.run_snapshot(rd.from_arrow(LAKE), Lsn(0, 100), mode="initial")
+    assert m2 is not None
+
+
+def test_chunks_wiped_by_replace_barrier_rerun(ray_session, tmp_path):
+    """Chunk manifests superseded by a snapshot_replace barrier must not
+    satisfy a later backfill's resume check (live-manifests rule)."""
+    import ray.data as rd
+
+    out = str(tmp_path / "wiped")
+    eng = CdcEngine(out_dir=out, num_partitions=2)
+    ms1 = eng.incremental_snapshot(rd.from_arrow(LAKE), Lsn(0, 100), n_chunks=2)
+    assert len(ms1) == 2
+    eng.snapshot(rd.from_arrow(LAKE), Lsn(0, 150), replace=True)
+    # same chunk identities again: the barrier killed the old ones, so the
+    # backfill must actually re-run them
+    ms2 = eng.incremental_snapshot(rd.from_arrow(LAKE), Lsn(0, 150), n_chunks=2)
+    assert len(ms2) == 2
+
+
+def test_connector_run_respects_should_stream(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+
+    conn = CdcConnector(root_dir=str(tmp_path / "lh"), num_partitions=2)
+    stream = rd.from_arrow(
+        pa.table(
+            {
+                "commit_lsn_hi": pa.array([0], pa.uint64()),
+                "commit_lsn_lo": pa.array([150], pa.uint64()),
+                "intent_lsn_hi": pa.array([0], pa.uint64()),
+                "intent_lsn_lo": pa.array([150], pa.uint64()),
+                "op": pa.array([2], pa.int8()),
+                "conv_id": ["c9"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": ["nine"],
+                "tool": pa.array([None], pa.string()),
+                "ts": pa.array([0], pa.timestamp("us")),
+                "src_table": ["T1"],
+            }
+        )
+    )
+    res = conn.run(
+        {"T1": rd.from_arrow(LAKE)}, stream, Lsn(0, 100), Lsn(0, 200), 1,
+        mode="initial_only",
+    )
+    assert res["streams"] == {}  # policy said don't stream
+    got = conn.state("T1").to_pandas()
+    assert set(got["conv_id"]) == {"c1", "c2"}  # snapshot only, no c9
