@@ -205,8 +205,11 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        # ODD multipliers: a*x+b mod 2^64 (natural wraparound) is the
+        # permutation family — a 64-bit modulo per element costs ~10x a
+        # multiply and dominated the whole signature stage at scale
+        self.a = rng.integers(1, (1 << 63) - 1, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, (1 << 63) - 1, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
@@ -223,7 +226,7 @@ class MinHasher:
         offs = np.concatenate(([0], np.cumsum(uc)))[:-1][nz]
         with np.errstate(over="ignore"):
             for p in range(self.num_perm):
-                ph = (self.a[p] * g + self.b[p]) % MERSENNE
+                ph = self.a[p] * g + self.b[p]  # mod 2^64 by wraparound
                 sig[nz, p] = np.minimum.reduceat(ph, offs)
         return sig
 
