@@ -647,6 +647,87 @@ def q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_pairs(ds, k=3, threshold=0.5)
 
 
+SQL_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(
+           regexp_replace(lower(coalesce(text, '')),
+                          '[^a-z0-9 \t\n\r]', ' ', 'g'),
+           '[ \t\n\r]+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def q_text_normalize(sf_dir: str):
+    """Boilerplate-stripping normalization (the canonical pre-dedup
+    canonicalizer): lowercase, non-alphanumerics to spaces, whitespace
+    collapsed — identical regex pipeline in the SQL oracle (character
+    classes spelled explicitly so RE2 and Python agree on whitespace)."""
+    import re
+
+    nonalnum = re.compile(r"[^a-z0-9 \t\n\r]")
+    ws = re.compile(r"[ \t\n\r]+")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("").str.lower()
+        s = s.str.replace(nonalnum, " ", regex=True)
+        s = s.str.replace(ws, " ", regex=True).str.strip()
+        return pa.table(
+            {"doc_id": batch["doc_id"], "norm_text": pa.array(s, pa.string())}
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+QF_MIN_TOKENS = 20
+QF_QUALITY = 0.6
+
+SQL_QUALITY_FILTER = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_tokens,
+         0.5 * LEAST(1.0, len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) / 100.0)
+         + 0.5 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                        / GREATEST(length(text), 1)) AS quality
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens, quality
+FROM scored
+WHERE n_tokens >= {QF_MIN_TOKENS} AND quality >= {QF_QUALITY}
+"""
+
+
+def q_quality_filter(sf_dir: str):
+    """The canonical training-data PRUNE step: keep documents above a
+    token-count floor and a quality threshold — same arithmetic as
+    text_quality, now as a surviving-docs filter."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n_tokens = s.str.findall(r"\S+").str.len().to_numpy(np.int64)
+        n_chars = s.str.len().to_numpy(np.float64)
+        n_punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
+        quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (
+            1.0 - n_punct / np.maximum(n_chars, 1.0)
+        )
+        mask = (n_tokens >= QF_MIN_TOKENS) & (quality >= QF_QUALITY)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(mask)),
+                "lang": batch["lang"].filter(pa.array(mask)),
+                "n_tokens": pa.array(n_tokens[mask], pa.int64()),
+                "quality": pa.array(quality[mask], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational operators: as-of join, components, sampling, top-k terms
 # ---------------------------------------------------------------------------
@@ -897,6 +978,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_components": q_dedup_components,
     "sample_stratified": q_sample_stratified,
     "text_topk_terms": q_topk_terms,
+    "text_normalize": q_text_normalize,
+    "docs_quality_filter": q_quality_filter,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -920,6 +1003,8 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "sample_stratified": SQL_STRATIFIED,
     "text_topk_terms": SQL_TOPK_TERMS,
+    "text_normalize": SQL_NORMALIZE,
+    "docs_quality_filter": SQL_QUALITY_FILTER,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead
