@@ -951,6 +951,142 @@ def q_topk_terms(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# relational-table pipelines (TPC-H-shaped fixtures)
+# ---------------------------------------------------------------------------
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS sum_disc_e4,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+           AS sum_charge_e6,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped pricing summary over the LARGEST fixture table —
+    the canonical pre-aggregation demo: per-batch partial sums (the
+    combiner bounds the shuffle to group keys x batches) and a tiny final
+    groupby. All money math in scaled integers so sums are exact and
+    order-independent on both engines (float sums aren't associative —
+    cross-engine hash equality would be luck)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d100 = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        t100 = np.rint(batch["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty": qty,
+                "sum_base_cents": cents,
+                "sum_disc_e4": cents * (100 - d100),
+                "sum_charge_e6": cents * (100 - d100) * (100 + t100),
+                "count_order": np.ones(len(qty), np.int64),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=400_000)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_cents", alias_name="sum_base_cents"),
+            Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+            Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+
+SQL_ORDER_REVENUE = """
+SELECT o.o_orderpriority,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def q_order_revenue(sf_dir: str):
+    """Equi-join demo over the fixture fact/dimension pair: lineitem joins
+    orders via the generic repartition_join (one sort exchange per side,
+    partition-local Arrow hash join), then aggregates revenue per order
+    priority — integer-exact like the pricing summary."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from debezium_connector_db2_ray.functions.relational import (
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    j = repartition_join(li, orders, on="o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d100 = np.rint(batch["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch["o_orderpriority"].to_pandas(),
+                "revenue_e4": cents * (100 - d100),
+                "n_items": np.ones(len(cents), np.int64),
+            }
+        )
+        g = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("revenue_e4", alias_name="revenue_e4"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -980,6 +1116,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "text_topk_terms": q_topk_terms,
     "text_normalize": q_text_normalize,
     "docs_quality_filter": q_quality_filter,
+    "tpch_pricing_summary": q_pricing_summary,
+    "orders_revenue_join": q_order_revenue,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1005,6 +1143,8 @@ DATA_ORACLES: dict[str, str] = {
     "text_topk_terms": SQL_TOPK_TERMS,
     "text_normalize": SQL_NORMALIZE,
     "docs_quality_filter": SQL_QUALITY_FILTER,
+    "tpch_pricing_summary": SQL_PRICING,
+    "orders_revenue_join": SQL_ORDER_REVENUE,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

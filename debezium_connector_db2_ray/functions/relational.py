@@ -286,6 +286,97 @@ def duplicate_components(pairs_ds, *, max_edges: int = 50_000_000):
 
 
 # ---------------------------------------------------------------------------
+# generic repartition equi-join
+# ---------------------------------------------------------------------------
+
+def repartition_join(
+    left,
+    right,
+    *,
+    on: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+    right_suffix: str = "_r",
+):
+    """Generic equi-join on an integer key, built on the proven sort
+    exchange: both sides tag ``hash(on) % num_partitions`` and union (each
+    row moves exactly once), then each partition runs an in-process Arrow
+    hash join. Ray's own Dataset.join is deliberately avoided — its
+    hash-shuffle backend deadlocks under constrained schedulers (measured
+    here); the sort exchange + partition-local Acero join is the same
+    algorithm with the exchange this engine already trusts.
+
+    Supported ``how``: inner, left_outer. Right columns colliding with left
+    names get ``right_suffix``."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(how)
+    lschema = left.schema()
+    rschema = right.schema()
+    l_types = dict(zip(lschema.names, lschema.types))
+    r_types = dict(zip(rschema.names, rschema.types))
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != on]
+    rename = {
+        c: (c + right_suffix if c in l_types else c) for c in rcols
+    }
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[on].to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "__part": pa.array((k % num_partitions).astype(np.int32)),
+                "__side": pa.array(np.full(batch.num_rows, side, np.int8)),
+                on: batch[on],
+            }
+            for c in lcols:
+                if c == on:
+                    continue
+                cols[c] = (
+                    batch[c] if side == 0
+                    else pa.nulls(batch.num_rows, l_types[c])
+                )
+            for c in rcols:
+                cols[rename[c]] = (
+                    batch[c] if side == 1
+                    else pa.nulls(batch.num_rows, r_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out_names = [c for c in lcols] + [rename[c] for c in rcols]
+
+    def empty_out() -> pa.Table:
+        cols = {}
+        for c in lcols:
+            cols[c] = pa.array([], l_types[c])
+        for c in rcols:
+            cols[rename[c]] = pa.array([], r_types[c])
+        return pa.table(cols)
+
+    def join_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__side" not in group.column_names:
+            return empty_out()
+        side = group["__side"].to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select([on] + [
+            c for c in lcols if c != on
+        ])
+        rt = group.filter(pa.array(side == 1)).select([on] + [
+            rename[c] for c in rcols
+        ])
+        j = lt.join(
+            rt, keys=[on],
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        return j.select(out_names)
+
+    return u.groupby("__part").map_groups(join_part, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # stratified sampling
 # ---------------------------------------------------------------------------
 

@@ -198,3 +198,44 @@ def test_interval_join_matches_bruteforce(ray_session, seed, n_keys, n_points, n
             if k == pk[i] and s <= pt[i] <= e:
                 want = ivid
         assert got[i] == want, (i, got[i], want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 10_000), n_keys=st.integers(1, 8),
+       n_left=st.integers(0, 50), n_right=st.integers(0, 30),
+       how=st.sampled_from(["inner", "left_outer"]))
+def test_repartition_join_matches_bruteforce(ray_session, seed, n_keys,
+                                             n_left, n_right, how):
+    import numpy as np
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import repartition_join
+
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(0, n_keys, n_left)
+    rk = rng.integers(0, n_keys, n_right)
+    left = pa.table(
+        {"k": pa.array(lk, pa.int64()), "lv": pa.array(range(n_left), pa.int64())}
+    )
+    right = pa.table(
+        {"k": pa.array(rk, pa.int64()), "rv": pa.array(range(n_right), pa.int64())}
+    )
+    got = sorted(
+        (r["k"], r["lv"], r["rv"])
+        for r in repartition_join(
+            rd.from_arrow(left), rd.from_arrow(right), on="k", how=how,
+            num_partitions=3,
+        ).take_all()
+    )
+    want = []
+    for i in range(n_left):
+        matches = [j for j in range(n_right) if rk[j] == lk[i]]
+        if matches:
+            want += [(int(lk[i]), i, j) for j in matches]
+        elif how == "left_outer":
+            want.append((int(lk[i]), i, None))
+    assert got == sorted(want)
