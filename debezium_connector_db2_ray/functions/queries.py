@@ -834,6 +834,56 @@ def q_dedup_components(sf_dir: str):
     return duplicate_components(pairs)
 
 
+SQL_DEDUP_APPLY = SQL_DEDUP_COMPONENTS.replace(
+    ")\nSELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u",
+    """),
+drops AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING least(u, min(v)) <> u
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""",
+)
+
+
+def q_dedup_apply(sf_dir: str):
+    """The KEEP/DROP application closing the near-dup loop: every doc whose
+    component canonical is another doc is dropped; the corpus streams
+    through one broadcast-filter pass. The drop set is the DUPLICATES (the
+    LSH pipeline's verified output minus canonicals) — orders of magnitude
+    smaller than the corpus, so ray.put broadcast is the legal small-side
+    pattern here, unlike the round-1 corpus-text broadcast this engine
+    removed."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
+    doc = comp["doc_id"].to_numpy(zero_copy_only=False)
+    canon = comp["canonical_id"].to_numpy(zero_copy_only=False)
+    drop_ref = ray.put(set(doc[doc != canon].tolist()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drops = ray.get(drop_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.array([i not in drops for i in ids]) if drops else np.ones(
+            len(ids), bool
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(mask)),
+                "lang": batch["lang"].filter(pa.array(mask)),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.0}
 SAMPLE_DEFAULT = 1.0
 
@@ -1118,6 +1168,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_quality_filter": q_quality_filter,
     "tpch_pricing_summary": q_pricing_summary,
     "orders_revenue_join": q_order_revenue,
+    "dedup_apply": q_dedup_apply,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1145,6 +1196,7 @@ DATA_ORACLES: dict[str, str] = {
     "docs_quality_filter": SQL_QUALITY_FILTER,
     "tpch_pricing_summary": SQL_PRICING,
     "orders_revenue_join": SQL_ORDER_REVENUE,
+    "dedup_apply": SQL_DEDUP_APPLY,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead
