@@ -213,6 +213,10 @@ def run_gate_queries(timings: dict) -> None:
         ("dedup_minhash", DATA_QUERIES),
         ("text_token_stats", DATA_QUERIES),
         ("ann_bruteforce", DATA_QUERIES),
+        ("events_asof_join", DATA_QUERIES),
+        ("events_interval_join", DATA_QUERIES),
+        ("tpch_pricing_summary", DATA_QUERIES),
+        ("orders_revenue_join", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()
