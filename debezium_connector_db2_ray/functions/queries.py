@@ -1007,14 +1007,15 @@ def q_topk_terms(sf_dir: str):
 
 SQL_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
            AS sum_disc_e4,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
            * (100 - CAST(round(l_discount * 100) AS BIGINT))
-           * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
            AS sum_charge_e6,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem
@@ -1075,8 +1076,8 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_ORDER_REVENUE = """
 SELECT o.o_orderpriority,
-       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
            AS revenue_e4,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey

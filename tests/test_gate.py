@@ -72,6 +72,20 @@ def test_query_matches_oracle(ray_session, name):
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    # The driver's value-hash is dtype-sensitive (e.g. DuckDB HUGEINT vs
+    # engine int64 serialize differently even when integer-equal) — require
+    # exact dtype agreement on numeric columns so drift fails HERE, not at
+    # the round gate.
+    # Width differences within a kind (int32 vs int64) hash identically
+    # (r02 evidence: cdc_lineage_counts was hash-green with int32 oracle);
+    # kind differences (int vs float/object, e.g. HUGEINT) do not.
+    for c in got.columns:
+        gd, wd = got[c].dtype, want[c].dtype
+        if pd.api.types.is_numeric_dtype(gd) or pd.api.types.is_numeric_dtype(wd):
+            assert gd.kind == wd.kind, (
+                f"{name}.{c}: engine dtype {gd} != oracle dtype {wd} "
+                "(driver hash is dtype-sensitive — CAST the oracle or fix the engine)"
+            )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
