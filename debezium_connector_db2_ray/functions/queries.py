@@ -13,6 +13,7 @@ from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 STOP_SQL = "('the','a','and','of','to')"  # mirrors functions.text.STOPWORDS
@@ -862,9 +863,13 @@ def q_dedup_apply(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
-    doc = comp["doc_id"].to_numpy(zero_copy_only=False)
-    canon = comp["canonical_id"].to_numpy(zero_copy_only=False)
-    drop_ref = ray.put(set(doc[doc != canon].tolist()))
+    # the DROP SET (non-canonical members of components) is the tiny side;
+    # collecting it for a ray.put broadcast is the legal small-side pattern
+    drops_tbl = comp.map_batches(
+        lambda t: t.filter(pc.not_equal(t["doc_id"], t["canonical_id"])),
+        batch_format="pyarrow",
+    ).take_all()
+    drop_ref = ray.put({r["doc_id"] for r in drops_tbl})
 
     def keep(batch: pa.Table) -> pa.Table:
         drops = ray.get(drop_ref)

@@ -24,7 +24,7 @@ def asof_join(
     key: str,
     ts: str,
     value_cols: tuple[str, ...],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """As-of join: every left row gets the value columns of the LATEST right
     row with the same key and right.ts <= left.ts (inclusive) — the operator
@@ -40,7 +40,13 @@ def asof_join(
     ``right`` must be unique per (key, ts) — pre-collapse duplicates or the
     match is ambiguous (DuckDB's ASOF has the same requirement). The join
     key must be integer-typed (exact in-partition ordering; string keys
-    would order by hash and risk a 2^-64 collision merging two keys)."""
+    would order by hash and risk a 2^-64 collision merging two keys).
+
+    ``num_partitions`` defaults to the size-derived width (one partition
+    per ~256 MB of input, from parquet metadata — see
+    derive_num_partitions), so callers need not re-tune at 100x scale."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(left, right)
     lschema = left.schema()
     rschema = right.schema()
     left_types = dict(zip(lschema.names, lschema.types))
@@ -132,7 +138,7 @@ def interval_join(
     start: str,
     end: str,
     value_cols: tuple[str, ...],
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Range join: every point row gets the value columns of the interval
     row with the same key whose [start, end] contains its timestamp
@@ -142,7 +148,10 @@ def interval_join(
     Scale shape: like asof_join — both sides tag hash(key) % P and union
     (one sort exchange, each row moves once); per partition a lexsort +
     segment forward-fill finds each point's most recent interval START, and
-    one vectorized end-check decides containment. Integer keys only."""
+    one vectorized end-check decides containment. Integer keys only.
+    ``num_partitions`` defaults size-derived (derive_num_partitions)."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(points, intervals)
     pschema = points.schema()
     ischema = intervals.schema()
     p_types = dict(zip(pschema.names, pschema.types))
@@ -235,53 +244,309 @@ def interval_join(
 
 
 # ---------------------------------------------------------------------------
+# partition sizing shared by the exchange-based operators
+# ---------------------------------------------------------------------------
+
+_TARGET_PARTITION_BYTES = 256 << 20
+
+
+def derive_num_partitions(*datasets, target_bytes: int = _TARGET_PARTITION_BYTES,
+                          lo: int = 16, hi: int = 65_536) -> int:
+    """Size-derived exchange width for the join/components family: walk each
+    Dataset's logical plan to its Read leaves and sum their metadata size
+    estimates (NO execution — parquet footer arithmetic only), then aim for
+    ~``target_bytes`` of input per partition, clamped to [lo, hi]. When any
+    input's size is unknown (e.g. a from_items source), fall back to
+    2x cluster CPUs — the same bounded sizing rule the replay path applies
+    to its window reads (pipelines/replay.py:736)."""
+    import ray
+
+    total, known = 0, True
+    for ds in datasets:
+        try:
+            stack, leaves = [ds._logical_plan.dag], []
+            while stack:
+                n = stack.pop()
+                deps = n.input_dependencies
+                if deps:
+                    stack.extend(deps)
+                else:
+                    leaves.append(n)
+            for leaf in leaves:
+                meta = (
+                    leaf.infer_metadata()
+                    if hasattr(leaf, "infer_metadata") else None
+                )
+                if meta is None or meta.size_bytes is None:
+                    known = False
+                else:
+                    total += meta.size_bytes
+        except Exception:
+            known = False
+    if not known or total <= 0:
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8
+        )
+        return max(lo, min(hi, 2 * cpus))
+    return max(lo, min(hi, -(-total // target_bytes)))
+
+
+# ---------------------------------------------------------------------------
 # connected-components dedup
 # ---------------------------------------------------------------------------
 
-def duplicate_components(pairs_ds, *, max_edges: int = 50_000_000):
-    """Connected components over near-duplicate PAIRS: each doc in a
-    component is labeled with the component's minimum doc id (the canonical
-    keeper). Returns a pyarrow Table (doc_id, canonical_id) covering every
-    doc that appears in a pair.
+def duplicate_components(pairs_ds, *, num_partitions: int | None = None,
+                         max_rounds: int = 64):
+    """Connected components over near-duplicate PAIRS via distributed
+    hash-min label propagation: each doc in a component ends up labeled
+    with the component's minimum doc id (the canonical keeper). Returns a
+    ray Dataset (doc_id, canonical_id) covering every doc in a pair.
 
-    Scale shape: the edge list is the near-dup GRAPH, orders of magnitude
-    smaller than the corpus (it is the output of the LSH pipeline, not the
-    input), so union-find runs driver-side on numpy arrays; ``max_edges``
-    makes the bound explicit instead of silent. The label map it produces
-    is the small side of a broadcast application over the corpus."""
-    edges = pairs_ds.select_columns(["a", "b"]).take_all()
-    if len(edges) > max_edges:
-        raise ValueError(
-            f"{len(edges)} duplicate edges exceed max_edges={max_edges}; "
-            "partition the graph (label propagation) before union-find"
-        )
-    if not edges:
+    Scale shape: the pair graph stays a Dataset throughout — nothing is
+    collected to the driver (the round-2 driver union-find is gone). Each
+    round is two bounded sort exchanges: (1) key by src to deliver every
+    node's current label across its out-edges — the edge set includes a
+    label->node pointer edge per node, which forwards label(label(n)) and
+    halves propagation paths, so rounds are O(log diameter) rather than
+    O(diameter); (2) key by dst and take the per-node min of delivered
+    candidates vs the current label. Labels decrease monotonically and the
+    loop stops the first round that changes none. Each round's label table
+    (one row per graph node — orders of magnitude smaller than the corpus)
+    is materialized to cut lineage; it lives as object-store blocks, never
+    on the driver. The symmetric edge list is materialized ONCE so rounds
+    do not re-execute the upstream LSH pipeline.
+
+    Reference analog: this closes the near-dup loop the way the
+    connector's key-collapse closes the changelog (stages/apply.py LWW) —
+    a deterministic canonical winner per group."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(pairs_ds)
+    P = num_partitions
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "canonical_id": pa.array([], pa.int64())}
+            {"src": np.concatenate([a, b]), "dst": np.concatenate([b, a])}
         )
-    a = np.array([e["a"] for e in edges], np.int64)
-    b = np.array([e["b"] for e in edges], np.int64)
-    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    parent = np.arange(len(nodes))
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    # bound block counts: the iterative union->groupby otherwise TRIPLES the
+    # label table's block count per round (sort shuffles schedule O(blocks^2)
+    # — measured exponential round cost before this repartition)
+    n_blocks = max(8, min(num_partitions, 64))
+    edges = (
+        pairs_ds.map_batches(sym, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "canonical_id": pa.array([], pa.int64())})
+        )
 
-    ia, ib = inv[: len(a)], inv[len(a):]
-    for x, y in zip(ia, ib):
-        rx, ry = find(int(x)), find(int(y))
-        if rx != ry:
-            parent[max(rx, ry)] = min(rx, ry)  # min-root = min doc id wins
-    roots = np.array([find(int(i)) for i in range(len(nodes))])
-    return pa.table(
-        {
-            "doc_id": pa.array(nodes, pa.int64()),
-            "canonical_id": pa.array(nodes[roots], pa.int64()),
-        }
+    def part_of(x: np.ndarray) -> pa.Array:
+        return pa.array((x % P).astype(np.int32))
+
+    # ---- init: label(n) = min(n, neighbors(n)) — one exchange ------------
+    def init_rows(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([s, s])
+        cand = np.concatenate([d, s])
+        return pa.table(
+            {"__part": part_of(node), "node": node, "label": cand}
+        )
+
+    def seg_min(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "node" not in g.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        node = g["node"].to_numpy(zero_copy_only=False)
+        label = g["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((label, node))
+        ns, ls = node[order], label[order]
+        starts = np.ones(len(ns), bool)
+        starts[1:] = ns[1:] != ns[:-1]
+        si = np.flatnonzero(starts)
+        return pa.table({"node": ns[si], "label": ls[si]})
+
+    labels = (
+        edges.map_batches(init_rows, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(seg_min, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    # ---- per-round tagged inputs (identical schemas for union) -----------
+    def tag_graph_edges(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": part_of(s),
+                "__side": pa.array(np.zeros(len(s), np.int8)),
+                "src": batch["src"],
+                "dst": batch["dst"],
+                "label": pa.nulls(len(s), pa.int64()),
+            }
+        )
+
+    def tag_pointer_edges(batch: pa.Table) -> pa.Table:
+        # label(n) -> n: delivers label(label(n)) next round (path halving)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": part_of(lab),
+                "__side": pa.array(np.zeros(len(lab), np.int8)),
+                "src": batch["label"],
+                "dst": batch["node"],
+                "label": pa.nulls(len(lab), pa.int64()),
+            }
+        )
+
+    def tag_label_rows(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": part_of(n),
+                "__side": pa.array(np.ones(len(n), np.int8)),
+                "src": batch["node"],
+                "dst": pa.nulls(len(n), pa.int64()),
+                "label": batch["label"],
+            }
+        )
+
+    def deliver(g: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "cand": pa.array([], pa.int64())})
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return empty
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        src = g["src"].to_numpy(zero_copy_only=False)
+        s1 = side == 1
+        # null-padded int64 columns must be filled BEFORE to_numpy or the
+        # whole column silently promotes to float64 (schema drift)
+        labv = (
+            pc.fill_null(g["label"], 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        dstv = (
+            pc.fill_null(g["dst"], 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ns_u, ls_u = src[s1], labv[s1]
+        if len(ns_u) == 0:
+            return empty
+        order = np.argsort(ns_u, kind="stable")
+        ns, ls = ns_u[order], ls_u[order]
+        es = src[~s1]
+        ed = dstv[~s1]
+        pos = np.clip(np.searchsorted(ns, es), 0, len(ns) - 1)
+        ok = ns[pos] == es  # every edge src has a label row by construction
+        return pa.table({"node": ed[ok], "cand": ls[pos][ok]})
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": part_of(n),
+                "__cur": pa.array(np.zeros(len(n), np.int8)),
+                "node": batch["node"],
+                "label": batch["cand"],
+            }
+        )
+
+    def tag_cur(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__part": part_of(n),
+                "__cur": pa.array(np.ones(len(n), np.int8)),
+                "node": batch["node"],
+                "label": batch["label"],
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "node" not in g.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "changed": pa.array([], pa.int64())})
+        node = g["node"].to_numpy(zero_copy_only=False)
+        label = g["label"].to_numpy(zero_copy_only=False)
+        cur = g["__cur"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((label, node))
+        ns, ls = node[order], label[order]
+        starts = np.ones(len(ns), bool)
+        starts[1:] = ns[1:] != ns[:-1]
+        si = np.flatnonzero(starts)
+        out_node, out_label = ns[si], ls[si]
+        cn, cl = node[cur == 1], label[cur == 1]
+        co = np.argsort(cn, kind="stable")
+        # candidates only target existing nodes, so unique(node) == sorted
+        # current nodes — a violated invariant must fail loudly, not corrupt
+        if len(cn) != len(out_node):
+            raise AssertionError("components: candidate for unlabeled node")
+        changed = (out_label < cl[co]).astype(np.int64)
+        return pa.table(
+            {"node": out_node, "label": out_label, "changed": changed}
+        )
+
+    import os
+    import time
+
+    debug = bool(os.environ.get("COMPONENTS_DEBUG"))
+    for rnd in range(max_rounds):
+        t0 = time.time()
+        delivered = (
+            edges.map_batches(tag_graph_edges, batch_format="pyarrow")
+            .union(
+                labels.map_batches(tag_pointer_edges, batch_format="pyarrow"),
+                labels.map_batches(tag_label_rows, batch_format="pyarrow"),
+            )
+            .groupby("__part")
+            .map_groups(deliver, batch_format="pyarrow")
+        )
+        new_labels = (
+            delivered.map_batches(tag_cand, batch_format="pyarrow")
+            .union(labels.map_batches(tag_cur, batch_format="pyarrow"))
+            .groupby("__part")
+            .map_groups(combine, batch_format="pyarrow")
+            .materialize()
+        )
+        t1 = time.time()
+        n_changed = new_labels.aggregate(
+            Sum("changed", alias_name="changed")
+        )["changed"]
+        t2 = time.time()
+        labels = (
+            new_labels.drop_columns(["changed"])
+            .repartition(n_blocks)
+            .materialize()
+        )
+        if debug:
+            print(
+                f"components round {rnd}: changed={n_changed} "
+                f"exchange={t1 - t0:.2f}s agg={t2 - t1:.2f}s "
+                f"relabel={time.time() - t2:.2f}s"
+            )
+        if not n_changed:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds"
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["node"], "canonical_id": t["label"]}
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -295,7 +560,7 @@ def repartition_join(
     *,
     on: str,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     right_suffix: str = "_r",
 ):
     """Generic equi-join on an integer key, built on the proven sort
@@ -307,9 +572,12 @@ def repartition_join(
     algorithm with the exchange this engine already trusts.
 
     Supported ``how``: inner, left_outer. Right columns colliding with left
-    names get ``right_suffix``."""
+    names get ``right_suffix``. ``num_partitions`` defaults size-derived
+    (derive_num_partitions)."""
     if how not in ("inner", "left_outer"):
         raise ValueError(how)
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(left, right)
     lschema = left.schema()
     rschema = right.schema()
     l_types = dict(zip(lschema.names, lschema.types))

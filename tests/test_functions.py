@@ -324,3 +324,74 @@ def test_generator_determinism():
     sa = generate_scenario(n_convs=10, turns_per_conv=3, n_commits=50, seed=5)
     sb = generate_scenario(n_convs=10, turns_per_conv=3, n_commits=50, seed=5)
     assert sa.changelog.equals(sb.changelog) and sa.lake.equals(sb.lake)
+
+
+def _reference_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Test-local union-find oracle (the engine no longer has a driver path)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in list(parent)}
+
+
+def test_components_high_diameter_path(ray_session):
+    """A 400-node path graph has diameter 399 — far beyond what per-round
+    neighbor propagation alone could finish in max_rounds=64; convergence
+    proves the pointer-halving edges cut rounds to O(log diameter). Labels
+    must all collapse to the path's minimum id."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+    )
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    pairs = rd.from_arrow(pa.table({"a": ids[:-1], "b": ids[1:]}))
+    got = duplicate_components(pairs, num_partitions=8).to_pandas()
+    assert len(got) == n
+    assert set(got["canonical_id"]) == {3}
+    assert sorted(got["doc_id"]) == sorted(ids.tolist())
+
+
+def test_components_random_graph_matches_union_find(ray_session):
+    """Random multi-component graph vs a test-local union-find, including
+    self-loops and duplicate edges."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+    )
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 5_000, 4_000).astype(np.int64)
+    b = rng.integers(0, 5_000, 4_000).astype(np.int64)
+    pairs = rd.from_arrow(pa.table({"a": a, "b": b}))
+    got = duplicate_components(pairs, num_partitions=8).to_pandas()
+    want = _reference_components(list(zip(a.tolist(), b.tolist())))
+    assert dict(zip(got["doc_id"], got["canonical_id"])) == want
+
+
+def test_components_empty_pairs(ray_session):
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+    )
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    got = duplicate_components(pairs, num_partitions=4)
+    assert got.count() == 0
+    assert got.schema().names == ["doc_id", "canonical_id"]
