@@ -48,8 +48,10 @@ def _token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
     s = pl.from_arrow(pc.coalesce(texts, pa.scalar("", pa.string())))
-    toks = s.str.extract_all(r"\S+")
+    toks = s.str.extract_all(TOKEN_PATTERN)
     counts = toks.list.len().to_numpy().astype(np.int64)
     flat = toks.explode().drop_nulls()
     h = flat.hash(seed=TOKEN_SEED).to_numpy().astype(np.uint64)
@@ -507,9 +509,14 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, concurrency: int = 2):
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().drop_duplicates("doc_id").sort_values("doc_id")
-        ids = df["doc_id"].to_numpy()
-        sh = df["simhash"].to_numpy().astype(np.uint64)
+        all_ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        # numpy unique = sorted doc_id + first-occurrence index (dedupes the
+        # per-band fanout rows) — no pandas round-trip in this Arrow stage
+        ids, first = np.unique(all_ids, return_index=True)
+        sh = (
+            group["simhash"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64)[first]
+        )
         if len(ids) < 2:
             return pa.table(
                 {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),

@@ -168,20 +168,22 @@ FROM documents
 def q_token_stats(sf_dir: str):
     import re
 
-    from debezium_connector_db2_ray.functions.text import STOPWORDS
+    from debezium_connector_db2_ray.functions.text import (
+        PUNCT_PATTERN,
+        STOPWORDS,
+        TOKEN_PATTERN,
+        whole_token_pattern,
+    )
 
-    token_re = re.compile(r"\S+")
-    punct_re = re.compile(r"[^\w\s]")
+    token_re = re.compile(TOKEN_PATTERN)
+    punct_re = re.compile(PUNCT_PATTERN)
+    stop_re = re.compile(whole_token_pattern(STOPWORDS))
 
     def stats(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        toks = s.str.findall(token_re)
-        n_tokens = toks.str.len().astype("int64")
+        n_tokens = s.str.count(token_re).astype("int64")
         n_punct = s.str.count(punct_re).astype("int64")
-        stop = set(STOPWORDS)
-        n_stop = toks.map(
-            lambda ws: sum(1 for w in ws if w.lower() in stop)
-        ).astype("int64")
+        n_stop = s.str.lower().str.count(stop_re).astype("int64")
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -207,11 +209,16 @@ FROM documents
 
 
 def q_quality(sf_dir: str):
+    from debezium_connector_db2_ray.functions.text import (
+        PUNCT_PATTERN,
+        TOKEN_PATTERN,
+    )
+
     def score(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        n_tokens = s.str.findall(r"\S+").str.len().to_numpy(np.float64)
+        n_tokens = s.str.count(TOKEN_PATTERN).to_numpy(np.float64)
         n_chars = s.str.len().to_numpy(np.float64)
-        n_punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
+        n_punct = s.str.count(PUNCT_PATTERN).to_numpy(np.float64)
         quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (
             1.0 - n_punct / np.maximum(n_chars, 1.0)
         )
@@ -706,11 +713,16 @@ def q_quality_filter(sf_dir: str):
     token-count floor and a quality threshold — same arithmetic as
     text_quality, now as a surviving-docs filter."""
 
+    from debezium_connector_db2_ray.functions.text import (
+        PUNCT_PATTERN,
+        TOKEN_PATTERN,
+    )
+
     def keep(batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        n_tokens = s.str.findall(r"\S+").str.len().to_numpy(np.int64)
+        n_tokens = s.str.count(TOKEN_PATTERN).to_numpy(np.int64)
         n_chars = s.str.len().to_numpy(np.float64)
-        n_punct = s.str.count(r"[^\w\s]").to_numpy(np.float64)
+        n_punct = s.str.count(PUNCT_PATTERN).to_numpy(np.float64)
         quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (
             1.0 - n_punct / np.maximum(n_chars, 1.0)
         )
@@ -892,16 +904,29 @@ def q_dedup_apply(sf_dir: str):
 SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.0}
 SAMPLE_DEFAULT = 1.0
 
+# mix64 in SQL: xor/shift in UBIGINT, multiplies in HUGEINT mod 2^64 — the
+# multiplicands are 32-bit so products fit INT128 exactly; bit-identical to
+# functions/relational.mix64 (numpy uint64 wraparound)
 SQL_STRATIFIED = """
-WITH h AS (
+WITH s1 AS (
   SELECT doc_id, lang,
-         CAST(strpos('0123456789abcdef',
-                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
-              AS BIGINT) * 16 +
-         CAST(strpos('0123456789abcdef',
-                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
-              AS BIGINT) AS b0
+         CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z0
   FROM documents
+), s2 AS (
+  SELECT doc_id, lang,
+         CAST((CAST(xor(z0, z0 >> 33) AS HUGEINT) * 2246822507)
+              % 18446744073709551616 AS UBIGINT) AS z1
+  FROM s1
+), s3 AS (
+  SELECT doc_id, lang,
+         CAST((CAST(xor(z1, z1 >> 29) AS HUGEINT) * 3266489909)
+              % 18446744073709551616 AS UBIGINT) AS z2
+  FROM s2
+), h AS (
+  SELECT doc_id, lang,
+         CAST(xor(z2, z2 >> 32) >> 56 AS BIGINT) AS b0
+  FROM s3
 )
 SELECT doc_id, lang FROM h
 WHERE b0 < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
@@ -911,8 +936,9 @@ WHERE b0 < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
 
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling: per-language keep rates applied
-    via the first byte of md5(doc_id) — reproducible across engines (the
-    SQL computes the identical predicate), no RNG state, no shuffle."""
+    via the top byte of splitmix64(doc_id) — reproducible across engines
+    (the SQL computes the identical integer mixing), no RNG state, no
+    shuffle, no per-row Python."""
     from debezium_connector_db2_ray.functions.relational import (
         stratified_sample,
     )

@@ -648,25 +648,37 @@ def repartition_join(
 # stratified sampling
 # ---------------------------------------------------------------------------
 
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit avalanche mixer (murmur-finalizer shape, but with
+    32-BIT multiplicands so the DuckDB oracle can compute the identical
+    products exactly in HUGEINT — a 64x64 product overflows INT128). The
+    deterministic sampling hash shared bit-for-bit with SQL_STRATIFIED in
+    functions/queries.py."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(33))) * np.uint64(0x85EBCA6B)
+    z = (z ^ (z >> np.uint64(29))) * np.uint64(0xC2B2AE35)
+    return z ^ (z >> np.uint64(32))
+
+
 def stratified_sample(ds, *, stratum_col: str, id_col: str,
                       rates: dict[str, float], default_rate: float = 1.0):
-    """Deterministic per-stratum sampling: a row survives iff the first
-    byte of md5(str(id)) is below rate*256 — reproducible across runs and
-    engines (the DuckDB oracle computes the identical predicate), no
-    shuffle, no RNG state."""
-    import hashlib
+    """Deterministic per-stratum sampling: a row survives iff the TOP byte
+    of mix64(id) is below rate*256 — reproducible across runs and engines
+    (the DuckDB oracle computes the identical integer mixing), no shuffle,
+    no RNG state, and fully vectorized (the hash is numpy uint64
+    arithmetic; the per-stratum cutoff is a factorize + table lookup)."""
+    import pandas as pd
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        strata = batch[stratum_col].to_pylist()
-        h = np.fromiter(
-            (hashlib.md5(str(i).encode()).digest()[0] for i in ids),
-            dtype=np.int64, count=len(ids),
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = (mix64(ids) >> np.uint64(56)).astype(np.int64)
+        codes, uniques = pd.factorize(batch[stratum_col].to_pandas())
+        cuts = np.array(
+            [int(rates.get(u, default_rate) * 256) for u in uniques],
+            np.int64,
         )
-        cut = np.array(
-            [int(rates.get(s, default_rate) * 256) for s in strata], np.int64
-        )
-        return batch.filter(pa.array(h < cut))
+        cut = cuts[codes] if len(uniques) else np.empty(0, np.int64)
+        return batch.filter(pa.array(b0 < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -686,12 +698,14 @@ def topk_terms(ds, *, text_col: str = "text", k: int = 20):
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
 
+        from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
         toks = (
-            s.str.to_lowercase().str.extract_all(r"\S+").explode().drop_nulls()
+            s.str.to_lowercase().str.extract_all(TOKEN_PATTERN).explode().drop_nulls()
         )
         vc = toks.value_counts()
         cols = vc.columns  # [token_col, 'count']

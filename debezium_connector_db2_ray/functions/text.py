@@ -22,6 +22,22 @@ import pyarrow.compute as pc
 #: stopword list shared with the SQL oracles — keep in sync with functions/queries.py
 STOPWORDS = ("the", "a", "and", "of", "to")
 
+#: RE2's \s is exactly [\t\n\f\r ] (ASCII, no \v, no Unicode spaces). Every
+#: tokenizer/punctuation pattern below pins that class EXPLICITLY so the
+#: Python/polars side (Unicode-default \s and \w) and the DuckDB RE2 oracles
+#: (functions/queries.py) agree byte-for-byte on any text, not just ASCII.
+WS_CLASS = "\t\n\f\r "
+TOKEN_PATTERN = f"[^{WS_CLASS}]+"            # == RE2 \S+
+PUNCT_PATTERN = f"[^0-9A-Za-z_{WS_CLASS}]"   # == RE2 [^\w\s]
+
+
+def whole_token_pattern(words: tuple[str, ...]) -> str:
+    """Regex counting occurrences of ``words`` as WHOLE tokens (bounded by
+    RE2-\\s or string edges) — the vectorized replacement for per-row
+    'token in set' loops; one C-regex pass per batch."""
+    alt = "|".join(re.escape(w) for w in words)
+    return f"(?<![^{WS_CLASS}])(?:{alt})(?![^{WS_CLASS}])"
+
 #: language marker words for the n-gram-free heuristic language ID
 LANG_MARKERS = {
     "en": ("the", "and"),
@@ -35,17 +51,17 @@ class TokenStats:
     __init__ compiles the patterns once per actor; __call__ is per batch."""
 
     def __init__(self) -> None:
-        self.token_re = re.compile(r"\S+")
-        self.punct_re = re.compile(r"[^\w\s]")
+        self.token_re = re.compile(TOKEN_PATTERN)
+        self.punct_re = re.compile(PUNCT_PATTERN)
+        self.stop_re = re.compile(whole_token_pattern(STOPWORDS))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         s = batch["text"].to_pandas().fillna("")
-        tokens = s.str.findall(self.token_re)
-        n_tokens = tokens.str.len().astype("int64")
+        n_tokens = s.str.count(self.token_re).astype("int64")
         n_punct = s.str.count(self.punct_re).astype("int64")
         n_chars = s.str.len().astype("int64")
-        lowered = tokens.map(lambda ws: sum(1 for w in ws if w.lower() in STOPWORDS))
-        stop_ratio = np.where(n_tokens > 0, lowered / n_tokens.clip(lower=1), 0.0)
+        n_stop = s.str.lower().str.count(self.stop_re).astype("int64")
+        stop_ratio = np.where(n_tokens > 0, n_stop / n_tokens.clip(lower=1), 0.0)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -60,7 +76,7 @@ class TokenStats:
 def token_count_batch(batch: pa.Table) -> pa.Table:
     """Whitespace token count — cheap stateless variant (no actor needed)."""
     s = batch["text"].to_pandas().fillna("")
-    n = s.str.findall(r"\S+").str.len().astype("int64")
+    n = s.str.count(TOKEN_PATTERN).astype("int64")
     return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n)})
 
 
@@ -69,9 +85,9 @@ def quality_score_batch(batch: pa.Table) -> pa.Table:
     0.5 * min(1, tokens/100) + 0.5 * (1 - punct_char_ratio), rounded to 4
     decimals. Deterministic and SQL-mirrorable (see functions/queries.py)."""
     s = batch["text"].to_pandas().fillna("")
-    n_tokens = s.str.findall(r"\S+").str.len().astype("float64")
+    n_tokens = s.str.count(TOKEN_PATTERN).astype("float64")
     n_chars = s.str.len().astype("float64")
-    n_punct = s.str.count(r"[^\w\s]").astype("float64")
+    n_punct = s.str.count(PUNCT_PATTERN).astype("float64")
     punct_ratio = np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1.0), 0.0)
     score = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (1.0 - punct_ratio)
     return pa.table(
@@ -88,14 +104,8 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     A real system would plug fasttext here — this stage pins the *plumbing*
     (schema, vectorization) with a deterministic heuristic."""
     s = batch["text"].to_pandas().fillna("").str.lower()
-    toks = s.str.findall(r"\S+")
-
-    def count_in(markers):
-        mset = set(markers)
-        return toks.map(lambda ws: sum(1 for w in ws if w in mset)).astype("int64")
-
-    en = count_in(LANG_MARKERS["en"])
-    fr = count_in(LANG_MARKERS["fr"])
+    en = s.str.count(whole_token_pattern(LANG_MARKERS["en"])).astype("int64")
+    fr = s.str.count(whole_token_pattern(LANG_MARKERS["fr"])).astype("int64")
     label = np.where(en >= fr, np.where(en > 0, "en", "unknown"), "fr")
     return pa.table(
         {
