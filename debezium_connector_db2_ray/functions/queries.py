@@ -374,8 +374,8 @@ FROM documents
 def q_media_features(sf_dir: str):
     """Binary-payload decode plumbing through the decoder actor pool. The
     deterministic fake decoder's features are pure functions of the payload,
-    so the whole actor-pool stage is oracle-checked end to end (the real
-    decoder stays an honest NotImplementedError stub)."""
+    so the whole actor-pool stage is oracle-checked end to end (see
+    mm_real_decode for the REAL container-header decoder)."""
     from debezium_connector_db2_ray.functions.multimodal import (
         decode_media,
         pack_text_as_media,
@@ -901,6 +901,49 @@ def q_dedup_apply(sf_dir: str):
     )
 
 
+# mm_real_decode: dimensions are pure functions of doc_id (see
+# synthesize_media_batch), so SQL recomputes what the REAL header parser
+# must read back out of the PPM/BMP/WAV bytes — decode inverts encode.
+SQL_REAL_DECODE = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            ELSE 'wav' END AS format,
+       CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1
+            WHEN 1 THEN doc_id % 64 + 1 ELSE NULL END AS width,
+       CASE doc_id % 3 WHEN 0 THEN doc_id % 24 + 1
+            WHEN 1 THEN doc_id % 48 + 1 ELSE NULL END AS height,
+       CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 3 END AS channels,
+       CASE doc_id % 3 WHEN 2 THEN 8000 ELSE NULL END AS sample_rate,
+       CASE doc_id % 3 WHEN 2 THEN (doc_id % 500 + 1) * 1000 // 8000
+            ELSE NULL END AS duration_ms
+FROM documents
+"""
+
+
+def q_real_decode(sf_dir: str):
+    """REAL media decode: synthesize true PPM/BMP/WAV containers whose
+    dimensions are functions of doc_id, push them through the RealDecoder
+    actor pool (which parses the ACTUAL header bytes), and emit the parsed
+    metadata — oracle-checked because decode must invert encode."""
+    from debezium_connector_db2_ray.functions.multimodal import (
+        RealDecoder,
+        decode_media,
+        synthesize_media_batch,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        synthesize_media_batch, batch_format="pyarrow", batch_size=64
+    )
+    out = decode_media(ds, decoder=RealDecoder, concurrency=2)
+    return out.map_batches(
+        lambda t: t.select(
+            ["media_id", "format", "width", "height", "channels",
+             "sample_rate", "duration_ms"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "zh": 0.0}
 SAMPLE_DEFAULT = 1.0
 
@@ -1187,6 +1230,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "emb_near_dup_lsh": q_emb_near_dup_lsh,
     "mm_media_meta": q_media_meta,
     "mm_media_features": q_media_features,
+    "mm_real_decode": q_real_decode,
     "stream_tumbling_counts": q_tumbling_counts,
     "stream_sessionize": q_sessionize,
     "text_bpe_tokens": q_bpe_tokens,
@@ -1213,6 +1257,7 @@ DATA_ORACLES: dict[str, str] = {
     "ann_bruteforce": SQL_ANN,
     "emb_near_dup_exact": SQL_EMB_NEAR_DUP,
     "mm_media_meta": SQL_MEDIA_META,
+    "mm_real_decode": SQL_REAL_DECODE,
     "stream_tumbling_counts": SQL_TUMBLING,
     "stream_sessionize": SQL_SESSIONS,
     "text_bpe_tokens": SQL_BPE_TOKENS,

@@ -116,8 +116,67 @@ def test_fake_decoder_deterministic_and_real_decoder_stubbed(ray_session):
     assert (out1["payload_md5"].to_numpy() == out2["payload_md5"].to_numpy()).all()
     assert set(out1["kind"]) == {"image", "audio", "video"}
     assert (out1["n_bytes"] > 0).all()
-    with pytest.raises(NotImplementedError):
-        RealDecoder()(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+    with pytest.raises(ValueError):  # not a known container format
+        RealDecoder()._parse(b"\x89PNG not supported here")
+
+
+def test_real_decoder_parses_actual_container_bytes(ray_session):
+    """RealDecoder reads true header bytes — including foreign-encoder
+    quirks our synthesizer never writes (PPM comment lines, top-down BMP
+    with negative height, a WAV with an extra chunk before data)."""
+    import struct
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.multimodal import (
+        RealDecoder,
+        decode_media,
+        synthesize_media_batch,
+    )
+
+    parse = RealDecoder()._parse
+    ppm = b"P6\n# a comment\n640 480\n255\n" + bytes(640 * 480 * 3)
+    assert parse(ppm) == {
+        "format": "ppm", "width": 640, "height": 480, "channels": 3,
+    }
+    assert parse(b"P5\n8 4\n255\n" + bytes(32))["channels"] == 1
+    bmp = struct.pack(
+        "<2sIHHIIiiHHIIiiII", b"BM", 54, 0, 0, 54, 40, 13, -7, 1, 32,
+        0, 0, 0, 0, 0, 0,
+    )
+    assert parse(bmp) == {
+        "format": "bmp", "width": 13, "height": 7, "channels": 4,
+    }
+    data = bytes(16000)  # 1 s of 8 kHz mono 16-bit
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + 16 + 8 + 4 + 8 + len(data),
+                    b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    assert parse(wav) == {
+        "format": "wav", "channels": 1, "sample_rate": 8000,
+        "duration_ms": 1000,
+    }
+    # end-to-end through the actor pool: decode inverts encode
+    items = [{"doc_id": i} for i in range(30)]
+    ds = rd.from_items(items).map_batches(
+        synthesize_media_batch, batch_format="pyarrow", batch_size=8
+    )
+    out = decode_media(ds, decoder=RealDecoder, concurrency=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    for _, r in out.iterrows():
+        i = int(r["media_id"])
+        if i % 3 == 0:
+            assert r["format"] == "ppm" and r["width"] == i % 32 + 1
+            assert r["height"] == i % 24 + 1 and r["channels"] == 3
+        elif i % 3 == 1:
+            assert r["format"] == "bmp" and r["width"] == i % 64 + 1
+            assert r["height"] == i % 48 + 1
+        else:
+            assert r["format"] == "wav" and r["channels"] == 1 + i % 2
+            assert r["duration_ms"] == (i % 500 + 1) * 1000 // 8000
 
 
 def test_rolling_hash_prefilter_stability():
