@@ -10,6 +10,18 @@ module never calls ray.init):
   python -m debezium_connector_db2_ray.cli state --out /data/target --dest /data/export
   python -m debezium_connector_db2_ray.cli compact --out /data/target
   python -m debezium_connector_db2_ray.cli metrics --out /data/target
+
+Connector-level surface (one task, many captured tables — the reference's
+Db2Connector.java:55-61 single-task model; per-table lakes live under a
+shared root):
+
+  python -m debezium_connector_db2_ray.cli connector snapshot \
+      --root /data/lakehouse --lake TABLEA=/data/a.parquet \
+      --lake TABLEB=/data/b.parquet --snapshot-lsn 1000
+  python -m debezium_connector_db2_ray.cli connector replay \
+      --root /data/lakehouse --stream /data/stream.parquet --to-lsn 500000 \
+      --windows 4 [--lake TABLEA=/data/a.parquet ...]  # lakes enable signals
+  python -m debezium_connector_db2_ray.cli connector status --root /data/lakehouse
 """
 
 from __future__ import annotations
@@ -86,6 +98,45 @@ def main(argv=None) -> int:
     sg.add_argument("--data", default="{}", help="JSON payload, e.g. "
                     '\'{"type": "INCREMENTAL", "chunks": 4}\'')
 
+    cn = sub.add_parser("connector", help="multi-table coordinator (one "
+                        "task, many captured tables)")
+    csub = cn.add_subparsers(dest="ccmd", required=True)
+
+    def _common(cp_):
+        cp_.add_argument("--root", required=True)
+        cp_.add_argument("--partitions", type=int, default=32)
+        cp_.add_argument("--salt", type=int, default=1)
+        cp_.add_argument("--include", default=None,
+                         help="comma-separated table.include.list")
+        cp_.add_argument("--exclude", default="",
+                         help="comma-separated table.exclude.list")
+
+    cs = csub.add_parser("snapshot")
+    _common(cs)
+    cs.add_argument("--lake", action="append", default=[], metavar="TABLE=PATH",
+                    required=True)
+    cs.add_argument("--snapshot-lsn", type=int, required=True)
+    cs.add_argument("--mode", default="initial")
+
+    cr = csub.add_parser("replay")
+    _common(cr)
+    cr.add_argument("--stream", required=True,
+                    help="shared changelog parquet carrying the routing column")
+    cr.add_argument("--routing-col", default="src_table")
+    cr.add_argument("--from-lsn", type=int, default=None,
+                    help="default: resume from the earliest per-table watermark")
+    cr.add_argument("--to-lsn", type=int, required=True)
+    cr.add_argument("--windows", type=int, default=4)
+    cr.add_argument("--exchange", choices=("shuffle", "write"),
+                    default="shuffle")
+    cr.add_argument("--no-validate", action="store_true")
+    cr.add_argument("--lake", action="append", default=[], metavar="TABLE=PATH",
+                    help="current source lakes; providing them enables "
+                    "draining root + per-table signal channels between windows")
+
+    ct = csub.add_parser("status")
+    ct.add_argument("--root", required=True)
+
     args = p.parse_args(argv)
 
     from debezium_connector_db2_ray.lsn import Lsn
@@ -107,6 +158,28 @@ def main(argv=None) -> int:
         m = collect_metrics(args.out)
         print(json.dumps({"metrics": asdict(m), "catalog": catalog(args.out)},
                          default=str, indent=1))
+        return 0
+
+    if args.cmd == "connector" and args.ccmd == "status":
+        import os
+
+        from debezium_connector_db2_ray.state.manifest import load_manifests
+
+        out = {}
+        root = args.root
+        if os.path.isdir(root):
+            for t in sorted(os.listdir(root)):
+                tdir = os.path.join(root, t)
+                if not os.path.isdir(os.path.join(tdir, "_manifests")):
+                    continue
+                wm = committed_watermark(tdir)
+                ms = load_manifests(tdir)
+                out[t] = {
+                    "watermark": wm.to_int() if wm is not None else None,
+                    "windows": len(ms),
+                    "kinds": sorted({m.kind for m in ms}),
+                }
+        print(json.dumps({"tables": out}))
         return 0
 
     ray = _ray_init(args.num_cpus)
@@ -150,6 +223,73 @@ def main(argv=None) -> int:
                 ),
             )
             print(json.dumps({"committed_windows": [m.window_id for m in ms]}))
+        elif args.cmd == "connector":
+            from debezium_connector_db2_ray.connector import CdcConnector
+
+            conn = CdcConnector(
+                root_dir=args.root,
+                num_partitions=args.partitions,
+                salt=args.salt,
+                table_include=(
+                    tuple(x for x in args.include.split(",") if x)
+                    if args.include is not None else None
+                ),
+                table_exclude=tuple(
+                    x for x in args.exclude.split(",") if x
+                ),
+                **(
+                    {"exchange": args.exchange,
+                     "validate_pairs": not args.no_validate
+                     and args.exchange == "shuffle"}
+                    if args.ccmd == "replay" else {}
+                ),
+            )
+            lakes = {}
+            for spec in args.lake:
+                table, _, path = spec.partition("=")
+                if not path:
+                    print(f"--lake expects TABLE=PATH, got {spec!r}",
+                          file=sys.stderr)
+                    return 2
+                lakes[table] = (lambda pth=path: rd.read_parquet(pth))
+            if args.ccmd == "snapshot":
+                snaps = conn.snapshot_all(
+                    {t: f() for t, f in lakes.items()},
+                    Lsn.from_int(args.snapshot_lsn), mode=args.mode,
+                )
+                print(json.dumps(
+                    {"snapshots": {
+                        t: (m.window_id if m is not None else None)
+                        for t, m in snaps.items()
+                    }}
+                ))
+            else:  # replay
+                conn.routing_col = args.routing_col
+                stream = rd.read_parquet(args.stream)
+                if args.from_lsn is not None:
+                    from_lsn = Lsn.from_int(args.from_lsn)
+                else:
+                    wms = [
+                        committed_watermark(
+                            conn.engine(t).out_dir
+                        )
+                        for t in conn.discover_tables(stream)
+                    ]
+                    wms = [w for w in wms if w is not None]
+                    if not wms:
+                        print("no committed watermark and no --from-lsn",
+                              file=sys.stderr)
+                        return 2
+                    from_lsn = min(wms)
+                ms = conn.replay(
+                    stream, from_lsn, Lsn.from_int(args.to_lsn),
+                    args.windows, lakes=lakes or None,
+                )
+                print(json.dumps(
+                    {"streams": {
+                        t: [m.window_id for m in mm] for t, mm in ms.items()
+                    }}
+                ))
         elif args.cmd == "state":
             eng = CdcEngine(out_dir=args.out)
             eng.state_dataset().write_parquet(args.dest)

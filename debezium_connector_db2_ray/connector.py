@@ -94,17 +94,27 @@ class CdcConnector:
             )
         return out
 
-    def replay(self, stream, from_lsn: Lsn, to_lsn: Lsn, n_windows: int):
+    def replay(self, stream, from_lsn: Lsn, to_lsn: Lsn, n_windows: int,
+               *, lakes: dict | None = None):
         """Replay a SHARED change stream carrying ``routing_col``: windows
         are planned once; each window's slice is materialized ONCE and every
         captured table applies its routed view of it — the reference's
         single task emitting to per-table topics. The materialize is the
         deliberate bounded exception: it holds ONE window's events (the
         streaming working set), so T tables cost one scan + T in-memory
-        filters instead of T full re-scans of the source."""
+        filters instead of T full re-scans of the source.
+
+        When ``lakes`` (table -> Dataset or zero-arg factory) is given, the
+        root and per-table signal channels are drained BETWEEN windows —
+        the reference's SignalProcessor poll between streaming iterations
+        (Db2ConnectorTask.java:142-161). Without it, snapshot signals have
+        no source to read and draining is skipped."""
         tables = self.discover_tables(stream)
         manifests = {t: [] for t in tables}
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
+            if lakes is not None:
+                for t, ms in self.drain_signals(lakes, tables).items():
+                    manifests.setdefault(t, []).extend(ms)
             win = stream.map_batches(
                 _window_slice(lo, hi), batch_format="pyarrow"
             ).materialize()
@@ -115,7 +125,44 @@ class CdcConnector:
                 m = self.engine(table).replay_window(routed, lo, hi)
                 if m is not None:
                     manifests[table].append(m)
+        if lakes is not None:
+            for t, ms in self.drain_signals(lakes, tables).items():
+                manifests.setdefault(t, []).extend(ms)
         return manifests
+
+    def drain_signals(self, lakes: dict, tables=None) -> dict:
+        """Drain the ROOT signal channel plus every captured table's channel.
+        A root signal may target a subset via data['data-collections'] (the
+        reference's signal field); it is routed by durably re-enqueueing to
+        each target table's channel, then acked. A kill between forward and
+        ack re-forwards on resume — the per-table actions are idempotent
+        (chunk-resume + LWW), matching the engine's at-least-once signal
+        contract."""
+        from debezium_connector_db2_ray.state.signals import (
+            mark_processed,
+            pending_signals,
+            send_signal,
+        )
+
+        if tables is None:
+            tables = [t for t in lakes if self.captures(t)]
+        for sig in pending_signals(self.root_dir):
+            data = dict(sig.data or {})
+            targets = data.pop("data-collections", None) or tables
+            for t in targets:
+                if t in tables:
+                    send_signal(os.path.join(self.root_dir, t), sig.type, data)
+            mark_processed(self.root_dir, sig.id)
+        out = {}
+        for t in tables:
+            lk = lakes.get(t)
+            if lk is None:
+                continue
+            source = lk if callable(lk) else (lambda lk=lk: lk)
+            ms = self.engine(t).drain_signals(source)
+            if ms:
+                out[t] = ms
+        return out
 
     def run(self, lakes: dict, stream, snapshot_lsn: Lsn, to_lsn: Lsn,
             n_windows: int, *, mode="initial"):
@@ -130,7 +177,9 @@ class CdcConnector:
             return {"snapshots": snaps, "streams": {}}
         return {
             "snapshots": snaps,
-            "streams": self.replay(stream, snapshot_lsn, to_lsn, n_windows),
+            "streams": self.replay(
+                stream, snapshot_lsn, to_lsn, n_windows, lakes=lakes
+            ),
         }
 
     def state(self, table: str):

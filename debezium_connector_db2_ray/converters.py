@@ -81,13 +81,21 @@ class ColumnSpec:
     def effective_length(self) -> int | None:
         if self.length is not None:
             return self.length
-        return self._parenthesized()[0]
+        ln, sc = self._parenthesized()
+        # TIMESTAMP(9)/TIME(3): the single parenthesized value is the
+        # fractional-second SCALE, not a length
+        if sc is None and self.base_type in ("TIMESTAMP", "TIME"):
+            return None
+        return ln
 
     @property
     def effective_scale(self) -> int | None:
         if self.scale is not None:
             return self.scale
-        return self._parenthesized()[1]
+        ln, sc = self._parenthesized()
+        if sc is None and self.base_type in ("TIMESTAMP", "TIME"):
+            return ln
+        return sc
 
 
 class Db2ValueConverters:
@@ -139,9 +147,10 @@ class Db2ValueConverters:
         if t == "TIME":
             return pa.time64("us")
         if t == "TIMESTAMP":
-            # temporal precision follows the column scale
-            # (Db2ValueConverters.java:119-124); Arrow has s/ms/us/ns steps
-            s = col.scale if col.scale is not None else 6
+            # temporal precision follows the column scale — including a
+            # TIMESTAMP(9)-style type name, whose parenthesized value binds
+            # to scale (Db2ValueConverters.java:119-124); Arrow s/ms/us/ns
+            s = col.effective_scale if col.effective_scale is not None else 6
             unit = "s" if s == 0 else ("ms" if s <= 3 else ("us" if s <= 6 else "ns"))
             return pa.timestamp(unit)
         if t in ("CHAR", "NCHAR", "VARCHAR", "NVARCHAR", "CLOB"):

@@ -219,15 +219,18 @@ def interval_join(
         cm = np.maximum.accumulate(m)
         in_run = cm >= run_start
         sorted_g = group.take(pa.array(order))
-        ends = sorted_g["__end"].to_numpy(zero_copy_only=False)
+        # fill the point rows' null __end with int64 min BEFORE to_numpy:
+        # a null-carrying int64 column otherwise promotes to float64, which
+        # is silently lossy for tick values beyond 2^53 (nanosecond epochs).
+        # The fill value never leaks — `contained` requires in_run anyway.
+        ends = (
+            pc.fill_null(sorted_g["__end"], np.iinfo(np.int64).min)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         li = np.flatnonzero(side_s == 0)
         src = cm[li]
         safe = np.where(in_run[li], src, 0).astype(np.int64)
-        contained = in_run[li] & (
-            t_[order][li] <= np.where(
-                in_run[li], ends[safe].astype("float64"), -np.inf
-            )
-        )
+        contained = in_run[li] & (t_[order][li] <= ends[safe])
         out_cols = {key: sorted_g[key].take(pa.array(li))}
         for c in pcols:
             if c != key:

@@ -459,7 +459,12 @@ class CdcEngine:
                 self._record_schema("CREATE", snapshot_lsn, _arrow_schema(lake))
             except Exception:
                 pass  # schema introspection is best-effort lineage
-        if snap.should_snapshot_data(offset_exists, in_progress):
+        take_data = snap.should_snapshot_data(offset_exists, in_progress)
+        if not take_data and offset_exists and in_progress:
+            # offsets exist but the prior snapshot never completed — the
+            # data-error condition the snapshot.on.data.error flag governs
+            take_data = snap.should_snapshot_on_data_error()
+        if take_data:
             cols = snap.snapshot_projection(
                 self.table_name, list(_arrow_schema(lake).names)
             )

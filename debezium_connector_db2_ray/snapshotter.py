@@ -34,6 +34,12 @@ class Snapshotter:
     def should_stream(self) -> bool:
         return True
 
+    def should_snapshot_on_data_error(self) -> bool:
+        """Re-snapshot when offsets exist but the data state is damaged
+        (an incomplete prior snapshot) — the reference's
+        snapshot.mode.configuration.based.snapshot.on.data.error flag."""
+        return False
+
     def snapshot_projection(self, table: str,
                             columns: list[str]) -> list[str] | None:
         """Columns the table's snapshot SELECT reads; None skips the table
@@ -86,9 +92,12 @@ class WhenNeededSnapshotter(Snapshotter):
 
 
 class ConfigurationBasedSnapshotter(Snapshotter):
-    """Every decision driven by explicit flags — the reference's
-    snapshot.mode.configuration.based.* properties
-    (Db2ConnectorConfig.java:100-103)."""
+    """Every decision driven purely by the configured flags — the
+    reference's snapshot.mode.configuration.based.* properties
+    (Db2ConnectorConfig.java:100-103). ``snapshot_data=True`` therefore
+    re-snapshots on EVERY start (so it replaces, like ALWAYS);
+    ``snapshot_on_data_error=True`` additionally re-snapshots when offsets
+    exist but a prior snapshot never completed (the data-error analog)."""
 
     name = "configuration_based"
 
@@ -99,15 +108,20 @@ class ConfigurationBasedSnapshotter(Snapshotter):
         self._schema = snapshot_schema
         self._stream = stream
         self._on_data_error = snapshot_on_data_error
+        # a flag-driven re-snapshot over existing state must supersede it
+        self.replace = snapshot_data or snapshot_on_data_error
 
     def should_snapshot_data(self, offset_exists, snapshot_in_progress):
-        return self._data and (not offset_exists or snapshot_in_progress)
+        return self._data
 
     def should_snapshot_schema(self, offset_exists, snapshot_in_progress):
         return self._schema
 
     def should_stream(self) -> bool:
         return self._stream
+
+    def should_snapshot_on_data_error(self) -> bool:
+        return self._on_data_error
 
 
 _MODES = {

@@ -213,3 +213,21 @@ def test_source_ts_ms_respects_timestamp_unit():
             ts_before="nope",
         )
         assert out["source_ts_ms"][0].as_py() == 12_000, unit
+
+
+def test_timestamp_paren_value_binds_to_scale():
+    """TIMESTAMP(9) parses the 9 as the fractional-second SCALE, not a
+    length, so nanosecond precision survives (reference derives temporal
+    precision from column scale, Db2ValueConverters.java:119-124)."""
+    conv = Db2ValueConverters()
+    assert conv.arrow_type(ColumnSpec("t", "TIMESTAMP(9)")) == pa.timestamp("ns")
+    assert conv.arrow_type(ColumnSpec("t", "TIMESTAMP(3)")) == pa.timestamp("ms")
+    assert conv.arrow_type(ColumnSpec("t", "TIMESTAMP(0)")) == pa.timestamp("s")
+    assert conv.arrow_type(ColumnSpec("t", "TIMESTAMP")) == pa.timestamp("us")
+    assert ColumnSpec("t", "TIMESTAMP(9)").effective_scale == 9
+    assert ColumnSpec("t", "TIMESTAMP(9)").effective_length is None
+    # an explicit scale attribute still wins over the type-name suffix
+    assert ColumnSpec("t", "TIMESTAMP(9)", scale=3).effective_scale == 3
+    # DECIMAL keeps (length, scale) binding
+    spec = ColumnSpec("d", "DECIMAL(10,2)")
+    assert spec.effective_length == 10 and spec.effective_scale == 2

@@ -281,3 +281,164 @@ def test_connector_kill_resume_multi_table(ray_session, tmp_path):
             conn2.state(name).to_pandas(), preserve_index=False
         ).select(expected.column_names)
         assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_connector_root_signal_routed_and_drained(ray_session, tmp_path):
+    """A signal enqueued at the connector ROOT (optionally targeted via
+    data-collections) is routed to the per-table channels and processed
+    between replay windows — the reference's single signal channel feeding
+    the one streaming task (Db2ConnectorTask.java:142-161)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.state.signals import (
+        pending_signals,
+        send_signal,
+    )
+
+    sc_a = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=80, seed=71)
+    sc_b = generate_scenario(n_convs=6, turns_per_conv=3, n_commits=60, seed=72)
+    d = tmp_path / "data"
+    d.mkdir()
+    cl_a = sc_a.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc_a.changelog.num_rows)
+    )
+    cl_b = sc_b.changelog.append_column(
+        "src_table", pa.array(["TABLEB"] * sc_b.changelog.num_rows)
+    )
+    pq.write_table(pa.concat_tables([cl_a, cl_b]), str(d / "stream.parquet"))
+
+    root = str(tmp_path / "lakehouse")
+    conn = CdcConnector(root_dir=root, num_partitions=4)
+    lakes = {
+        "TABLEA": rd.from_arrow(sc_a.lake),
+        "TABLEB": rd.from_arrow(sc_b.lake),
+    }
+    conn.snapshot_all(lakes, sc_a.snapshot_lsn)
+    # root-level signal targeting ONLY TABLEA
+    send_signal(
+        root, "execute-snapshot",
+        {"type": "INCREMENTAL", "chunks": 2, "data-collections": ["TABLEA"]},
+    )
+    stream = rd.read_parquet(str(d / "stream.parquet"))
+    hi = Lsn(0, max(sc_a.max_lsn.to_int(), sc_b.max_lsn.to_int()))
+    ms = conn.replay(stream, sc_a.snapshot_lsn, hi, 2, lakes=lakes)
+    # the root signal is acked, TABLEA got incremental-snapshot manifests,
+    # TABLEB did not
+    assert pending_signals(root) == []
+    assert pending_signals(os.path.join(root, "TABLEA")) == []
+    a_kinds = {m.kind for m in ms["TABLEA"]}
+    assert any(k.startswith("snapshot_chunk") for k in a_kinds), a_kinds
+    assert not any(
+        m.kind.startswith("snapshot_chunk") for m in ms["TABLEB"]
+    )
+    # correctness preserved for both tables
+    for name, sc in (("TABLEA", sc_a), ("TABLEB", sc_b)):
+        expected = oracle_apply(sc.lake, sc.ordered_changelog, sc.snapshot_lsn)
+        got = pa.Table.from_pandas(
+            conn.state(name).to_pandas(), preserve_index=False
+        ).select(expected.column_names)
+        assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_zero_row_window_still_advances_watermark(ray_session, tmp_path):
+    """Heartbeat contract (DatabaseHeartbeatImpl intent,
+    Db2ConnectorConfig.java:541): a window containing NO events for the
+    table must still commit a manifest that advances the resume watermark,
+    so an idle table's offset keeps moving with the stream."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.replay import committed_watermark
+
+    sc = generate_scenario(n_convs=6, turns_per_conv=3, n_commits=50, seed=73)
+    out = str(tmp_path / "hb")
+    eng = CdcEngine(out_dir=out, num_partitions=2)
+    eng.snapshot(rd.from_arrow(sc.lake), sc.snapshot_lsn)
+    # a window strictly ABOVE every event in the stream: zero rows inside
+    lo = Lsn(0, sc.max_lsn.to_int() + 1000)
+    hi = Lsn(0, sc.max_lsn.to_int() + 2000)
+    stream = rd.from_arrow(sc.changelog)
+    m = eng.replay_window(stream, lo, hi)
+    assert m is not None and m.partitions == {}
+    assert committed_watermark(out) == hi
+    # resume planning starts after the advanced watermark: replaying the
+    # same empty window again is a no-op skip
+    m2 = eng.replay_window(stream, lo, hi)
+    assert committed_watermark(out) == hi
+
+
+def test_cli_connector_two_table_replay_and_resume(tmp_path):
+    """The connector-level CLI drives a 2-table snapshot + replay, reports
+    per-table status, and a second replay invocation RESUMES from the
+    committed watermarks (no --from-lsn) without double-applying — the
+    reference's one-task-many-tables operator surface
+    (Db2Connector.java:55-61)."""
+    import json
+    import subprocess
+    import sys
+
+    sc_a = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=80, seed=81)
+    sc_b = generate_scenario(n_convs=6, turns_per_conv=3, n_commits=60, seed=82)
+    d = tmp_path / "data"
+    d.mkdir()
+    cl_a = sc_a.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc_a.changelog.num_rows)
+    )
+    cl_b = sc_b.changelog.append_column(
+        "src_table", pa.array(["TABLEB"] * sc_b.changelog.num_rows)
+    )
+    pq.write_table(pa.concat_tables([cl_a, cl_b]), str(d / "stream.parquet"))
+    pq.write_table(sc_a.lake, str(d / "lake_a.parquet"))
+    pq.write_table(sc_b.lake, str(d / "lake_b.parquet"))
+    root = str(tmp_path / "lakehouse")
+
+    def cli(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "debezium_connector_db2_ray.cli",
+             "--num-cpus", "2", *argv],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    snap_lsn = sc_a.snapshot_lsn.to_int()
+    out = cli(
+        "connector", "snapshot", "--root", root,
+        "--lake", f"TABLEA={d / 'lake_a.parquet'}",
+        "--lake", f"TABLEB={d / 'lake_b.parquet'}",
+        "--snapshot-lsn", str(snap_lsn), "--partitions", "4",
+    )
+    assert set(out["snapshots"]) == {"TABLEA", "TABLEB"}
+    mid = (snap_lsn + sc_a.max_lsn.to_int()) // 2
+    hi = max(sc_a.max_lsn.to_int(), sc_b.max_lsn.to_int())
+    out = cli(
+        "connector", "replay", "--root", root,
+        "--stream", str(d / "stream.parquet"),
+        "--from-lsn", str(snap_lsn), "--to-lsn", str(mid),
+        "--windows", "2", "--partitions", "4",
+    )
+    assert set(out["streams"]) == {"TABLEA", "TABLEB"}
+    # resume: NO --from-lsn — picks up from the committed watermarks
+    out = cli(
+        "connector", "replay", "--root", root,
+        "--stream", str(d / "stream.parquet"),
+        "--to-lsn", str(hi), "--windows", "2", "--partitions", "4",
+    )
+    status = cli("connector", "status", "--root", root)
+    assert set(status["tables"]) == {"TABLEA", "TABLEB"}
+    for t in ("TABLEA", "TABLEB"):
+        assert status["tables"][t]["watermark"] == hi
+    # exactness after the resumed two-phase replay
+    import ray.data as rd  # session-level ray from other tests may be gone
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+
+    conn = CdcConnector(root_dir=root, num_partitions=4)
+    for name, sc in (("TABLEA", sc_a), ("TABLEB", sc_b)):
+        expected = oracle_apply(sc.lake, sc.ordered_changelog, sc.snapshot_lsn)
+        got = pa.Table.from_pandas(
+            conn.state(name).to_pandas(), preserve_index=False
+        ).select(expected.column_names)
+        assert sorted_pdf(got).equals(sorted_pdf(expected))

@@ -237,3 +237,45 @@ def test_connector_run_respects_should_stream(ray_session, tmp_path):
     assert res["streams"] == {}  # policy said don't stream
     got = conn.state("T1").to_pandas()
     assert set(got["conv_id"]) == {"c1", "c2"}  # snapshot only, no c9
+
+
+def test_configuration_based_raw_flags_and_data_error(ray_session, tmp_path):
+    """Configuration-based decisions come from the RAW flags (reference
+    semantics): data=True re-snapshots on every start (and therefore
+    replaces); data=False + snapshot_on_data_error=True re-snapshots only
+    when offsets exist but a prior snapshot never completed."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.snapshotter import (
+        ConfigurationBasedSnapshotter,
+    )
+
+    cb = ConfigurationBasedSnapshotter(snapshot_data=True)
+    assert cb.should_snapshot_data(True, False)  # raw flag, offset ignored
+    assert cb.replace
+    assert not cb.should_snapshot_on_data_error()
+    err = ConfigurationBasedSnapshotter(
+        snapshot_data=False, snapshot_on_data_error=True
+    )
+    assert not err.should_snapshot_data(True, True)
+    assert err.should_snapshot_on_data_error()
+
+    out = str(tmp_path / "cb")
+    eng = CdcEngine(out_dir=out, num_partitions=2)
+    eng.run_snapshot(rd.from_arrow(LAKE), Lsn(0, 100), mode=cb)
+    # restart with data=True: re-snapshots AND supersedes prior state
+    lake_v2 = LAKE.set_column(
+        LAKE.column_names.index("text"), "text", pa.array(["one-v2", "two-v2"])
+    )
+    m = eng.run_snapshot(rd.from_arrow(lake_v2), Lsn(0, 200), mode=cb)
+    assert m is not None and m.kind == "snapshot_replace"
+    got = eng.state_dataset().to_pandas()
+    assert set(got["text"]) == {"one-v2", "two-v2"}
+    # data=False never snapshots, even on first start
+    out2 = str(tmp_path / "cb2")
+    eng2 = CdcEngine(out_dir=out2, num_partitions=2)
+    m2 = eng2.run_snapshot(
+        rd.from_arrow(LAKE), Lsn(0, 100),
+        mode=ConfigurationBasedSnapshotter(snapshot_data=False),
+    )
+    assert m2 is not None and m2.kind == "schema_only"
