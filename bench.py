@@ -258,6 +258,59 @@ def run_gate_queries(timings: dict) -> None:
         )
 
 
+def run_joins_job() -> None:
+    """Joins-only job for the scaling harness: the repartition equi-join and
+    the as-of join over the SF_DIR fixtures — the exchange shapes added in
+    round 2, measured at each parallelism level like the replay headline."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.queries import DATA_QUERIES
+
+    # warm page cache + worker pool
+    for f in ("lineitem.parquet", "orders.parquet", "events.parquet"):
+        warm_page_cache([os.path.join(SF_DIR, f)])
+    rd.range(NCPU * 4, override_num_blocks=NCPU * 4).count()
+    n_rows = 0
+    total = 0.0
+    timings = {}
+    for name in ("orders_revenue_join", "events_asof_join"):
+        t0 = time.perf_counter()
+        res = DATA_QUERIES[name](SF_DIR)
+        n = res.count() if hasattr(res, "count") else len(res)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        n_rows += n
+    print(
+        json.dumps(
+            {
+                "metric": "join-family wall time (repartition + asof)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "events_per_sec": round(
+                    _join_input_rows() / total
+                ),
+                "sf": SF_DIR,
+                "num_cpus": NCPU,
+            }
+        )
+    )
+
+
+def _join_input_rows() -> int:
+    """Rows the two join jobs move through their exchanges (lineitem +
+    orders + 2x events) — the throughput denominator."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f, mult in (("lineitem.parquet", 1), ("orders.parquet", 1),
+                    ("events.parquet", 2)):
+        n += mult * pq.read_metadata(os.path.join(SF_DIR, f)).num_rows
+    return n
+
+
 def main() -> None:
     import ray
 
@@ -273,6 +326,11 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+
+    if os.environ.get("BENCH_JOINS_ONLY") == "1":
+        run_joins_job()
+        ray.shutdown()
+        return
 
     timings: dict = {}
     headline = run_headline(timings)
@@ -331,57 +389,76 @@ def scaling() -> None:
     the output)."""
     levels = [int(x) for x in os.environ.get("SCALE_LEVELS", "2,8,32").split(",")]
     repeats = int(os.environ.get("SCALE_REPEATS", "2"))
-    results = {}
-    all_runs: dict[str, list] = {}
-    for n in levels:
-        best = None
-        runs = []
-        for _ in range(repeats):
-            env = dict(os.environ)
-            # scaling-mode defaults: big enough that compute dominates the
-            # per-window fixed costs, few windows, no side queries
-            env.setdefault("BENCH_EVENTS", "50000000")
-            env.setdefault("BENCH_CONVS", "1000000")
-            env.setdefault("BENCH_WINDOWS", "2")
-            env.update(RAY_GRAFT_CPUS=str(n), BENCH_SKIP_QUERIES="1")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            runs.append(r["value"])
-            if best is None or r["events_per_sec"] > best["events_per_sec"]:
-                best = r
-        # best-of-K: the sandbox host's capacity fluctuates with co-tenant
-        # load (the pure-CPU probe varies 0.7-1.3x between runs), so the
-        # fastest run is the least-contended measurement of the engine
-        results[n] = best
-        all_runs[str(n)] = runs
 
-    def eff(lo, hi):
-        return round(
-            (results[hi]["events_per_sec"] / results[lo]["events_per_sec"])
-            / (hi / lo),
-            3,
-        )
+    def measure(extra_env: dict) -> tuple[dict, dict]:
+        results, all_runs = {}, {}
+        for n in levels:
+            best, runs = None, []
+            for _ in range(repeats):
+                env = dict(os.environ)
+                # scaling-mode defaults: big enough that compute dominates
+                # the per-window fixed costs, few windows, no side queries
+                env.setdefault("BENCH_EVENTS", "50000000")
+                env.setdefault("BENCH_CONVS", "1000000")
+                env.setdefault("BENCH_WINDOWS", "2")
+                env.update(RAY_GRAFT_CPUS=str(n), **extra_env)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True,
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                runs.append(r["value"])
+                if best is None or r["events_per_sec"] > best["events_per_sec"]:
+                    best = r
+            # best-of-K: the sandbox host's capacity fluctuates with
+            # co-tenant load (the pure-CPU probe varies 0.7-1.3x between
+            # runs), so the fastest run is the least-contended measurement
+            results[n] = best
+            all_runs[str(n)] = runs
+        return results, all_runs
 
-    pairs = {}
-    for lo, hi in zip(levels, levels[1:]):
-        pairs[f"{lo}->{hi}"] = eff(lo, hi)
-    report = {
-        "metric": "scaling efficiency (fresh ray.init per level, identical input)",
-        "levels": {
+    def pairs_of(results: dict) -> dict:
+        out = {}
+        for lo, hi in zip(levels, levels[1:]):
+            out[f"{lo}->{hi}"] = round(
+                (results[hi]["events_per_sec"]
+                 / results[lo]["events_per_sec"]) / (hi / lo),
+                3,
+            )
+        return out
+
+    def levels_of(results: dict) -> dict:
+        return {
             str(n): {
                 "sec": results[n]["value"],
                 "events_per_sec": results[n]["events_per_sec"],
             }
             for n in levels
-        },
+        }
+
+    results, all_runs = measure({"BENCH_SKIP_QUERIES": "1"})
+    pairs = pairs_of(results)
+    report = {
+        "metric": "scaling efficiency (fresh ray.init per level, identical input)",
+        "levels": levels_of(results),
         "scaling_efficiency_pairs": pairs,
         "scaling_efficiency": pairs.get("2->8", next(iter(pairs.values()))),
         "all_runs_sec": all_runs,
         "host_pure_cpu_efficiency": host_capacity_probe(),
     }
+    if os.environ.get("SCALE_SKIP_JOINS") != "1":
+        # the join-family exchanges (repartition equi-join + as-of join)
+        # carry their own scaling evidence alongside the replay headline
+        jres, jruns = measure({"BENCH_JOINS_ONLY": "1"})
+        jpairs = pairs_of(jres)
+        report["joins"] = {
+            "levels": levels_of(jres),
+            "scaling_efficiency_pairs": jpairs,
+            "per_query_sec_best": {
+                str(n): jres[n].get("queries", {}) for n in levels
+            },
+            "all_runs_sec": jruns,
+        }
     print(json.dumps(report))
 
 
