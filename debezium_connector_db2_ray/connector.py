@@ -40,6 +40,12 @@ class CdcConnector:
     #: (table.include.list takes precedence)
     table_include: tuple[str, ...] | None = None
     table_exclude: tuple[str, ...] = ()
+    #: per-table payload-column projection — the reference's
+    #: column.exclude.list inherited from RelationalDatabaseConnectorConfig
+    #: (Db2ConnectorConfig.java imports it). Applied at BOTH snapshot and
+    #: stream so every state generation shares the projected schema. Key
+    #: columns and changelog metadata cannot be excluded.
+    column_exclude: dict[str, tuple[str, ...]] = field(default_factory=dict)
     routing_col: str = "src_table"
     _engines: dict[str, CdcEngine] = field(default_factory=dict, repr=False)
 
@@ -67,6 +73,39 @@ class CdcConnector:
         )
         return [t for t in names if self.captures(t)]
 
+    #: changelog metadata the projection may never touch
+    _PROTECTED_COLS = (
+        "commit_lsn_hi", "commit_lsn_lo", "intent_lsn_hi", "intent_lsn_lo",
+        "op",
+    )
+
+    def excluded_columns(self, table: str) -> tuple[str, ...]:
+        """Validated column.exclude.list for one table: key columns and
+        changelog metadata are refused loudly (excluding a key would change
+        identity; excluding LSNs would break ordering)."""
+        drops = tuple(self.column_exclude.get(table, ()))
+        if not drops:
+            return ()
+        keys = tuple(self.engine(table).key_columns)
+        bad = [c for c in drops if c in keys or c in self._PROTECTED_COLS]
+        if bad:
+            raise ValueError(
+                f"column_exclude for {table} names key/metadata columns {bad}"
+            )
+        return drops
+
+    def _projector(self, table: str):
+        drops = self.excluded_columns(table)
+        if not drops:
+            return None
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(
+                [c for c in drops if c in batch.column_names]
+            )
+
+        return fn
+
     def engine(self, table: str) -> CdcEngine:
         eng = self._engines.get(table)
         if eng is None:
@@ -89,6 +128,9 @@ class CdcConnector:
         for table, lake in lakes.items():
             if not self.captures(table):
                 continue
+            proj = self._projector(table)
+            if proj is not None:
+                lake = lake.map_batches(proj, batch_format="pyarrow")
             out[table] = self.engine(table).run_snapshot(
                 lake, snapshot_lsn, mode=mode
             )
@@ -122,6 +164,11 @@ class CdcConnector:
                 routed = win.map_batches(
                     _route(self.routing_col, table), batch_format="pyarrow"
                 )
+                proj = self._projector(table)
+                if proj is not None:
+                    # column.exclude.list applied to the STREAM too, so
+                    # every state generation shares the projected schema
+                    routed = routed.map_batches(proj, batch_format="pyarrow")
                 m = self.engine(table).replay_window(routed, lo, hi)
                 if m is not None:
                     manifests[table].append(m)

@@ -901,6 +901,68 @@ def q_dedup_apply(sf_dir: str):
     )
 
 
+# PII redaction: patterns are RE2-safe (no lookarounds, ASCII classes) and
+# shared VERBATIM between the pandas kernel and the DuckDB oracle. Fixture
+# text carries no PII, so deterministic synthetic PII is injected (same
+# arithmetic both sides) to make the replacement path non-trivial.
+EMAIL_PATTERN = r"[0-9A-Za-z._%+-]+@[0-9A-Za-z.-]+\.[A-Za-z]{2,}"
+LONGNUM_PATTERN = r"[0-9]{7,}"
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN coalesce(text, '') || ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@example.com or id '
+                   || CAST(1000000 + doc_id AS VARCHAR)
+              ELSE coalesce(text, '') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT)
+           AS n_emails,
+       regexp_replace(regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+                      '{LONGNUM_PATTERN}', '<NUM>', 'g') AS clean
+FROM aug
+"""
+
+
+def q_pii_redact(sf_dir: str):
+    """Training-data PII scrub: inject deterministic synthetic emails/ids,
+    then redact emails and 7+-digit runs — one vectorized C-regex pass per
+    rule per batch; oracle recomputes the identical transform."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch["text"].to_pandas().fillna("")
+        inject = pa.array(ids % 5 == 0)
+        aug = s.where(
+            ~inject.to_numpy(zero_copy_only=False),
+            s
+            + " contact user"
+            + pd.Series(ids.astype(str), index=s.index)
+            + "@example.com or id "
+            + pd.Series((1_000_000 + ids).astype(str), index=s.index),
+        )
+        n_emails = aug.str.count(EMAIL_PATTERN).astype("int64")
+        clean = aug.str.replace(
+            EMAIL_PATTERN, "<EMAIL>", regex=True
+        ).str.replace(LONGNUM_PATTERN, "<NUM>", regex=True)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": pa.array(n_emails),
+                "clean": pa.array(clean, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )
+
+
 # mm_real_decode: dimensions are pure functions of doc_id (see
 # synthesize_media_batch), so SQL recomputes what the REAL header parser
 # must read back out of the PPM/BMP/WAV bytes — decode inverts encode.
@@ -1240,6 +1302,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_components": q_dedup_components,
     "sample_stratified": q_sample_stratified,
     "text_topk_terms": q_topk_terms,
+    "text_pii_redact": q_pii_redact,
     "text_normalize": q_text_normalize,
     "docs_quality_filter": q_quality_filter,
     "tpch_pricing_summary": q_pricing_summary,
@@ -1269,6 +1332,7 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "sample_stratified": SQL_STRATIFIED,
     "text_topk_terms": SQL_TOPK_TERMS,
+    "text_pii_redact": SQL_PII_REDACT,
     "text_normalize": SQL_NORMALIZE,
     "docs_quality_filter": SQL_QUALITY_FILTER,
     "tpch_pricing_summary": SQL_PRICING,

@@ -442,3 +442,65 @@ def test_cli_connector_two_table_replay_and_resume(tmp_path):
             conn.state(name).to_pandas(), preserve_index=False
         ).select(expected.column_names)
         assert sorted_pdf(got).equals(sorted_pdf(expected))
+
+
+def test_connector_column_exclude_projection(ray_session, tmp_path):
+    """Per-table column.exclude.list (the reference inherits it from
+    RelationalDatabaseConnectorConfig): excluded payload columns are
+    projected out of BOTH the snapshot and the stream, so state never
+    carries them; key/metadata columns are refused loudly."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+
+    sc_a = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=80, seed=91)
+    sc_b = generate_scenario(n_convs=6, turns_per_conv=3, n_commits=60, seed=92)
+    d = tmp_path / "data"
+    d.mkdir()
+    cl_a = sc_a.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc_a.changelog.num_rows)
+    )
+    cl_b = sc_b.changelog.append_column(
+        "src_table", pa.array(["TABLEB"] * sc_b.changelog.num_rows)
+    )
+    pq.write_table(pa.concat_tables([cl_a, cl_b]), str(d / "stream.parquet"))
+
+    conn = CdcConnector(
+        root_dir=str(tmp_path / "lakehouse"), num_partitions=4,
+        column_exclude={"TABLEA": ("tool",)},
+    )
+    lakes = {
+        "TABLEA": rd.from_arrow(sc_a.lake),
+        "TABLEB": rd.from_arrow(sc_b.lake),
+    }
+    conn.snapshot_all(lakes, sc_a.snapshot_lsn)
+    stream = rd.read_parquet(str(d / "stream.parquet"))
+    hi = Lsn(0, max(sc_a.max_lsn.to_int(), sc_b.max_lsn.to_int()))
+    conn.replay(stream, sc_a.snapshot_lsn, hi, 2)
+    got_a = conn.state("TABLEA").to_pandas()
+    got_b = conn.state("TABLEB").to_pandas()
+    assert "tool" not in got_a.columns
+    assert "tool" in got_b.columns
+    # values still exact on the surviving columns
+    for name, sc, got in (("TABLEA", sc_a, got_a), ("TABLEB", sc_b, got_b)):
+        expected = oracle_apply(sc.lake, sc.ordered_changelog, sc.snapshot_lsn)
+        cols = [c for c in expected.column_names if c in got.columns]
+        want = pa.Table.from_pandas(
+            expected.to_pandas()[cols], preserve_index=False
+        )
+        have = pa.Table.from_pandas(got, preserve_index=False).select(cols)
+        assert sorted_pdf(have).equals(sorted_pdf(want))
+    # refusals: key or metadata columns
+    bad = CdcConnector(
+        root_dir=str(tmp_path / "lh2"),
+        column_exclude={"T": ("conv_id",)},
+    )
+    with pytest.raises(ValueError, match="key/metadata"):
+        bad.excluded_columns("T")
+    bad2 = CdcConnector(
+        root_dir=str(tmp_path / "lh3"),
+        column_exclude={"T": ("commit_lsn_hi",)},
+    )
+    with pytest.raises(ValueError, match="key/metadata"):
+        bad2.excluded_columns("T")
