@@ -258,57 +258,125 @@ def run_gate_queries(timings: dict) -> None:
         )
 
 
+def ensure_join_data(n_fact: int, n_dim: int) -> dict:
+    """Deterministic synthetic fact/dim/right tables for the join scaling
+    job, generated once and cached (same pattern as ensure_bench_data).
+    sf0.1's fixtures are too small for scaling evidence — their join walls
+    are Ray fixed exchange overhead, not compute."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/cdc_bench_join_{n_fact}_{n_dim}"
+    meta = os.path.join(d, "meta.json")
+    if os.path.exists(meta):
+        return json.load(open(meta))
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(17)
+    keys = rng.integers(0, n_dim, n_fact).astype(np.int64)
+    ts = rng.integers(0, 10_000_000, n_fact).astype(np.int64)
+    pq.write_table(
+        pa.table(
+            {
+                "key": keys,
+                "ts": ts,
+                "val": rng.integers(0, 1000, n_fact).astype(np.int64),
+            }
+        ),
+        os.path.join(d, "fact.parquet"),
+        compression="zstd",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "key": np.arange(n_dim, dtype=np.int64),
+                "attr": rng.integers(0, 5, n_dim).astype(np.int64),
+            }
+        ),
+        os.path.join(d, "dim.parquet"),
+        compression="zstd",
+    )
+    n_right = n_dim * 4
+    pq.write_table(
+        pa.table(
+            {
+                "key": rng.integers(0, n_dim, n_right).astype(np.int64),
+                "ts": rng.integers(0, 10_000_000, n_right).astype(np.int64),
+                "rv": rng.integers(0, 1000, n_right).astype(np.int64),
+            }
+        ),
+        os.path.join(d, "right.parquet"),
+        compression="zstd",
+    )
+    info = {"dir": d, "n_fact": n_fact, "n_dim": n_dim, "n_right": n_right}
+    with open(meta, "w") as f:
+        json.dump(info, f)
+    return info
+
+
 def run_joins_job() -> None:
-    """Joins-only job for the scaling harness: the repartition equi-join and
-    the as-of join over the SF_DIR fixtures — the exchange shapes added in
-    round 2, measured at each parallelism level like the replay headline."""
+    """Joins-only job for the scaling harness: the generic repartition
+    equi-join and the as-of join — the exchange shapes added in round 2 —
+    over a synthetic input big enough that per-partition compute dominates
+    Ray's fixed exchange costs (BENCH_JOIN_FACT_ROWS, default 8M)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data as rd
 
-    from debezium_connector_db2_ray.functions.queries import DATA_QUERIES
+    from debezium_connector_db2_ray.functions.relational import (
+        asof_join,
+        repartition_join,
+    )
 
-    # warm page cache + worker pool
-    for f in ("lineitem.parquet", "orders.parquet", "events.parquet"):
-        warm_page_cache([os.path.join(SF_DIR, f)])
+    n_fact = int(os.environ.get("BENCH_JOIN_FACT_ROWS", "8000000"))
+    info = ensure_join_data(n_fact, max(1000, n_fact // 10))
+    warm_page_cache(
+        [os.path.join(info["dir"], f)
+         for f in ("fact.parquet", "dim.parquet", "right.parquet")]
+    )
     rd.range(NCPU * 4, override_num_blocks=NCPU * 4).count()
-    n_rows = 0
-    total = 0.0
     timings = {}
-    for name in ("orders_revenue_join", "events_asof_join"):
-        t0 = time.perf_counter()
-        res = DATA_QUERIES[name](SF_DIR)
-        n = res.count() if hasattr(res, "count") else len(res)
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        n_rows += n
+    total = 0.0
+
+    t0 = time.perf_counter()
+    fact = rd.read_parquet(os.path.join(info["dir"], "fact.parquet"))
+    dim = rd.read_parquet(os.path.join(info["dir"], "dim.parquet"))
+    n = repartition_join(fact, dim, on="key").count()
+    dt = time.perf_counter() - t0
+    assert n == info["n_fact"]
+    timings["repartition_join"] = round(dt, 3)
+    total += dt
+
+    t0 = time.perf_counter()
+    points = rd.read_parquet(os.path.join(info["dir"], "fact.parquet"))
+    right = rd.read_parquet(
+        os.path.join(info["dir"], "right.parquet")
+    ).groupby(["key", "ts"]).max("rv")
+    n = asof_join(
+        points, right.map_batches(
+            lambda t: t.rename_columns(["key", "ts", "rv"]),
+            batch_format="pyarrow",
+        ),
+        key="key", ts="ts", value_cols=("rv",),
+    ).count()
+    dt = time.perf_counter() - t0
+    assert n == info["n_fact"]
+    timings["asof_join"] = round(dt, 3)
+    total += dt
+
+    rows_moved = 2 * info["n_fact"] + info["n_dim"] + info["n_right"]
     print(
         json.dumps(
             {
-                "metric": "join-family wall time (repartition + asof)",
+                "metric": "join-family wall time (repartition + asof, "
+                          f"{info['n_fact']} fact rows)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "events_per_sec": round(
-                    _join_input_rows() / total
-                ),
-                "sf": SF_DIR,
+                "events_per_sec": round(rows_moved / total),
                 "num_cpus": NCPU,
             }
         )
     )
-
-
-def _join_input_rows() -> int:
-    """Rows the two join jobs move through their exchanges (lineitem +
-    orders + 2x events) — the throughput denominator."""
-    import pyarrow.parquet as pq
-
-    n = 0
-    for f, mult in (("lineitem.parquet", 1), ("orders.parquet", 1),
-                    ("events.parquet", 2)):
-        n += mult * pq.read_metadata(os.path.join(SF_DIR, f)).num_rows
-    return n
 
 
 def main() -> None:
