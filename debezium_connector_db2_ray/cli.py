@@ -266,14 +266,20 @@ def main(argv=None) -> int:
             else:  # replay
                 conn.routing_col = args.routing_col
                 stream = rd.read_parquet(args.stream)
+                # discover ONCE (full-stream unique() scan) and pass the list
+                # into replay; quiet-but-captured lake tables are unioned in
+                # so their heartbeat windows keep advancing their watermarks
+                tables = conn.discover_tables(stream)
+                if lakes:
+                    tables = sorted(
+                        set(tables) | {t for t in lakes if conn.captures(t)}
+                    )
                 if args.from_lsn is not None:
                     from_lsn = Lsn.from_int(args.from_lsn)
                 else:
                     wms = [
-                        committed_watermark(
-                            conn.engine(t).out_dir
-                        )
-                        for t in conn.discover_tables(stream)
+                        committed_watermark(conn.engine(t).out_dir)
+                        for t in tables
                     ]
                     wms = [w for w in wms if w is not None]
                     if not wms:
@@ -283,7 +289,7 @@ def main(argv=None) -> int:
                     from_lsn = min(wms)
                 ms = conn.replay(
                     stream, from_lsn, Lsn.from_int(args.to_lsn),
-                    args.windows, lakes=lakes or None,
+                    args.windows, lakes=lakes or None, tables=tables,
                 )
                 print(json.dumps(
                     {"streams": {

@@ -137,7 +137,8 @@ class CdcConnector:
         return out
 
     def replay(self, stream, from_lsn: Lsn, to_lsn: Lsn, n_windows: int,
-               *, lakes: dict | None = None):
+               *, lakes: dict | None = None,
+               tables: list[str] | None = None):
         """Replay a SHARED change stream carrying ``routing_col``: windows
         are planned once; each window's slice is materialized ONCE and every
         captured table applies its routed view of it — the reference's
@@ -150,8 +151,21 @@ class CdcConnector:
         root and per-table signal channels are drained BETWEEN windows —
         the reference's SignalProcessor poll between streaming iterations
         (Db2ConnectorTask.java:142-161). Without it, snapshot signals have
-        no source to read and draining is skipped."""
-        tables = self.discover_tables(stream)
+        no source to read and draining is skipped.
+
+        ``tables`` overrides stream-based discovery (the CLI passes its
+        already-discovered list so the full-stream unique() scan runs once).
+        When discovering here, captured tables from ``lakes`` are UNIONED in:
+        a snapshotted table with zero events this run still gets its (empty)
+        windows, so its heartbeat manifests keep the resume watermark moving
+        with the stream (DatabaseHeartbeatImpl intent) instead of pinning
+        every future resume at its snapshot LSN."""
+        if tables is None:
+            tables = self.discover_tables(stream)
+            if lakes is not None:
+                tables = sorted(
+                    set(tables) | {t for t in lakes if self.captures(t)}
+                )
         manifests = {t: [] for t in tables}
         for lo, hi in plan_windows(from_lsn.increment(), to_lsn, n_windows):
             if lakes is not None:
@@ -197,7 +211,12 @@ class CdcConnector:
             data = dict(sig.data or {})
             targets = data.pop("data-collections", None) or tables
             for t in targets:
-                if t in tables:
+                # forward to ANY captured table's durable channel — even one
+                # with no events/lake this run; its channel holds the signal
+                # until that table is next drained. Only non-captured targets
+                # are dropped (matching the table-filter chain), so acking
+                # the root signal below never loses a valid request.
+                if self.captures(t):
                     send_signal(os.path.join(self.root_dir, t), sig.type, data)
             mark_processed(self.root_dir, sig.id)
         out = {}
@@ -206,6 +225,13 @@ class CdcConnector:
             if lk is None:
                 continue
             source = lk if callable(lk) else (lambda lk=lk: lk)
+            proj = self._projector(t)
+            if proj is not None:
+                # signal-driven snapshot chunks must see the SAME projected
+                # schema as snapshot/stream, or excluded columns reappear
+                raw = source
+                source = (lambda raw=raw, proj=proj: raw().map_batches(
+                    proj, batch_format="pyarrow"))
             ms = self.engine(t).drain_signals(source)
             if ms:
                 out[t] = ms

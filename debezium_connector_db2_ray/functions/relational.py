@@ -676,11 +676,18 @@ def stratified_sample(ds, *, stratum_col: str, id_col: str,
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b0 = (mix64(ids) >> np.uint64(56)).astype(np.int64)
         codes, uniques = pd.factorize(batch[stratum_col].to_pandas())
-        cuts = np.array(
-            [int(rates.get(u, default_rate) * 256) for u in uniques],
-            np.int64,
-        )
-        cut = cuts[codes] if len(uniques) else np.empty(0, np.int64)
+        default_cut = np.int64(int(default_rate * 256))
+        if len(uniques):
+            cuts = np.array(
+                [int(rates.get(u, default_rate) * 256) for u in uniques],
+                np.int64,
+            )
+            # factorize maps NULL strata to code -1; route them to the
+            # default rate (the oracle's CASE ... ELSE), never to cuts[-1]
+            cut = np.where(codes >= 0, cuts[np.maximum(codes, 0)],
+                           default_cut)
+        else:
+            cut = np.full(len(codes), default_cut, np.int64)
         return batch.filter(pa.array(b0 < cut))
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -454,3 +454,61 @@ def test_components_empty_pairs(ray_session):
     got = duplicate_components(pairs, num_partitions=4)
     assert got.count() == 0
     assert got.schema().names == ["doc_id", "canonical_id"]
+
+
+def test_stratified_sample_null_stratum_gets_default_rate(ray_session):
+    """factorize maps NULL strata to code -1; those rows must take the
+    DEFAULT rate (the SQL oracle's CASE ... ELSE branch), never the last
+    stratum's cut via fancy-indexing cuts[-1]."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        stratified_sample,
+    )
+
+    n = 4000
+    ids = np.arange(n, dtype=np.int64)
+    # 'zh' (rate 0) is factorized LAST, nulls interleaved: with the bug the
+    # null rows would all take zh's zero cut and be dropped
+    langs = [("en", "fr", None, "zh")[i % 4] for i in range(n)]
+    t = pa.table({"doc_id": ids, "lang": pa.array(langs, pa.string())})
+    got = (
+        stratified_sample(
+            rd.from_arrow(t), stratum_col="lang", id_col="doc_id",
+            rates={"en": 0.5, "fr": 0.25, "zh": 0.0}, default_rate=1.0,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+      WITH s1 AS (
+        SELECT doc_id, lang,
+               CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+                    % 18446744073709551616 AS UBIGINT) AS z0 FROM documents
+      ), s2 AS (
+        SELECT doc_id, lang,
+               CAST((CAST(xor(z0, z0 >> 33) AS HUGEINT) * 2246822507)
+                    % 18446744073709551616 AS UBIGINT) AS z1 FROM s1
+      ), s3 AS (
+        SELECT doc_id, lang,
+               CAST((CAST(xor(z1, z1 >> 29) AS HUGEINT) * 3266489909)
+                    % 18446744073709551616 AS UBIGINT) AS z2 FROM s2
+      ), h AS (
+        SELECT doc_id, lang, CAST(xor(z2, z2 >> 32) >> 56 AS BIGINT) AS b0
+        FROM s3
+      )
+      SELECT doc_id, lang FROM h
+      WHERE b0 < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
+                           WHEN 'zh' THEN 0 ELSE 256 END
+      ORDER BY doc_id
+    """).fetchdf().reset_index(drop=True)
+    # every null-lang row survives (default 1.0), every zh row is gone
+    assert (got["lang"].isna().sum()) == n // 4
+    assert not (got["lang"] == "zh").any()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()

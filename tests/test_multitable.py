@@ -504,3 +504,102 @@ def test_connector_column_exclude_projection(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="key/metadata"):
         bad2.excluded_columns("T")
+
+
+def test_signal_snapshot_respects_column_exclude(ray_session, tmp_path):
+    """A signal-driven incremental snapshot must read the lake through the
+    SAME column.exclude.list projection as the initial snapshot and the
+    stream — otherwise chunk deltas reintroduce the excluded (e.g. PII)
+    column into state and generations diverge in schema."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.state.signals import send_signal
+
+    sc = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=80, seed=93)
+    d = tmp_path / "data"
+    d.mkdir()
+    cl = sc.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc.changelog.num_rows)
+    )
+    pq.write_table(cl, str(d / "stream.parquet"))
+
+    root = str(tmp_path / "lakehouse")
+    conn = CdcConnector(
+        root_dir=root, num_partitions=4,
+        column_exclude={"TABLEA": ("tool",)},
+    )
+    lakes = {"TABLEA": rd.from_arrow(sc.lake)}
+    conn.snapshot_all(lakes, sc.snapshot_lsn)
+    send_signal(
+        root, "execute-snapshot",
+        {"type": "INCREMENTAL", "chunks": 2, "data-collections": ["TABLEA"]},
+    )
+    stream = rd.read_parquet(str(d / "stream.parquet"))
+    hi = Lsn(0, sc.max_lsn.to_int())
+    ms = conn.replay(stream, sc.snapshot_lsn, hi, 2, lakes=lakes)
+    kinds = {m.kind for m in ms["TABLEA"]}
+    assert any(k.startswith("snapshot_chunk") for k in kinds), kinds
+    got = conn.state("TABLEA").to_pandas()
+    assert "tool" not in got.columns
+    expected = oracle_apply(sc.lake, sc.ordered_changelog, sc.snapshot_lsn)
+    cols = [c for c in expected.column_names if c != "tool"]
+    want = pa.Table.from_pandas(expected.to_pandas()[cols], preserve_index=False)
+    have = pa.Table.from_pandas(got, preserve_index=False).select(cols)
+    assert sorted_pdf(have).equals(sorted_pdf(want))
+
+
+def test_root_signal_for_quiet_table_not_lost(ray_session, tmp_path):
+    """A root signal targeting a captured table with ZERO events in the
+    current stream must still be forwarded (and, with a lake present,
+    executed) — not silently acked away. The quiet table also keeps
+    receiving heartbeat windows so its watermark tracks the stream."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+    from debezium_connector_db2_ray.pipelines.replay import committed_watermark
+    from debezium_connector_db2_ray.state.signals import (
+        pending_signals,
+        send_signal,
+    )
+
+    sc_a = generate_scenario(n_convs=8, turns_per_conv=3, n_commits=80, seed=94)
+    sc_b = generate_scenario(n_convs=6, turns_per_conv=3, n_commits=60, seed=95)
+    d = tmp_path / "data"
+    d.mkdir()
+    # stream carries ONLY TABLEA events; TABLEB is captured but quiet
+    cl_a = sc_a.changelog.append_column(
+        "src_table", pa.array(["TABLEA"] * sc_a.changelog.num_rows)
+    )
+    pq.write_table(cl_a, str(d / "stream.parquet"))
+
+    root = str(tmp_path / "lakehouse")
+    conn = CdcConnector(root_dir=root, num_partitions=4)
+    lakes = {
+        "TABLEA": rd.from_arrow(sc_a.lake),
+        "TABLEB": rd.from_arrow(sc_b.lake),
+    }
+    snap_lsn = sc_a.snapshot_lsn
+    conn.snapshot_all(lakes, snap_lsn)
+    send_signal(
+        root, "execute-snapshot",
+        {"type": "INCREMENTAL", "chunks": 2, "data-collections": ["TABLEB"]},
+    )
+    stream = rd.read_parquet(str(d / "stream.parquet"))
+    hi = Lsn(0, sc_a.max_lsn.to_int())
+    ms = conn.replay(stream, snap_lsn, hi, 2, lakes=lakes)
+    # the signal reached TABLEB and was executed, nothing left pending
+    assert pending_signals(root) == []
+    assert pending_signals(os.path.join(root, "TABLEB")) == []
+    b_kinds = {m.kind for m in ms.get("TABLEB", [])}
+    assert any(k.startswith("snapshot_chunk") for k in b_kinds), b_kinds
+    # heartbeat: the quiet table's watermark advanced with the stream
+    assert committed_watermark(os.path.join(root, "TABLEB")) == hi
+    # TABLEA state still exact
+    expected = oracle_apply(sc_a.lake, sc_a.ordered_changelog, snap_lsn)
+    got = pa.Table.from_pandas(
+        conn.state("TABLEA").to_pandas(), preserve_index=False
+    ).select(expected.column_names)
+    assert sorted_pdf(got).equals(sorted_pdf(expected))
