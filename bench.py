@@ -316,14 +316,16 @@ def ensure_join_data(n_fact: int, n_dim: int) -> dict:
 
 def run_joins_job() -> None:
     """Joins-only job for the scaling harness: the generic repartition
-    equi-join and the as-of join — the exchange shapes added in round 2 —
-    over a synthetic input big enough that per-partition compute dominates
-    Ray's fixed exchange costs (BENCH_JOIN_FACT_ROWS, default 8M)."""
+    equi-join, the high-cardinality grouped aggregate, and the as-of join —
+    the exchange shapes added in rounds 2-3 — over a synthetic input big
+    enough that per-partition compute dominates Ray's fixed exchange costs
+    (BENCH_JOIN_FACT_ROWS, default 8M)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import ray.data as rd
 
     from debezium_connector_db2_ray.functions.relational import (
         asof_join,
+        grouped_aggregate,
         repartition_join,
     )
 
@@ -346,29 +348,35 @@ def run_joins_job() -> None:
     timings["repartition_join"] = round(dt, 3)
     total += dt
 
+    # pre-collapse right to unique (key, ts) with the high-cardinality
+    # grouped aggregate (Ray's native groupby pays ~26 us/row of per-group
+    # overhead on this 3.2M-group shape — 83 s vs 6 s at 8 cpus)
+    t0 = time.perf_counter()
+    right = grouped_aggregate(
+        rd.read_parquet(os.path.join(info["dir"], "right.parquet")),
+        keys=["key", "ts"], aggs={"rv": ("rv", "max")},
+    ).materialize()
+    dt = time.perf_counter() - t0
+    assert right.count() <= info["n_right"]
+    timings["grouped_agg"] = round(dt, 3)
+    total += dt
+
     t0 = time.perf_counter()
     points = rd.read_parquet(os.path.join(info["dir"], "fact.parquet"))
-    right = rd.read_parquet(
-        os.path.join(info["dir"], "right.parquet")
-    ).groupby(["key", "ts"]).max("rv")
     n = asof_join(
-        points, right.map_batches(
-            lambda t: t.rename_columns(["key", "ts", "rv"]),
-            batch_format="pyarrow",
-        ),
-        key="key", ts="ts", value_cols=("rv",),
+        points, right, key="key", ts="ts", value_cols=("rv",),
     ).count()
     dt = time.perf_counter() - t0
     assert n == info["n_fact"]
     timings["asof_join"] = round(dt, 3)
     total += dt
 
-    rows_moved = 2 * info["n_fact"] + info["n_dim"] + info["n_right"]
+    rows_moved = 2 * info["n_fact"] + info["n_dim"] + 2 * info["n_right"]
     print(
         json.dumps(
             {
-                "metric": "join-family wall time (repartition + asof, "
-                          f"{info['n_fact']} fact rows)",
+                "metric": "join-family wall time (repartition + grouped_agg "
+                          f"+ asof, {info['n_fact']} fact rows)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
@@ -504,16 +512,19 @@ def scaling() -> None:
             for n in levels
         }
 
-    results, all_runs = measure({"BENCH_SKIP_QUERIES": "1"})
-    pairs = pairs_of(results)
     report = {
         "metric": "scaling efficiency (fresh ray.init per level, identical input)",
-        "levels": levels_of(results),
-        "scaling_efficiency_pairs": pairs,
-        "scaling_efficiency": pairs.get("2->8", next(iter(pairs.values()))),
-        "all_runs_sec": all_runs,
         "host_pure_cpu_efficiency": host_capacity_probe(),
     }
+    if os.environ.get("SCALE_SKIP_REPLAY") != "1":
+        results, all_runs = measure({"BENCH_SKIP_QUERIES": "1"})
+        pairs = pairs_of(results)
+        report.update(
+            levels=levels_of(results),
+            scaling_efficiency_pairs=pairs,
+            scaling_efficiency=pairs.get("2->8", next(iter(pairs.values()))),
+            all_runs_sec=all_runs,
+        )
     if os.environ.get("SCALE_SKIP_JOINS") != "1":
         # the join-family exchanges (repartition equi-join + as-of join)
         # carry their own scaling evidence alongside the replay headline

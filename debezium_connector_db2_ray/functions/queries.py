@@ -9,6 +9,7 @@ and are pinned by pytest oracles instead (tests/test_functions.py)."""
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import numpy as np
@@ -1274,6 +1275,54 @@ def q_order_revenue(sf_dir: str):
     )
 
 
+def q_grouped_agg(sf_dir: str):
+    """High-cardinality grouped aggregation (per-order lineitem stats —
+    one group per order key): the grouped_aggregate operator's gate row.
+    Quantities are integral-valued doubles in the fixture; both engines sum
+    them as int64 so the aggregate is order-independent and hash-exact
+    (float sums are not associative); max over double involves no
+    arithmetic, so it is bit-exact as read from parquet. The mean divides
+    the exact integer (sum, count) pair once in float64 — deterministic on
+    both engines."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("l_quantity"), "l_quantity",
+            pc.cast(t["l_quantity"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_aggregate(
+        ds,
+        keys=["l_orderkey"],
+        aggs={
+            "n_lines": ("l_quantity", "count_all"),
+            "sum_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+            "avg_qty": ("l_quantity", "mean"),
+        },
+    )
+
+
+SQL_GROUPED_AGG = """
+SELECT l_orderkey,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       max(l_extendedprice) AS max_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1308,6 +1357,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "tpch_pricing_summary": q_pricing_summary,
     "orders_revenue_join": q_order_revenue,
     "dedup_apply": q_dedup_apply,
+    "grouped_agg_lineitem": q_grouped_agg,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1338,6 +1388,7 @@ DATA_ORACLES: dict[str, str] = {
     "tpch_pricing_summary": SQL_PRICING,
     "orders_revenue_join": SQL_ORDER_REVENUE,
     "dedup_apply": SQL_DEDUP_APPLY,
+    "grouped_agg_lineitem": SQL_GROUPED_AGG,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

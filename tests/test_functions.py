@@ -512,3 +512,101 @@ def test_stratified_sample_null_stratum_gets_default_rate(ray_session):
     assert (got["lang"].isna().sum()) == n // 4
     assert not (got["lang"] == "zh").any()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_grouped_aggregate_matches_duckdb_with_null_keys(ray_session):
+    """High-cardinality grouped_aggregate vs DuckDB GROUP BY: string+int
+    compound key, NULLs in both the key and the value column, every
+    supported fn. Also a regression for the pyarrow multi-key group_by
+    quirk (16.1.0 emits several rows for one (null, k) key tuple) that the
+    operator's null-free key encoding works around."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 30_000
+    k = rng.integers(0, 2000, n)
+    t = pa.table({
+        "user": pa.array([f"u{x}" if x % 97 else None for x in k]),
+        "kid": pa.array(k.astype(np.int64)),
+        "v": pa.array(
+            [None if (x % 53 == 1) else int(x)
+             for x in rng.integers(0, 1000, n)],
+            pa.int64(),
+        ),
+    })
+    # multiple blocks so partials really combine across batches
+    ds = rd.from_arrow(t).repartition(6)
+    res = grouped_aggregate(
+        ds, keys=["user", "kid"],
+        aggs={
+            "n": ("v", "count_all"),
+            "nv": ("v", "count"),
+            "sv": ("v", "sum"),
+            "mx": ("v", "max"),
+            "mn": ("v", "min"),
+            "avg_v": ("v", "mean"),
+        },
+        num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+      SELECT user, kid, CAST(count(*) AS BIGINT) n,
+             CAST(count(v) AS BIGINT) nv, CAST(sum(v) AS BIGINT) sv,
+             max(v) mx, min(v) mn, CAST(sum(v) AS DOUBLE)/count(v) avg_v
+      FROM t GROUP BY user, kid
+    """).fetchdf()
+    a = res.sort_values(["kid", "user"], na_position="first").reset_index(
+        drop=True
+    )[want.columns.tolist()]
+    b = want.sort_values(["kid", "user"], na_position="first").reset_index(
+        drop=True
+    )
+    assert len(a) == len(b)  # one output row per distinct key tuple
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_aggregate_all_null_group_and_empty(ray_session):
+    """sum/mean of an all-null group are NULL (SQL semantics), and an empty
+    input yields an empty result with the full output schema."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    t = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([None, None, 3], pa.int64()),
+    })
+    r = (
+        grouped_aggregate(
+            rd.from_arrow(t), keys=["k"],
+            aggs={"m": ("v", "mean"), "s": ("v", "sum"),
+                  "nv": ("v", "count")},
+            num_partitions=4,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert r.loc[0, "nv"] == 0 and pa.compute.is_null(
+        pa.scalar(None)
+    )  # group k=1 exists
+    assert r.loc[0].isna()["m"] and r.loc[0].isna()["s"]
+    assert r.loc[1, "s"] == 3 and r.loc[1, "m"] == 3.0
+
+    empty = grouped_aggregate(
+        rd.from_arrow(t.slice(0, 0)), keys=["k"],
+        aggs={"s": ("v", "sum")}, num_partitions=4,
+    )
+    # dataset-level schema is pinned even for empty input (Ray's to_pandas
+    # drops columns on any empty dataset, so assert on schema())
+    assert empty.schema().names == ["k", "s"] and empty.count() == 0
