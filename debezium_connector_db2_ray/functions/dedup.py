@@ -1,10 +1,15 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale shapes (100 TB design):
-- exact: vectorized 64-bit content hash per batch -> groupby(hash) shuffle ->
-  within-bucket EXACT text compare keeps the min-id row per distinct text
-  (the hash only routes; a collision cannot merge distinct texts). Shuffle
-  key is uniform — no skew.
+- exact: vectorized 64-bit content hash per batch -> ONE hash-partition
+  exchange on `hash % P` -> partition-local sort + adjacent-compare keeps
+  the min-id row per distinct text (the hash only routes; a collision
+  cannot merge distinct texts). Shuffle key is uniform — no skew, and no
+  per-group UDF calls: every exchange in this module groups on a LOW-
+  cardinality `__part` code and handles all of a partition's groups in one
+  vectorized kernel (Ray's sort-groupby pays ~26 us/row of per-group
+  overhead at high key cardinality — measured, see
+  relational.grouped_aggregate).
 - MinHash LSH: per batch tokenize (one Arrow/polars regex pass) -> hash every
   token (one vectorized xxhash pass) -> k-gram shingle hashes via a rolling
   polynomial over token hashes (numpy, no per-row Python) -> signatures via
@@ -159,36 +164,140 @@ class ShingleSets:
 
 
 # ---------------------------------------------------------------------------
+# hash-partition exchange helpers
+#
+# Every dedup stage that used to be `groupby(high-cardinality key)` +
+# `map_groups(per-group fn)` is instead `groupby(__part)` + a VECTORIZED
+# partition-local kernel: Ray's sort-based groupby pays per-group scheduling
+# overhead (~26 us/row measured on a 3.2M-group shape — see
+# relational.grouped_aggregate), so at corpus scale the per-group UDF call
+# count, not the data, dominates. Hash codes co-locate equal keys; the
+# kernel then handles ALL of its partition's groups in numpy/Arrow at once.
+# ---------------------------------------------------------------------------
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _mix_part(P: int, *cols: np.ndarray) -> np.ndarray:
+    """int32 partition codes from one or more integer key columns (mixed so
+    sequential ids and band numbers spread uniformly)."""
+    with np.errstate(over="ignore"):
+        h = np.zeros(len(cols[0]), np.uint64)
+        for i, c in enumerate(cols):
+            v = c.astype(np.uint64) * (_MIX_A if i % 2 == 0 else _MIX_B)
+            h = (h << np.uint64(7)) ^ (h >> np.uint64(57)) ^ v
+        h ^= h >> np.uint64(33)
+        h *= _MIX_A
+        h ^= h >> np.uint64(29)
+    return (h % np.uint64(P)).astype(np.int32)
+
+
+def _np_col(t: pa.Table, name: str) -> np.ndarray:
+    return t[name].to_numpy(zero_copy_only=False)
+
+
+def _default_partitions(ds) -> int:
+    from debezium_connector_db2_ray.functions.relational import (
+        derive_num_partitions,
+    )
+
+    return derive_num_partitions(ds)
+
+
+def pairs_distinct(pairs, schema: pa.Schema, *, num_partitions: int | None = None):
+    """Keep one row per (a, b) pair: hash exchange on ``part(a, b)`` + a
+    partition-local lexsort-unique — replaces ``groupby(['a','b'])``, whose
+    per-group map_groups overhead scales with the number of pairs.
+    ``schema`` pins the output layout (needed for empty partitions)."""
+    if num_partitions is None:
+        num_partitions = _default_partitions(pairs)
+    P = num_partitions
+    names = [f.name for f in schema]
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return schema.empty_table().append_column(
+                "__part", pa.array([], pa.int32())
+            )
+        return t.append_column(
+            "__part",
+            pa.array(_mix_part(P, _np_col(t, "a"), _np_col(t, "b"))),
+        )
+
+    def distinct(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "a" not in part.column_names:
+            return schema.empty_table()
+        aa = _np_col(part, "a").astype(np.int64)
+        bb = _np_col(part, "b").astype(np.int64)
+        order = np.lexsort((bb, aa))
+        ao, bo = aa[order], bb[order]
+        keep = np.ones(len(order), bool)
+        keep[1:] = (ao[1:] != ao[:-1]) | (bo[1:] != bo[:-1])
+        return part.take(pa.array(order[keep], pa.int64())).select(names)
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(distinct, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int | None = None):
     """Exact dedup, keep the smallest id per distinct text. The 64-bit
-    content hash only ROUTES rows to buckets (vectorized xxhash); the keep
+    content hash only ROUTES rows to partitions (vectorized xxhash); the keep
     decision compares the actual texts, so a hash collision can never merge
-    two distinct documents. Returns the deduped Dataset (original columns)."""
+    two distinct documents. Returns the deduped Dataset (original columns).
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    Shape: ONE hash exchange on `hash(text) % P`, then a partition-local
+    sort + adjacent-compare keeps the min-id row per distinct text — all of
+    a partition's groups in one vectorized pass (no per-group UDF calls)."""
+    if num_partitions is None:
+        num_partitions = _default_partitions(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
         import polars as pl
 
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        h = s.hash(seed=3).to_numpy().astype(np.uint64)
         return batch.append_column(
-            "__h", pa.array(s.hash(seed=3).to_numpy().astype(np.uint64))
+            "__part", pa.array((h % np.uint64(num_partitions)).astype(np.int32))
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        t = group.sort_by([(text_col, "ascending"), (id_col, "ascending")])
-        arr = np.asarray(t[text_col].to_pylist(), dtype=object)
-        keep = np.ones(len(arr), bool)
-        keep[1:] = arr[1:] != arr[:-1]
-        return t.filter(pa.array(keep)).drop_columns(["__h"])
+    def keep_first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return (
+                part.drop_columns(["__part"])
+                if "__part" in part.column_names else part
+            )
+        t = part.sort_by([(text_col, "ascending"), (id_col, "ascending")])
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        # row i kept iff text[i] differs from text[i-1] (nulls sort together
+        # and compare equal-to-null, exactly like the SQL DISTINCT oracle)
+        a, b = col.slice(1), col.slice(0, n - 1)
+        diff = pc.or_kleene(
+            pc.fill_null(pc.not_equal(a, b), False),
+            pc.xor(pc.is_null(a), pc.is_null(b)),
+        )
+        keep = pa.concat_arrays(
+            [pa.array([True]), pc.cast(diff, pa.bool_())]
+        )
+        return t.filter(keep).drop_columns(["__part"])
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__h")
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -282,6 +391,56 @@ def candidate_pairs_from_bucket(group: pa.Table, *, cap: int = 64) -> pa.Table:
     )
 
 
+_CAND_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("bucket_size", pa.int64())]
+)
+
+
+def candidate_pairs_partition(part: pa.Table, *, cap: int = 64) -> pa.Table:
+    """All (a < b) pairs within every LSH bucket of one hash partition, in
+    one vectorized pass: sort rows by (band, band_hash, doc_id), drop
+    duplicate docs per bucket, then emit each size-class's pairs with a
+    shared `triu_indices` template (buckets of equal size become one 2-D
+    gather — no per-bucket Python). ``cap`` guards degenerate buckets; the
+    truncation is visible through the emitted full ``bucket_size``."""
+    if part.num_rows == 0 or "band_hash" not in part.column_names:
+        return _CAND_SCHEMA.empty_table()
+    band = _np_col(part, "band").astype(np.int64)
+    bh = _np_col(part, "band_hash")
+    doc = _np_col(part, "doc_id").astype(np.int64)
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc = band[order], bh[order], doc[order]
+    first = np.ones(len(doc), bool)
+    first[1:] = (
+        (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1])
+    )
+    band, bh, doc = band[first], bh[first], doc[first]
+    bstart = np.ones(len(doc), bool)
+    bstart[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(bstart)
+    sizes = np.diff(np.append(starts, len(doc)))
+    outs_a, outs_b, outs_n = [], [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        sel = starts[sizes == s]
+        sc = int(min(s, cap))
+        mat = doc[sel[:, None] + np.arange(sc)[None, :]]
+        ii, jj = np.triu_indices(sc, k=1)
+        outs_a.append(mat[:, ii].ravel())
+        outs_b.append(mat[:, jj].ravel())
+        outs_n.append(np.full(len(sel) * len(ii), s, np.int64))
+    if not outs_a:
+        return _CAND_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(outs_a), pa.int64()),
+            "b": pa.array(np.concatenate(outs_b), pa.int64()),
+            "bucket_size": pa.array(np.concatenate(outs_n), pa.int64()),
+        }
+    )
+
+
 _HALF_SCHEMA = pa.schema(
     [("a", pa.int64()), ("b", pa.int64()), ("half", pa.int8()),
      ("__blob", pa.large_binary())]
@@ -300,6 +459,7 @@ def minhash_duplicate_pairs(
     bands: int = 16,
     k: int = 3,
     concurrency: int | None = None,
+    num_partitions: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> exact-Jaccard verification via a DISTRIBUTED
@@ -307,31 +467,41 @@ def minhash_duplicate_pairs(
     driver-side corpus materialization, no broadcast of texts — verify cost
     scales with candidates + ONE corpus shingling pass.
 
-    Shuffle shape (3 sort exchanges, the hash-join backend is deliberately
-    avoided — it deadlocks in constrained environments):
-      1. band rows -> groupby(band, band_hash) -> candidate pairs
+    Shuffle shape (3 hash exchanges on `__part` codes, the hash-join
+    backend is deliberately avoided — it deadlocks in constrained
+    environments; every post-exchange kernel is partition-local and
+    vectorized across ALL of its partition's groups, no per-group UDFs):
+      1. band rows -> part(band, band_hash) -> per-bucket candidate pairs
       2. pair half-rows (keyed by a and by b) UNION corpus (doc_id, blob)
-         rows -> groupby(key): de-dup each half and attach its blob
-      3. groupby(a, b): merge the two halves, exact Jaccard from the two
-         blobs, threshold
+         rows -> part(key): de-dup each half and attach its blob
+      3. part(a, b): merge the two halves of each pair, exact Jaccard from
+         the two blobs (one segmented sort over the partition), threshold
 
     ``ds`` must carry (doc_id, text). ``docs_ds`` optionally supplies a
     different dataset to shingle for verification (defaults to ``ds``).
     ``concurrency`` caps the signature stage's task pool (None = elastic)."""
     if docs_ds is None:
         docs_ds = ds
+    if num_partitions is None:
+        num_partitions = _default_partitions(ds)
+    P = num_partitions
 
     mh_kwargs = {"num_perm": num_perm, "bands": bands, "k": k}
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        return MinHasher(**mh_kwargs)(batch)
+        t = MinHasher(**mh_kwargs)(batch)
+        return t.append_column(
+            "__part",
+            pa.array(_mix_part(P, _np_col(t, "band").astype(np.int64),
+                               _np_col(t, "band_hash"))),
+        )
 
     buckets = ds.map_batches(
         band_rows, batch_format="pyarrow", concurrency=concurrency
     )
     pairs = (
-        buckets.groupby(["band", "band_hash"])
-        .map_groups(candidate_pairs_from_bucket, batch_format="pyarrow")
+        buckets.groupby("__part")
+        .map_groups(candidate_pairs_partition, batch_format="pyarrow")
     )
 
     # one row per (pair, endpoint): key routes to the endpoint's corpus doc
@@ -344,32 +514,39 @@ def minhash_duplicate_pairs(
                     "b": pa.array([], pa.int64()),
                     "half": pa.array([], pa.int8()),
                     "__blob": pa.array([], pa.large_binary()),
+                    "__part": pa.array([], pa.int32()),
                 }
             )
         a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
         b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]
         n = t.num_rows
+        key = pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())])
         return pa.table(
             {
-                "key": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "key": key,
                 "a": pa.concat_arrays([a, a]),
                 "b": pa.concat_arrays([b, b]),
                 "half": pa.array(
                     np.repeat(np.array([0, 1], np.int8), n), pa.int8()
                 ),
                 "__blob": pa.nulls(2 * n, pa.large_binary()),
+                "__part": pa.array(_mix_part(P, key.to_numpy())),
             }
         )
 
     def corpus_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        key = t["doc_id"].cast(pa.int64())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
         return pa.table(
             {
-                "key": t["doc_id"].cast(pa.int64()),
+                "key": key,
                 "a": pa.nulls(n, pa.int64()),
                 "b": pa.nulls(n, pa.int64()),
                 "half": pa.nulls(n, pa.int8()),
                 "__blob": _shingle_blob_column(t["text"], k),
+                "__part": pa.array(_mix_part(P, key.to_numpy())),
             }
         )
 
@@ -378,66 +555,135 @@ def minhash_duplicate_pairs(
         corpus_rows, batch_format="pyarrow", concurrency=concurrency
     )
 
-    def attach(group: pa.Table) -> pa.Table:
-        """Within one doc key: drop duplicate half-rows (same pair surfacing
-        from several bands) and stamp the doc's blob on each."""
-        if group.num_rows == 0 or "__blob" not in group.column_names:
+    def attach(part: pa.Table) -> pa.Table:
+        """One hash partition of doc keys: drop duplicate half-rows (same
+        pair surfacing from several bands) and stamp each half with its
+        endpoint's corpus blob — a sorted searchsorted join across ALL of
+        the partition's keys at once."""
+        if part.num_rows == 0 or "__blob" not in part.column_names:
             return _HALF_SCHEMA.empty_table()
-        is_corpus = pc.is_valid(group["__blob"])
-        prows = group.filter(pc.invert(is_corpus))
-        if prows.num_rows == 0:
-            return _HALF_SCHEMA.empty_table()
-        corpus = group.filter(is_corpus)
-        if corpus.num_rows == 0:
-            return _HALF_SCHEMA.empty_table()  # unknown doc: inner-join drop
-        aa = prows["a"].to_numpy(zero_copy_only=False)
-        bb = prows["b"].to_numpy(zero_copy_only=False)
-        hh = prows["half"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((hh, bb, aa))
-        keep = np.ones(len(order), bool)
+        is_corpus = pc.is_valid(part["__blob"])
+        prows = part.filter(pc.invert(is_corpus))
+        corpus = part.filter(is_corpus)
+        if prows.num_rows == 0 or corpus.num_rows == 0:
+            return _HALF_SCHEMA.empty_table()  # unknown docs: inner-join drop
+        ck = _np_col(corpus, "key").astype(np.int64)
+        corder = np.argsort(ck, kind="stable")  # stable: first dup doc wins
+        cks = ck[corder]
+        pk = _np_col(prows, "key").astype(np.int64)
+        aa = _np_col(prows, "a").astype(np.int64)
+        bb = _np_col(prows, "b").astype(np.int64)
+        hh = _np_col(prows, "half").astype(np.int64)
+        order = np.lexsort((hh, bb, aa, pk))
+        pk, aa, bb, hh = pk[order], aa[order], bb[order], hh[order]
+        keep = np.ones(len(pk), bool)
         keep[1:] = (
-            (aa[order][1:] != aa[order][:-1])
-            | (bb[order][1:] != bb[order][:-1])
-            | (hh[order][1:] != hh[order][:-1])
+            (pk[1:] != pk[:-1]) | (aa[1:] != aa[:-1])
+            | (bb[1:] != bb[:-1]) | (hh[1:] != hh[:-1])
         )
-        prows = prows.take(order[keep]).select(["a", "b", "half"])
-        blob = corpus["__blob"][0].as_py()
-        return prows.append_column(
-            "__blob", pa.array([blob] * prows.num_rows, pa.large_binary())
-        )
-
-    halves = left.union(right).groupby("key").map_groups(
-        attach, batch_format="pyarrow"
-    )
-
-    def verify(group: pa.Table) -> pa.Table:
-        """Merge the two halves of each (a, b) pair and compute exact
-        Jaccard from their shingle blobs."""
-        if group.num_rows == 0 or "half" not in group.column_names:
-            return _PAIR_SCHEMA.empty_table()
-        hh = group["half"].to_numpy(zero_copy_only=False)
-        i0 = np.flatnonzero(hh == 0)
-        i1 = np.flatnonzero(hh == 1)
-        if len(i0) == 0 or len(i1) == 0:
-            return _PAIR_SCHEMA.empty_table()
-        va = np.frombuffer(group["__blob"][i0[0]].as_py() or b"", dtype="<u8")
-        vb = np.frombuffer(group["__blob"][i1[0]].as_py() or b"", dtype="<u8")
-        inter = len(np.intersect1d(va, vb, assume_unique=True))
-        union = len(va) + len(vb) - inter
-        # raw IEEE division — the DuckDB oracle does the same int/int divide,
-        # so values are bit-identical without rounding fudge
-        jac = inter / union if union else 0.0
-        if jac < threshold:
-            return _PAIR_SCHEMA.empty_table()
+        pk, aa, bb, hh = pk[keep], aa[keep], bb[keep], hh[keep]
+        pos = np.clip(np.searchsorted(cks, pk), 0, len(cks) - 1)
+        ok = cks[pos] == pk
+        blob_col = corpus["__blob"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        blobs = blob_col.take(pa.array(corder[pos[ok]], pa.int64()))
         return pa.table(
             {
-                "a": pa.array([group["a"][0].as_py()], pa.int64()),
-                "b": pa.array([group["b"][0].as_py()], pa.int64()),
-                "jaccard": pa.array([jac], pa.float64()),
+                "a": pa.array(aa[ok], pa.int64()),
+                "b": pa.array(bb[ok], pa.int64()),
+                "half": pa.array(hh[ok].astype(np.int8), pa.int8()),
+                "__blob": blobs,
             }
         )
 
-    return halves.groupby(["a", "b"]).map_groups(verify, batch_format="pyarrow")
+    def tag_pair_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return _HALF_SCHEMA.empty_table().append_column(
+                "__part", pa.array([], pa.int32())
+            )
+        return t.append_column(
+            "__part",
+            pa.array(_mix_part(P, _np_col(t, "a"), _np_col(t, "b"))),
+        )
+
+    halves = (
+        left.union(right)
+        .groupby("__part")
+        .map_groups(attach, batch_format="pyarrow")
+        .map_batches(tag_pair_part, batch_format="pyarrow")
+    )
+
+    def verify(part: pa.Table) -> pa.Table:
+        """Merge the two halves of every (a, b) pair in this partition and
+        compute exact Jaccard from the shingle blobs — vectorized: the u64
+        shingle words of all pair blobs are gathered into one flat array
+        with per-pair segment ids; one lexsort + adjacent-equality count
+        yields every pair's intersection size simultaneously."""
+        if part.num_rows == 0 or "half" not in part.column_names:
+            return _PAIR_SCHEMA.empty_table()
+        aa = _np_col(part, "a").astype(np.int64)
+        bb = _np_col(part, "b").astype(np.int64)
+        hh = _np_col(part, "half").astype(np.int64)
+        blob = part["__blob"]
+        if isinstance(blob, pa.ChunkedArray):
+            blob = blob.combine_chunks()
+        lens = (
+            pc.binary_length(blob).to_numpy(zero_copy_only=False) // 8
+        ).astype(np.int64)
+        data_buf = blob.buffers()[2]
+        words = (
+            np.frombuffer(data_buf, dtype="<u8", count=len(data_buf) // 8)
+            if data_buf is not None else np.empty(0, "<u8")
+        )
+        offs = np.frombuffer(blob.buffers()[1], dtype=np.int64)
+        starts_w = offs[blob.offset: blob.offset + len(blob)] // 8
+        order = np.lexsort((hh, bb, aa))
+        aa, bb, hh = aa[order], bb[order], hh[order]
+        lens_o, starts_o = lens[order], starts_w[order]
+        gstart = np.ones(len(aa), bool)
+        gstart[1:] = (aa[1:] != aa[:-1]) | (bb[1:] != bb[:-1])
+        gs = np.flatnonzero(gstart)
+        gsz = np.diff(np.append(gs, len(aa)))
+        valid = gs[gsz == 2]
+        valid = valid[(hh[valid] == 0) & (hh[valid + 1] == 1)]
+        n = len(valid)
+        if n == 0:
+            return _PAIR_SCHEMA.empty_table()
+        i0, i1 = valid, valid + 1
+        l0, l1 = lens_o[i0], lens_o[i1]
+        seg_lens = np.concatenate([l0, l1])
+        seg_starts = np.concatenate([starts_o[i0], starts_o[i1]])
+        seg_ids = np.concatenate([np.arange(n), np.arange(n)])
+        total = int(seg_lens.sum())
+        if total:
+            base = np.repeat(
+                seg_starts - np.concatenate(([0], np.cumsum(seg_lens)))[:-1],
+                seg_lens,
+            )
+            idx = base + np.arange(total)
+            vals = words[idx]
+            segs = np.repeat(seg_ids, seg_lens)
+            o = np.lexsort((vals, segs))
+            sv, ss = vals[o], segs[o]
+            eq = (ss[1:] == ss[:-1]) & (sv[1:] == sv[:-1])
+            inter = np.bincount(ss[:-1][eq], minlength=n).astype(np.int64)
+        else:
+            inter = np.zeros(n, np.int64)
+        union = l0 + l1 - inter
+        # raw IEEE int/int division — the DuckDB oracle divides the same
+        # way, so values are bit-identical without rounding fudge
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(aa[i0][keep], pa.int64()),
+                "b": pa.array(bb[i0][keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return halves.groupby("__part").map_groups(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +733,7 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, concurrency: int = 2):
     n_bands = 4 if max_hamming <= 3 else 8
     band_bits = 64 // n_bands
     band_mask = np.uint64((1 << band_bits) - 1)
+    P = _default_partitions(ds)
     sigs = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=concurrency, num_cpus=0.5)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -499,53 +746,80 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, concurrency: int = 2):
             keys.append(part)
             docs.append(ids)
             full.append(s)
+        band_a = np.concatenate(bands)
+        key_a = np.concatenate(keys)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
-                "key": pa.array(np.concatenate(keys), pa.uint64()),
+                "band": pa.array(band_a),
+                "key": pa.array(key_a, pa.uint64()),
                 "doc_id": pa.array(np.concatenate(docs)),
                 "simhash": pa.array(np.concatenate(full), pa.uint64()),
+                "__part": pa.array(_mix_part(P, band_a.astype(np.int64), key_a)),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        all_ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        # numpy unique = sorted doc_id + first-occurrence index (dedupes the
-        # per-band fanout rows) — no pandas round-trip in this Arrow stage
-        ids, first = np.unique(all_ids, return_index=True)
-        sh = (
-            group["simhash"].to_numpy(zero_copy_only=False)
-            .astype(np.uint64)[first]
+    _SIM_PAIR_SCHEMA = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+    )
+    popc = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        """All of this partition's buckets in one pass: sort rows by
+        (band, key, doc_id), drop per-band duplicate docs, then emit each
+        size-class's pairs from a shared triu template with a vectorized
+        XOR-popcount Hamming check (no per-bucket UDF calls)."""
+        if part.num_rows == 0 or "simhash" not in part.column_names:
+            return _SIM_PAIR_SCHEMA.empty_table()
+        band = _np_col(part, "band").astype(np.int64)
+        key = _np_col(part, "key")
+        doc = _np_col(part, "doc_id").astype(np.int64)
+        sh = _np_col(part, "simhash").astype(np.uint64)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sh = band[order], key[order], doc[order], sh[order]
+        first = np.ones(len(doc), bool)
+        first[1:] = (
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+            | (doc[1:] != doc[:-1])
         )
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "hamming": pa.array([], pa.int64())}
+        band, key, doc, sh = band[first], key[first], doc[first], sh[first]
+        bstart = np.ones(len(doc), bool)
+        bstart[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(bstart)
+        sizes = np.diff(np.append(starts, len(doc)))
+        outs_a, outs_b, outs_h = [], [], []
+        for s in np.unique(sizes):
+            if s < 2:
+                continue
+            sel = starts[sizes == s]
+            cols = sel[:, None] + np.arange(int(s))[None, :]
+            mat_d = doc[cols]
+            mat_s = sh[cols]
+            ii, jj = np.triu_indices(int(s), k=1)
+            x = (mat_s[:, ii] ^ mat_s[:, jj]).ravel()
+            ham = (
+                popc[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+                .astype(np.int64)
             )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        x = sh[ii] ^ sh[jj]
-        # vectorized popcount via the uint8 view + a 256-entry table
-        table = np.array([bin(i).count("1") for i in range(256)], np.uint8)
-        ham = table[x.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
+            keep = ham <= max_hamming
+            outs_a.append(mat_d[:, ii].ravel()[keep])
+            outs_b.append(mat_d[:, jj].ravel()[keep])
+            outs_h.append(ham[keep])
+        if not outs_a:
+            return _SIM_PAIR_SCHEMA.empty_table()
         return pa.table(
             {
-                "a": pa.array(ids[ii][keep], pa.int64()),
-                "b": pa.array(ids[jj][keep], pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int64()),
+                "a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "b": pa.array(np.concatenate(outs_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(outs_h), pa.int64()),
             }
         )
 
     pairs = (
         sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "key"])
+        .groupby("__part")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-
-    def distinct(group: pa.Table) -> pa.Table:
-        return group.take([0])
-
-    return pairs.groupby(["a", "b"]).map_groups(distinct, batch_format="pyarrow")
+    return pairs_distinct(pairs, _SIM_PAIR_SCHEMA, num_partitions=P)
 
 
 def ngram_jaccard_pairs(ds, docs_ds=None, *, k: int = 3, threshold: float = 0.5,

@@ -72,27 +72,58 @@ SELECT doc_id, prefix_key FROM ranked WHERE rn = 1
 def q_dedup_prefix(sf_dir: str):
     """Normalized exact dedup: key = first 5 whitespace tokens — the
     normalize-then-hash-partition dedup shape (real duplicate groups exist
-    under this key even when full texts are unique)."""
+    under this key even when full texts are unique). One hash exchange on
+    ``hash(prefix_key) % P``; the partition-local kernel keeps the min-id
+    row per distinct key by comparing the ACTUAL keys (vectorized
+    sort + adjacent-compare — no per-group UDF calls, no per-row joins)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        derive_num_partitions,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    P = derive_num_partitions(ds)
 
     def add_key(batch: pa.Table) -> pa.Table:
-        keys = [
-            " ".join((t or "").split()[:5]) for t in batch["text"].to_pylist()
-        ]
+        import polars as pl
+
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        keys = s.str.extract_all(r"\S+").list.head(5).list.join(" ")
+        h = keys.hash(seed=3).to_numpy().astype(np.uint64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "prefix_key": pa.array(keys, pa.string()),
+                "prefix_key": keys.to_arrow().cast(pa.string()),
+                "__part": pa.array((h % np.uint64(P)).astype(np.int32)),
             }
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        return group.take([int(np.argmin(ids))])
+    def keep_first(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return (
+                part.drop_columns(["__part"])
+                if "__part" in part.column_names else part
+            )
+        t = part.sort_by(
+            [("prefix_key", "ascending"), ("doc_id", "ascending")]
+        )
+        col = t["prefix_key"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        diff = pc.fill_null(
+            pc.not_equal(col.slice(1), col.slice(0, n - 1)), False
+        )
+        keep = pa.concat_arrays(
+            [pa.array([True]), pc.cast(diff, pa.bool_())]
+        )
+        return t.filter(keep).drop_columns(["__part"])
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
     return (
         ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("prefix_key")
+        .groupby("__part")
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -575,12 +606,17 @@ def q_tumbling_counts(sf_dir: str):
     out = tumbling_counts(ds, width_hours=24)
 
     def rounder(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+        # DuckDB-compatible grid round: scale, half-away, TRUE DIVIDE back.
+        # pc.round reconstructs a double on the INPUT's side of the decimal,
+        # so two float sums 1 ulp apart (association order) round to two
+        # different doubles; floor(|x|*1e4+0.5)/1e4 collapses both onto the
+        # same canonical grid point, which is what DuckDB's round emits.
+        x = t["value_sum"].to_numpy(zero_copy_only=False)
+        y = np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
         return t.set_column(
             t.column_names.index("value_sum"),
             "value_sum",
-            pc.round(t["value_sum"], 4),
+            pa.array(y, pa.float64()),
         )
 
     return out.map_batches(rounder, batch_format="pyarrow")
@@ -762,21 +798,23 @@ def q_asof_join(sf_dir: str):
     shape Ray Data lacks natively; hash-partition + sorted-merge here,
     DuckDB ASOF JOIN as the oracle)."""
     import ray.data as rd
-    from ray.data.aggregate import Max
 
-    from debezium_connector_db2_ray.functions.relational import asof_join
+    from debezium_connector_db2_ray.functions.relational import (
+        asof_join,
+        grouped_aggregate,
+    )
 
     left = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
-    right = (
+    # (user, ts) is HIGH-cardinality — grouped_aggregate, not native groupby
+    right = grouped_aggregate(
         rd.read_parquet(
             f"{sf_dir}/events.parquet",
             columns=["event_id", "user_id", "ts", "event_type"],
-        )
-        .filter(lambda r: r["event_type"] == "purchase")
-        .groupby(["user_id", "ts"])
-        .aggregate(Max("event_id", alias_name="pid"))
+        ).filter(expr="event_type == 'purchase'"),
+        keys=["user_id", "ts"],
+        aggs={"pid": ("event_id", "max")},
     )
     out = asof_join(
         left, right, key="user_id", ts="ts", value_cols=("pid",)
@@ -1323,6 +1361,33 @@ GROUP BY l_orderkey
 """
 
 
+def q_grouped_distinct(sf_dir: str):
+    """Exact per-group distinct count at high key cardinality (one group
+    per order): suppliers per order via grouped_count_distinct — two
+    stacked combiner exchanges, never a per-group UDF."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_count_distinct,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey"],
+    )
+    return grouped_count_distinct(
+        ds, keys=["l_orderkey"], col="l_suppkey", out_col="n_supp"
+    )
+
+
+SQL_GROUPED_DISTINCT = """
+SELECT l_orderkey,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1358,6 +1423,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "orders_revenue_join": q_order_revenue,
     "dedup_apply": q_dedup_apply,
     "grouped_agg_lineitem": q_grouped_agg,
+    "grouped_distinct_suppliers": q_grouped_distinct,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1389,6 +1455,7 @@ DATA_ORACLES: dict[str, str] = {
     "orders_revenue_join": SQL_ORDER_REVENUE,
     "dedup_apply": SQL_DEDUP_APPLY,
     "grouped_agg_lineitem": SQL_GROUPED_AGG,
+    "grouped_distinct_suppliers": SQL_GROUPED_DISTINCT,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -295,7 +295,8 @@ def _partition_codes(batch: pa.Table, keys: list[str], num_partitions: int,
 
 def grouped_aggregate(ds, *, keys: list[str],
                       aggs: dict[str, tuple[str, str]],
-                      num_partitions: int | None = None):
+                      num_partitions: int | None = None,
+                      schema: "pa.Schema | None" = None):
     """Grouped aggregation built for HIGH-cardinality keys (per-user /
     per-document stats over millions of groups) — the shape where both of
     the repo's other aggregation patterns fall over: Ray's native
@@ -389,7 +390,15 @@ def grouped_aggregate(ds, *, keys: list[str],
         part = _partition_codes(g, gb_keys, num_partitions)
         return g.append_column("__part", pa.array(part))
 
-    sch = ds.schema()
+    # ds.schema() on a parquet read is footer metadata; on a transformed
+    # input it may execute a sample (or worse, a whole upstream exchange) —
+    # callers stacking operators pass `schema` explicitly to avoid that
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):  # ray Schema wrapper
+            sch = sch.base_schema
     key_types = dict(zip(sch.names, sch.types))
     empty_partial = partial(
         pa.table({
@@ -437,6 +446,42 @@ def grouped_aggregate(ds, *, keys: list[str],
     # (map_groups never runs on an empty groupby, which would otherwise
     # yield a schema-less dataset)
     return out.union(_rd.from_arrow(final(empty_partial)))
+
+
+def grouped_count_distinct(ds, *, keys: list[str], col: str,
+                           out_col: str = "n_distinct",
+                           num_partitions: int | None = None):
+    """Exact per-group distinct count at HIGH key cardinality (SQL
+    ``count(DISTINCT col) GROUP BY keys``): two stacked grouped_aggregate
+    levels. Level 1 collapses to the distinct ``keys + [col]`` tuples
+    (each batch's duplicates die in the map-side combiner, so the first
+    exchange moves per-batch-distinct tuples, not raw rows); level 2
+    counts the non-null ``col`` values per ``keys`` — exactly SQL's
+    null-excluding DISTINCT semantics. Null group keys survive both levels
+    via grouped_aggregate's (sentinel, validity) key encoding.
+
+    Reference analog: none — the reference has no distinct-count at all
+    (SURVEY §2.5); this is the training-data-pipeline shape (distinct
+    users per shard, distinct shingles per doc cluster, ...)."""
+    sch0 = ds.schema()
+    if hasattr(sch0, "base_schema"):
+        sch0 = sch0.base_schema
+    types = dict(zip(sch0.names, sch0.types))
+    level1 = grouped_aggregate(
+        ds, keys=list(keys) + [col],
+        aggs={"__dup_rows": (col, "count_all")},
+        num_partitions=num_partitions,
+    )
+    # pass level1's (statically known) schema so level 2 never executes the
+    # first exchange just to infer it
+    l1_schema = pa.schema(
+        [(k, types[k]) for k in list(keys) + [col]]
+        + [("__dup_rows", pa.int64())]
+    )
+    return grouped_aggregate(
+        level1, keys=list(keys), aggs={out_col: (col, "count")},
+        num_partitions=num_partitions, schema=l1_schema,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -355,14 +355,17 @@ def cosine_near_dup_pairs(ds, *, threshold: float = 0.95, max_band_size: int = 2
 
     pairs = (
         ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .groupby(["probe", "bucket"])
+        .groupby(["probe", "bucket"])  # low cardinality: 3 probes x 64 buckets
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
-    def distinct(group: pa.Table) -> pa.Table:
-        return group.take([0])
+    from debezium_connector_db2_ray.functions.dedup import pairs_distinct
 
-    return pairs.groupby(["a", "b"]).map_groups(distinct, batch_format="pyarrow")
+    return pairs_distinct(
+        pairs,
+        pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                   ("cos", pa.float64())]),
+    )
 
 
 def lsh_topk(ds, queries_ref, *, dim: int, k: int = 10, nbits: int = 8,

@@ -2,9 +2,11 @@
 
 Ray Data has no event-time windows; these reproduce the standard shapes the
 way the guide prescribes: treat the log as a partitioned, sortable table —
-tumbling windows become a groupby on (key, bucket); session windows become a
-per-key sorted gap-cut (LAG + cumulative sum) inside map_groups. Both are
-pre-aggregated per batch before the small final groupby (combiner pattern).
+tumbling windows become a high-cardinality grouped_aggregate on
+(key, bucket); session windows become per-batch partial sessions (combiner)
+folded by a hash-partitioned, fully vectorized per-user interval merge
+(pandas C-grouped cummax supplies the per-user running 'reach' — no
+per-user UDF calls at any cardinality).
 """
 
 from __future__ import annotations
@@ -17,29 +19,32 @@ HOUR_US = 3_600_000_000
 
 
 def tumbling_counts(ds, *, width_hours: int = 24):
-    """Per (user_id, tumbling time bucket): event count and value sum."""
-    from ray.data.aggregate import Count, Sum
+    """Per (user_id, tumbling time bucket): event count and value sum.
+
+    The bucket projection is a map; the aggregation is the high-cardinality
+    grouped_aggregate (keys = every (user, bucket) pair — Ray's native
+    groupby pays per-group overhead on this shape, see
+    relational.grouped_aggregate)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
 
     width = np.int64(width_hours * HOUR_US)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def project(batch: pa.Table) -> pa.Table:
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "bucket": (ts // width).astype(np.int64),
-                "value": batch["value"].to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"],
+                "bucket": pa.array((ts // width).astype(np.int64)),
+                "value": batch["value"],
             }
         )
-        g = df.groupby(["user_id", "bucket"], as_index=False).agg(
-            n=("value", "size"), value_sum=("value", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=400_000)
-        .groupby(["user_id", "bucket"])
-        .aggregate(Sum("n", alias_name="n"), Sum("value_sum", alias_name="value_sum"))
+    return grouped_aggregate(
+        ds.map_batches(project, batch_format="pyarrow", batch_size=400_000),
+        keys=["user_id", "bucket"],
+        aggs={"n": ("value", "count_all"), "value_sum": ("value", "sum")},
     )
 
 
@@ -89,34 +94,84 @@ def sessionize(ds, *, gap_minutes: int = 120):
             }
         )
 
-    def merge(group: pa.Table) -> pa.Table:
-        uid = group["user_id"][0]
-        s = group["start_ts"].to_numpy(zero_copy_only=False)
-        e = group["end_ts"].to_numpy(zero_copy_only=False)
-        c = group["n_events"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((e, s))
-        s, e, c = s[order], e[order], c[order]
+    def merge(part: pa.Table) -> pa.Table:
+        """ALL of one hash partition's users in a single vectorized sweep:
+        sort by (user, start, end); the per-user running cummax of ends
+        (the interval-merge 'reach') comes from pandas' C-grouped cummax,
+        so no per-user Python/UDF calls happen anywhere."""
+        if part.num_rows == 0 or "start_ts" not in part.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_ts": pa.array([], pa.timestamp("us")),
+                    "end_ts": pa.array([], pa.timestamp("us")),
+                }
+            )
+        uid = part["user_id"].to_numpy(zero_copy_only=False)
+        s = part["start_ts"].to_numpy(zero_copy_only=False)
+        e = part["end_ts"].to_numpy(zero_copy_only=False)
+        c = part["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s, uid))
+        t_sorted = part.take(pa.array(order, pa.int64()))
+        uid, s, e, c = uid[order], s[order], e[order], c[order]
         m = len(s)
-        reach = np.maximum.accumulate(e)  # furthest end seen in the sweep
-        new = np.ones(m, dtype=bool)
-        new[1:] = s[1:] > reach[:-1] + gap_us
+        useg = np.ones(m, dtype=bool)
+        useg[1:] = uid[1:] != uid[:-1]
+        # per-user running max of interval ends (segmented cummax, C level)
+        reach = (
+            pd.Series(e).groupby(np.cumsum(useg)).cummax().to_numpy()
+        )
+        new = useg.copy()
+        new[1:] |= s[1:] > reach[:-1] + gap_us
         starts = np.flatnonzero(new)
-        counts = np.diff(np.append(starts, m))
-        sid = np.arange(len(starts), dtype=np.int64)
         seg_end = np.maximum.reduceat(e, starts)
         seg_n = np.add.reduceat(c, starts)
+        # session ordinal within each user: arange minus the index of the
+        # user's first session (maximum.accumulate carries it forward)
+        first_sess = useg[starts]
+        idx = np.arange(len(starts), dtype=np.int64)
+        base = np.maximum.accumulate(np.where(first_sess, idx, 0))
         return pa.table(
             {
-                "user_id": pa.array([uid.as_py()] * len(starts), group["user_id"].type),
-                "session_idx": pa.array(sid),
+                "user_id": t_sorted["user_id"].take(
+                    pa.array(starts, pa.int64())
+                ),
+                "session_idx": pa.array(idx - base),
                 "n_events": pa.array(seg_n.astype(np.int64)),
                 "start_ts": pa.array(s[starts], pa.int64()).cast(pa.timestamp("us")),
                 "end_ts": pa.array(seg_end, pa.int64()).cast(pa.timestamp("us")),
             }
         )
 
+    def tag(t: pa.Table) -> pa.Table:
+        from debezium_connector_db2_ray.functions.dedup import _mix_part
+
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        if u.dtype.kind not in "iu":
+            import polars as pl
+
+            col = t["user_id"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            u = pl.from_arrow(col).hash(seed=5).to_numpy().astype(np.uint64)
+        return t.append_column("__part", pa.array(_mix_part(_P, u)))
+
+    from debezium_connector_db2_ray.functions.relational import (
+        derive_num_partitions,
+    )
+
+    _P = derive_num_partitions(ds)
     return (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=400_000)
-        .groupby("user_id")
-        .map_groups(merge, batch_format="pyarrow")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: merge(
+                g.drop_columns(["__part"])
+                if "__part" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
     )

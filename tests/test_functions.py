@@ -610,3 +610,45 @@ def test_grouped_aggregate_all_null_group_and_empty(ray_session):
     # dataset-level schema is pinned even for empty input (Ray's to_pandas
     # drops columns on any empty dataset, so assert on schema())
     assert empty.schema().names == ["k", "s"] and empty.count() == 0
+
+
+def test_grouped_count_distinct_matches_duckdb(ray_session):
+    """count(DISTINCT col) semantics: per-group distinct count excludes
+    null values but keeps null group keys; exact vs DuckDB on a key space
+    wide enough that partials combine across batches and partitions."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_count_distinct,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    k = rng.integers(0, 1500, n)
+    t = pa.table({
+        "k": pa.array(
+            [None if x % 101 == 5 else int(x) for x in k], pa.int64()
+        ),
+        "v": pa.array(
+            [None if x % 7 == 3 else int(x)
+             for x in rng.integers(0, 40, n)],
+            pa.int64(),
+        ),
+    })
+    res = grouped_count_distinct(
+        rd.from_arrow(t).repartition(5), keys=["k"], col="v",
+        out_col="nd", num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, CAST(count(DISTINCT v) AS BIGINT) nd FROM t GROUP BY k"
+    ).fetchdf()
+    a = res.sort_values("k", na_position="first").reset_index(drop=True)
+    b = want.sort_values("k", na_position="first").reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[["k", "nd"]], b, check_dtype=False)
