@@ -217,6 +217,10 @@ def run_gate_queries(timings: dict) -> None:
         ("events_interval_join", DATA_QUERIES),
         ("tpch_pricing_summary", DATA_QUERIES),
         ("orders_revenue_join", DATA_QUERIES),
+        ("grouped_agg_lineitem", DATA_QUERIES),
+        ("grouped_distinct_suppliers", DATA_QUERIES),
+        ("docs_decontaminate", DATA_QUERIES),
+        ("stream_sessionize", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

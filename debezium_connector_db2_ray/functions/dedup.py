@@ -822,6 +822,77 @@ def simhash_duplicate_pairs(ds, *, max_hamming: int = 3, concurrency: int = 2):
     return pairs_distinct(pairs, _SIM_PAIR_SCHEMA, num_partitions=P)
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def benchmark_shingle_ref(bench_ds, *, k: int = 3, text_col: str = "text"):
+    """Collect the benchmark corpus' UNIQUE k-gram shingle hashes into ONE
+    sorted uint64 array in the object store (`ray.put` once, zero-copy read
+    in every scoring task). Partitioning assumption: the benchmark side is
+    an EVAL set — orders of magnitude smaller than the training corpus —
+    so its distinct-shingle set fits one object; the corpus side streams."""
+    import ray
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        g, _ = batch_shingle_sets(batch[text_col], k)
+        return pa.table({"g": pa.array(np.unique(g), pa.uint64())})
+
+    tbls = ray.get(
+        bench_ds.map_batches(to_sets, batch_format="pyarrow").to_arrow_refs()
+    )
+    parts = [t["g"].to_numpy(zero_copy_only=False) for t in tbls if t.num_rows]
+    full = (
+        np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.uint64)
+    )
+    return ray.put(full)
+
+
+def decontaminate(docs_ds, bench, *, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark decontamination: per document, how many of its DISTINCT
+    k-token shingles appear anywhere in the benchmark set (`n_hits`) and the
+    derived `contaminated` flag — the standard guard against eval-set
+    leakage into training data.
+
+    ``bench`` is a Dataset (collapsed here via benchmark_shingle_ref) or an
+    ObjectRef from a previous call (reuse across corpus shards). Map-only
+    over the corpus — no shuffle at any corpus size; equality on 64-bit
+    shingle hashes mirrors equality on the shingle strings barring
+    collisions (same argument as the exact-Jaccard oracle)."""
+    import ray
+
+    bench_ref = (
+        bench if isinstance(bench, ray.ObjectRef)
+        else benchmark_shingle_ref(bench, k=k, text_col=text_col)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench_sorted = ray.get(bench_ref)
+        g, uc = batch_shingle_sets(batch[text_col], k)
+        if len(g) and len(bench_sorted):
+            pos = np.clip(
+                np.searchsorted(bench_sorted, g), 0, len(bench_sorted) - 1
+            )
+            hit = (bench_sorted[pos] == g).astype(np.int64)
+        else:
+            hit = np.zeros(len(g), np.int64)
+        # per-doc hit counts via prefix sums (robust to 0-shingle docs,
+        # unlike reduceat)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        offs = np.concatenate(([0], np.cumsum(uc)))
+        n_hits = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, docs_ds=None, *, k: int = 3, threshold: float = 0.5,
                         concurrency: int = 2):
     """Exact n-gram-Jaccard pairs via MinHash-LSH candidates at a permissive

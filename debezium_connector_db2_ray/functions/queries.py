@@ -128,6 +128,63 @@ def q_dedup_prefix(sf_dir: str):
     )
 
 
+#: decontamination oracle: the same 3-gram construction as
+#: SQL_JACCARD_PAIRS, with docs doc_id % 20 == 0 playing the benchmark
+#: (eval) set; n_hits counts the corpus doc's DISTINCT grams found
+#: anywhere in the benchmark (hash-set membership == string-set
+#: membership barring collisions).
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS g
+  FROM toks
+),
+gr AS (SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n
+  FROM gr JOIN bench USING (gram)
+  WHERE gr.doc_id % 20 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: every 20th document acts as the eval set;
+    the rest of the corpus is scored for shingle overlap against it
+    (broadcast benchmark hash set + map-only corpus scan)."""
+    from debezium_connector_db2_ray.functions.dedup import decontaminate
+
+    def is_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    def is_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 != 0))
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    corpus = docs.map_batches(is_corpus, batch_format="pyarrow")
+    return decontaminate(corpus, bench, k=3)
+
+
 #: exact 3-gram-Jaccard pairs at threshold 0.5 — the SQL mirror of the
 #: MinHash/n-gram pipelines' OUTPUT. Valid as a full oracle because exact
 #: verification makes found ⊆ true, and on these fixtures every true pair
@@ -1388,6 +1445,37 @@ GROUP BY l_orderkey
 """
 
 
+SQL_PERCENTILES = """
+SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+UNION ALL
+SELECT CAST(0.5 AS DOUBLE), quantile_disc(l_extendedprice, 0.5) FROM lineitem
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_disc(l_extendedprice, 0.9) FROM lineitem
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_disc(l_extendedprice, 0.99) FROM lineitem
+"""
+
+
+def q_percentiles(sf_dir: str):
+    """Exact discrete percentiles of lineitem prices via distributed
+    kth-element selection (multi-pass histogram narrowing, no sort, no
+    shuffle) — bit-exact vs DuckDB quantile_disc because the answer is an
+    ELEMENT of the column, never arithmetic over it."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"],
+    )
+    return exact_percentiles(
+        ds, col="l_extendedprice", qs=[0.25, 0.5, 0.9, 0.99]
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1424,6 +1512,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_apply": q_dedup_apply,
     "grouped_agg_lineitem": q_grouped_agg,
     "grouped_distinct_suppliers": q_grouped_distinct,
+    "docs_decontaminate": q_decontaminate,
+    "percentiles_price": q_percentiles,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1456,6 +1546,8 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_apply": SQL_DEDUP_APPLY,
     "grouped_agg_lineitem": SQL_GROUPED_AGG,
     "grouped_distinct_suppliers": SQL_GROUPED_DISTINCT,
+    "docs_decontaminate": SQL_DECONTAMINATE,
+    "percentiles_price": SQL_PERCENTILES,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

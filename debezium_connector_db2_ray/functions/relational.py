@@ -932,16 +932,220 @@ def stratified_sample(ds, *, stratum_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# exact distributed percentiles (kth-element selection, no shuffle)
+# ---------------------------------------------------------------------------
+
+def _order_keys(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint64 total-order keys, valid mask) for an int/float column:
+    monotone bijection into uint64 space so histogram bisection works on
+    any numeric type. Nulls are masked out (SQL quantile ignores them)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    t = col.type
+    if pa.types.is_floating(t):
+        b = (
+            pc.fill_null(col, 0.0).cast(pa.float64())
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+        neg = (b >> np.uint64(63)) == 1
+        keys = np.where(neg, ~b, b | np.uint64(1 << 63))
+    else:
+        v = (
+            pc.fill_null(col.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        keys = v.astype(np.uint64) ^ np.uint64(1 << 63)
+    return keys, valid
+
+
+def exact_percentiles(ds, *, col: str, qs: list[float],
+                      hist_bits: int = 12, collect_limit: int = 65_536):
+    """EXACT discrete percentiles (SQL ``quantile_disc`` semantics: the
+    element at 0-indexed rank ``max(0, ceil(q*n) - 1)`` of the non-null
+    sorted column) computed by distributed kth-element SELECTION — no sort,
+    no shuffle, ever. Each round is one map-only scan of the (column-pruned)
+    input that histograms the rows still inside each quantile's candidate
+    key range (a monotone uint64 image of the value space) into 2^hist_bits
+    buckets; the driver folds the tiny histograms, narrows each range to
+    the bucket containing its rank, and repeats until <= collect_limit rows
+    remain, which one final filtered scan collects exactly. Convergence:
+    ceil(64 / hist_bits) + 1 scans worst case (6 for adversarial 64-bit
+    spreads; 2-3 on real data).
+
+    At 100 TB this is O(rounds) streaming scans of ONE column vs a full
+    all-to-all sort — the classic distributed selection trade. Returns a
+    pa.Table (q float64, value column-typed) ordered as ``qs``."""
+    import ray
+
+    source = ds.select_columns([col]) if hasattr(ds, "select_columns") else ds
+
+    def batch_count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([int(pc.count(batch[col]).as_py())], pa.int64())}
+        )
+
+    n = sum(
+        r["n"] for r in
+        source.map_batches(batch_count, batch_format="pyarrow").take_all()
+    )
+    out_type = (
+        ds.schema().base_schema.field(col).type
+        if hasattr(ds.schema(), "base_schema")
+        else ds.schema().field(col).type
+    )
+    if n == 0:
+        return pa.table({
+            "q": pa.array(qs, pa.float64()),
+            "value": pa.nulls(len(qs), out_type),
+        })
+    B = 1 << hist_bits
+    U64_TOP = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # state per quantile: inclusive key range, rank within range
+    state = []
+    for q in qs:
+        k = max(0, int(np.ceil(q * n)) - 1)
+        state.append({
+            "q": q, "k": k, "lo": np.uint64(0), "hi": U64_TOP,
+            "rank": k, "done": False, "value": None,
+        })
+
+    def active_ranges():
+        return [
+            (i, s["lo"], s["hi"]) for i, s in enumerate(state)
+            if not s["done"]
+        ]
+
+    # worst case: every round shaves hist_bits key bits until width == 1
+    max_rounds = -(-64 // hist_bits) + 1
+    for _round in range(max_rounds):
+        act = active_ranges()
+        if not act:
+            break
+        ranges = [(i, lo, hi) for i, lo, hi in act]
+
+        def hist(batch: pa.Table, _ranges=ranges) -> pa.Table:
+            keys, valid = _order_keys(batch[col])
+            keys = keys[valid]
+            qi_out, bk_out, ct_out = [], [], []
+            for i, lo, hi in _ranges:
+                inr = keys[(keys >= lo) & (keys <= hi)]
+                if len(inr) == 0:
+                    continue
+                width = (hi - lo) // np.uint64(B) + np.uint64(1)
+                counts = np.bincount(
+                    ((inr - lo) // width).astype(np.int64), minlength=B
+                )
+                nz = np.flatnonzero(counts)
+                qi_out.append(np.full(len(nz), i, np.int64))
+                bk_out.append(nz.astype(np.int64))
+                ct_out.append(counts[nz].astype(np.int64))
+            if not qi_out:
+                return pa.table({
+                    "qi": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                })
+            return pa.table({
+                "qi": pa.array(np.concatenate(qi_out)),
+                "bucket": pa.array(np.concatenate(bk_out)),
+                "cnt": pa.array(np.concatenate(ct_out)),
+            })
+
+        # fold per-batch sparse histograms through a combiner exchange so
+        # the driver only ever sees <= len(qs) * B totals, independent of
+        # block count (take_all on raw per-batch rows would scale with the
+        # input at 100 TB)
+        rows = grouped_aggregate(
+            source.map_batches(hist, batch_format="pyarrow"),
+            keys=["qi", "bucket"], aggs={"cnt": ("cnt", "sum")},
+            num_partitions=16,
+            schema=pa.schema([("qi", pa.int64()), ("bucket", pa.int64()),
+                              ("cnt", pa.int64())]),
+        ).take_all()
+        agg: dict[tuple[int, int], int] = {
+            (r["qi"], r["bucket"]): r["cnt"] for r in rows
+        }
+        for i, lo, hi in ranges:
+            s = state[i]
+            width = (hi - lo) // np.uint64(B) + np.uint64(1)
+            counts = np.zeros(B, np.int64)
+            for (qi, bk), c in agg.items():
+                if qi == i:
+                    counts[bk] = c
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s["rank"] + 1))
+            s["rank"] -= int(cum[b - 1]) if b else 0
+            s["lo"] = lo + np.uint64(b) * width
+            s["hi"] = min(hi, s["lo"] + width - np.uint64(1))
+            if s["lo"] == s["hi"]:
+                # single key left: every remaining row carries the answer
+                s["rank"] = 0
+                s["done"] = True
+            elif counts[b] <= collect_limit:
+                s["done"] = True  # collectable next
+        # collect every range that is narrow enough
+        coll = [
+            (i, s["lo"], s["hi"]) for i, s in enumerate(state)
+            if s["done"] and s["value"] is None
+        ]
+        if coll:
+            def gather(batch: pa.Table, _coll=coll) -> pa.Table:
+                keys, valid = _order_keys(batch[col])
+                vals = batch[col]
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                qi_out, k_out, v_out = [], [], []
+                for i, lo, hi in _coll:
+                    sel = valid & (keys >= lo) & (keys <= hi)
+                    idx = np.flatnonzero(sel)
+                    if len(idx) == 0:
+                        continue
+                    if lo == hi:
+                        idx = idx[:1]  # all duplicates of one key
+                    qi_out.append(np.full(len(idx), i, np.int64))
+                    k_out.append(keys[idx])
+                    v_out.append(vals.take(pa.array(idx, pa.int64())))
+                if not qi_out:
+                    return pa.table({
+                        "qi": pa.array([], pa.int64()),
+                        "key": pa.array([], pa.uint64()),
+                        "value": pa.nulls(0, vals.type),
+                    })
+                return pa.table({
+                    "qi": pa.array(np.concatenate(qi_out)),
+                    "key": pa.array(np.concatenate(k_out), pa.uint64()),
+                    "value": pa.concat_arrays(
+                        [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                         else v for v in v_out]
+                    ),
+                })
+
+            got = source.map_batches(gather, batch_format="pyarrow").take_all()
+            by_q: dict[int, list] = {}
+            for r in got:
+                by_q.setdefault(r["qi"], []).append((r["key"], r["value"]))
+            for i, _, _ in coll:
+                items = sorted(by_q.get(i, []), key=lambda t: t[0])
+                state[i]["value"] = items[state[i]["rank"]][1]
+
+    return pa.table({
+        "q": pa.array([s["q"] for s in state], pa.float64()),
+        "value": pa.array([s["value"] for s in state], out_type),
+    })
+
+
+# ---------------------------------------------------------------------------
 # global top-k terms
 # ---------------------------------------------------------------------------
 
 def topk_terms(ds, *, text_col: str = "text", k: int = 20):
     """Corpus-wide top-k terms by frequency: per-batch partial term counts
     (one vectorized tokenize + value_counts — the combiner bounds the
-    shuffle to distinct terms per batch, not tokens), a small
-    groupby(term).sum, then an ordered limit with a deterministic (count
-    desc, term asc) tiebreak."""
-    from ray.data.aggregate import Sum
+    shuffle to distinct terms per batch, not tokens), a grouped_aggregate
+    total per term (term cardinality = the corpus VOCABULARY — a native
+    groupby pays per-group overhead on it), then an ordered limit with a
+    deterministic (count desc, term asc) tiebreak."""
 
     def partial(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -964,9 +1168,11 @@ def topk_terms(ds, *, text_col: str = "text", k: int = 20):
             }
         )
 
-    totals = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+    totals = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["term"],
+        aggs={"cnt": ("cnt", "sum")},
+        num_partitions=derive_num_partitions(ds),
+        schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
     )
     return totals.sort(["cnt", "term"], descending=[True, False]).limit(k)

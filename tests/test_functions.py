@@ -652,3 +652,100 @@ def test_grouped_count_distinct_matches_duckdb(ray_session):
     b = want.sort_values("k", na_position="first").reset_index(drop=True)
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a[["k", "nd"]], b, check_dtype=False)
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    """Exact copies of a benchmark doc are contaminated with n_hits equal
+    to their full distinct-shingle count; partial overlaps count only the
+    shared shingles; disjoint and empty docs are clean. Also pins the
+    ObjectRef-reuse path (one benchmark set scored against two corpora)."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        benchmark_shingle_ref,
+        decontaminate,
+        shingle_hashes,
+    )
+
+    bench_txt = "the quick brown fox jumps over the lazy dog"
+    partial_txt = "quick brown fox swims under a bright red sky tonight"
+    clean_txt = "completely different words appear in this sentence here"
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1000], pa.int64()),
+        "text": pa.array([bench_txt]),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([bench_txt, partial_txt, clean_txt, None]),
+    }))
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, k=3).take_all()
+    }
+    full = len(shingle_hashes(bench_txt, 3))
+    shared = len(
+        np.intersect1d(
+            shingle_hashes(bench_txt, 3), shingle_hashes(partial_txt, 3)
+        )
+    )
+    assert got[1] == (full, True)
+    assert shared > 0 and got[2] == (shared, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+    ref = benchmark_shingle_ref(bench, k=3)
+    assert isinstance(ref, ray.ObjectRef)
+    again = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(corpus, ref, k=3).take_all()
+    }
+    assert again == {k: v[0] for k, v in got.items()}
+
+
+def test_exact_percentiles_match_duckdb_quantile_disc(ray_session):
+    """Distributed kth-element selection == DuckDB quantile_disc: float and
+    int columns, nulls ignored, heavy duplicates (single-key range path),
+    q=0/1 edges, and an all-null column."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+    )
+
+    rng = np.random.default_rng(23)
+    v = rng.normal(0, 1e6, 5000)
+    v[::7] = 42.5  # heavy duplicate mass
+    t = pa.table({"v": pa.array(
+        [None if i % 11 == 3 else float(x) for i, x in enumerate(v)],
+        pa.float64(),
+    )})
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_percentiles(
+        rd.from_arrow(t).repartition(4), col="v", qs=qs,
+        hist_bits=6, collect_limit=50,  # force several narrowing rounds
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, val in zip(qs, got["value"].to_pylist()):
+        want = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM t"
+        ).fetchone()[0]
+        assert val == want, (q, val, want)
+
+    ti = pa.table({"v": pa.array([5, 1, None, 3, 3, 3, None, 9, 2, 8])})
+    con.register("ti", ti)
+    goti = exact_percentiles(rd.from_arrow(ti), col="v", qs=[0.1, 0.5, 1.0])
+    for q, val in zip([0.1, 0.5, 1.0], goti["value"].to_pylist()):
+        want = con.execute(
+            f"SELECT quantile_disc(v, {q}) FROM ti"
+        ).fetchone()[0]
+        assert val == want, (q, val, want)
+
+    nul = exact_percentiles(
+        rd.from_arrow(pa.table({"v": pa.array([None, None], pa.float64())})),
+        col="v", qs=[0.5],
+    )
+    assert nul["value"].to_pylist() == [None]
