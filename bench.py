@@ -318,6 +318,111 @@ def ensure_join_data(n_fact: int, n_dim: int) -> dict:
     return info
 
 
+def ensure_dedup_data(n_docs: int) -> dict:
+    """Deterministic synthetic corpus for the dedup scaling job: ~30-token
+    docs from a Zipf-ish vocabulary, 10% exact duplicates and 10% one-token
+    near-duplicates planted. Built fully vectorized (token matrix ->
+    ListArray -> pc.binary_join) and cached."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = f"/tmp/cdc_bench_dedup_{n_docs}"
+    meta = os.path.join(d, "meta.json")
+    if os.path.exists(meta):
+        return json.load(open(meta))
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(29)
+    vocab = np.array([f"tok{i:05d}" for i in range(30_000)])
+    toks_per_doc = 30
+    n_base = n_docs - n_docs // 5
+    idx = (
+        rng.zipf(1.3, size=(n_base, toks_per_doc)).astype(np.int64)
+        % len(vocab)
+    )
+    # exact duplicates: copy of a base doc; near-dups: one token changed
+    dup_src = rng.integers(0, n_base, n_docs // 10)
+    near_src = rng.integers(0, n_base, n_docs - n_base - len(dup_src))
+    near = idx[near_src].copy()
+    near[np.arange(len(near)), rng.integers(0, toks_per_doc, len(near))] = (
+        rng.integers(0, len(vocab), len(near))
+    )
+    allidx = np.concatenate([idx, idx[dup_src], near])
+    flat = pa.array(vocab[allidx.ravel()])
+    offsets = pa.array(
+        np.arange(0, (len(allidx) + 1) * toks_per_doc, toks_per_doc,
+                  dtype=np.int32)
+    )
+    texts = pc.binary_join(
+        pa.LargeListArray.from_arrays(offsets.cast(pa.int64()), flat), " "
+    )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(np.arange(len(allidx), dtype=np.int64)),
+            "text": texts,
+        }),
+        os.path.join(d, "docs.parquet"),
+        compression="zstd",
+    )
+    info = {"dir": d, "n_docs": int(len(allidx))}
+    with open(meta, "w") as f:
+        json.dump(info, f)
+    return info
+
+
+def run_dedup_job() -> None:
+    """Dedup-only job for the scaling harness: exact dedup + the full
+    MinHash-LSH near-dup pipeline over a synthetic corpus big enough that
+    per-partition compute dominates Ray's fixed exchange costs
+    (BENCH_DEDUP_DOCS, default 2M docs ~ 60M tokens)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        exact_dedup,
+        minhash_duplicate_pairs,
+    )
+
+    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "2000000"))
+    info = ensure_dedup_data(n_docs)
+    warm_page_cache([os.path.join(info["dir"], "docs.parquet")])
+    rd.range(NCPU * 4, override_num_blocks=NCPU * 4).count()
+    timings = {}
+    total = 0.0
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(os.path.join(info["dir"], "docs.parquet"))
+    n_unique = exact_dedup(docs).count()
+    dt = time.perf_counter() - t0
+    assert n_unique < info["n_docs"]  # planted exact dups must collapse
+    timings["dedup_exact"] = round(dt, 3)
+    total += dt
+
+    t0 = time.perf_counter()
+    docs = rd.read_parquet(os.path.join(info["dir"], "docs.parquet"))
+    n_pairs = minhash_duplicate_pairs(docs, threshold=0.5).count()
+    dt = time.perf_counter() - t0
+    assert n_pairs > 0  # planted near-dups must surface
+    timings["dedup_minhash"] = round(dt, 3)
+    total += dt
+
+    rows_moved = 2 * info["n_docs"]
+    print(
+        json.dumps(
+            {
+                "metric": "dedup-family wall time (exact + minhash-lsh, "
+                          f"{info['n_docs']} docs)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "events_per_sec": round(rows_moved / total),
+                "num_cpus": NCPU,
+            }
+        )
+    )
+
+
 def run_joins_job() -> None:
     """Joins-only job for the scaling harness: the generic repartition
     equi-join, the high-cardinality grouped aggregate, and the as-of join —
@@ -409,6 +514,10 @@ def main() -> None:
 
     if os.environ.get("BENCH_JOINS_ONLY") == "1":
         run_joins_job()
+        ray.shutdown()
+        return
+    if os.environ.get("BENCH_DEDUP_ONLY") == "1":
+        run_dedup_job()
         ray.shutdown()
         return
 
@@ -541,6 +650,19 @@ def scaling() -> None:
                 str(n): jres[n].get("queries", {}) for n in levels
             },
             "all_runs_sec": jruns,
+        }
+    if os.environ.get("SCALE_DEDUP") == "1":
+        # opt-in third job: the dedup-family exchanges (exact + MinHash-LSH
+        # partition-local kernels) over a 2M-doc synthetic corpus
+        dres, druns = measure({"BENCH_DEDUP_ONLY": "1"})
+        dpairs = pairs_of(dres)
+        report["dedup"] = {
+            "levels": levels_of(dres),
+            "scaling_efficiency_pairs": dpairs,
+            "per_query_sec_best": {
+                str(n): dres[n].get("queries", {}) for n in levels
+            },
+            "all_runs_sec": druns,
         }
     print(json.dumps(report))
 

@@ -181,7 +181,10 @@ _MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
 
 def _mix_part(P: int, *cols: np.ndarray) -> np.ndarray:
     """int32 partition codes from one or more integer key columns (mixed so
-    sequential ids and band numbers spread uniformly)."""
+    sequential ids and band numbers spread uniformly). Array-level sibling
+    of relational._partition_codes (the table-level helper with per-type
+    dispatch) — use that one when starting from an Arrow table / mixed key
+    types; this one when the kernel already holds numpy integer arrays."""
     with np.errstate(over="ignore"):
         h = np.zeros(len(cols[0]), np.uint64)
         for i, c in enumerate(cols):

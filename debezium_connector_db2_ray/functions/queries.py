@@ -1476,6 +1476,34 @@ def q_percentiles(sf_dir: str):
     )
 
 
+SQL_GROUPED_PERCENTILES = """
+SELECT user_id,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_grouped_percentiles(sf_dir: str):
+    """Per-user event-value percentiles (one group per user): a single
+    hash exchange + partition-local vectorized selection — bit-exact
+    because the result is an element of each group, never arithmetic."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_percentiles,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value"],
+    )
+    return grouped_percentiles(
+        ds, keys=["user_id"], col="value", qs={"p50": 0.5, "p90": 0.9}
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1514,6 +1542,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "grouped_distinct_suppliers": q_grouped_distinct,
     "docs_decontaminate": q_decontaminate,
     "percentiles_price": q_percentiles,
+    "grouped_percentiles_user": q_grouped_percentiles,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1548,6 +1577,7 @@ DATA_ORACLES: dict[str, str] = {
     "grouped_distinct_suppliers": SQL_GROUPED_DISTINCT,
     "docs_decontaminate": SQL_DECONTAMINATE,
     "percentiles_price": SQL_PERCENTILES,
+    "grouped_percentiles_user": SQL_GROUPED_PERCENTILES,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -282,9 +282,13 @@ def _partition_codes(batch: pa.Table, keys: list[str], num_partitions: int,
                 zero_copy_only=False
             ).astype(np.uint64)
         elif pa.types.is_floating(t):
-            v = pc.fill_null(col, 0.0).to_numpy(
+            # widen to f64 (a 4-byte view would misalign) and normalize
+            # signed zeros: -0.0 + 0.0 == +0.0, every other value is
+            # unchanged — SQL GROUP BY treats -0.0 and 0.0 as one key
+            f = pc.fill_null(col.cast(pa.float64()), 0.0).to_numpy(
                 zero_copy_only=False
-            ).view(np.uint64)
+            )
+            v = (f + 0.0).view(np.uint64)
         else:
             import polars as pl
 
@@ -329,12 +333,19 @@ def grouped_aggregate(ds, *, keys: list[str],
     keys = list(keys)
 
     # one partial column per distinct (col, partial_fn); means share their
-    # sum/count partials with plain sum/count aggs of the same column
+    # sum/count partials with plain sum/count aggs of the same column.
+    # Aggregating a column that is ALSO a group key (SELECT k, count(k)
+    # GROUP BY k) routes through an alias copy: the key copy gets
+    # null-filled by the key encoding, the alias keeps the raw values.
     partial_specs: dict[str, tuple] = {}  # partial col name -> (col, fn)
+    key_alias: dict[str, str] = {}  # key col -> raw-value alias
 
     def _need(col: str, fn: str) -> str:
         name = "count_all" if fn == "count_all" else f"{col}_{fn}"
-        partial_specs[name] = ([] if fn == "count_all" else col, fn)
+        src = [] if fn == "count_all" else col
+        if isinstance(src, str) and src in keys:
+            src = key_alias.setdefault(col, f"__raw_{col}")
+        partial_specs[name] = (src, fn)
         return name
 
     plan: dict[str, tuple] = {}  # out name -> ("direct", partial, final_fn)
@@ -351,6 +362,7 @@ def grouped_aggregate(ds, *, keys: list[str],
     pnames = list(partial_specs)
     in_cols = keys + sorted(
         {c for (c, _) in partial_specs.values() if isinstance(c, str)}
+        - set(keys) - set(key_alias.values())
     )
     # pyarrow's MULTI-key group_by duplicates a group when a key column
     # holds nulls (observed on 16.1.0: one (null, k) tuple -> several output
@@ -370,16 +382,22 @@ def grouped_aggregate(ds, *, keys: list[str],
     def _encode_keys(batch: pa.Table) -> pa.Table:
         for c in keys:
             col = batch[c]
+            filled = pc.fill_null(col, _zero(col.type))
+            if pa.types.is_floating(col.type):
+                # SQL GROUP BY folds -0.0 and 0.0 into one key; pyarrow's
+                # group_by (and the bit-pattern partitioner) would split
+                # them — x + 0.0 canonicalizes the zero sign
+                filled = pc.add(filled, pa.scalar(0.0, col.type))
             batch = batch.set_column(
-                batch.column_names.index(c), c,
-                pc.fill_null(col, _zero(col.type)),
+                batch.column_names.index(c), c, filled,
             ).append_column(nk[c], pc.is_null(col))
         return batch
 
     def partial(batch: pa.Table) -> pa.Table:
-        g = _encode_keys(batch.select(in_cols)).group_by(gb_keys).aggregate(
-            spec
-        )
+        t = batch.select(in_cols)
+        for orig, al in key_alias.items():
+            t = t.append_column(al, t[orig])  # raw values, pre-encoding
+        g = _encode_keys(t).group_by(gb_keys).aggregate(spec)
         # aggregate() names outputs col_fn / count_all in spec order
         # alongside the keys; rename positionally to our stable partial names
         agg_names = [n for n in g.column_names if n not in gb_keys]
@@ -950,6 +968,12 @@ def _order_keys(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray
         )
         neg = (b >> np.uint64(63)) == 1
         keys = np.where(neg, ~b, b | np.uint64(1 << 63))
+    elif pa.types.is_unsigned_integer(t):
+        # already order-isomorphic to uint64 — no sign flip
+        keys = (
+            pc.fill_null(col.cast(pa.uint64()), 0)
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
     else:
         v = (
             pc.fill_null(col.cast(pa.int64()), 0)
@@ -980,55 +1004,42 @@ def exact_percentiles(ds, *, col: str, qs: list[float],
 
     source = ds.select_columns([col]) if hasattr(ds, "select_columns") else ds
 
-    def batch_count(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"n": pa.array([int(pc.count(batch[col]).as_py())], pa.int64())}
-        )
-
-    n = sum(
-        r["n"] for r in
-        source.map_batches(batch_count, batch_format="pyarrow").take_all()
-    )
     out_type = (
         ds.schema().base_schema.field(col).type
         if hasattr(ds.schema(), "base_schema")
         else ds.schema().field(col).type
     )
-    if n == 0:
-        return pa.table({
-            "q": pa.array(qs, pa.float64()),
-            "value": pa.nulls(len(qs), out_type),
-        })
     B = 1 << hist_bits
     U64_TOP = np.uint64(0xFFFFFFFFFFFFFFFF)
-    # state per quantile: inclusive key range, rank within range
-    state = []
-    for q in qs:
-        k = max(0, int(np.ceil(q * n)) - 1)
-        state.append({
-            "q": q, "k": k, "lo": np.uint64(0), "hi": U64_TOP,
-            "rank": k, "done": False, "value": None,
-        })
-
-    def active_ranges():
-        return [
-            (i, s["lo"], s["hi"]) for i, s in enumerate(state)
-            if not s["done"]
-        ]
+    # state per quantile: inclusive key range, rank within range (ranks are
+    # set after round 1 — the full-range histogram's total IS the non-null
+    # count, so no dedicated counting pass runs)
+    n = None
+    state = [
+        {"q": q, "k": None, "lo": np.uint64(0), "hi": U64_TOP,
+         "rank": None, "done": False, "value": None}
+        for q in qs
+    ]
 
     # worst case: every round shaves hist_bits key bits until width == 1
     max_rounds = -(-64 // hist_bits) + 1
     for _round in range(max_rounds):
-        act = active_ranges()
+        act = [
+            (i, s["lo"], s["hi"]) for i, s in enumerate(state)
+            if not s["done"]
+        ]
         if not act:
             break
-        ranges = [(i, lo, hi) for i, lo, hi in act]
+        # states sharing a candidate range (always true in round 1, common
+        # for nearby quantiles later) share one histogram
+        uranges = sorted({(lo, hi) for _, lo, hi in act})
+        ridx = {r: j for j, r in enumerate(uranges)}
 
-        def hist(batch: pa.Table, _ranges=ranges) -> pa.Table:
+        def hist(batch: pa.Table, _ranges=uranges) -> pa.Table:
             keys, valid = _order_keys(batch[col])
             keys = keys[valid]
-            qi_out, bk_out, ct_out = [], [], []
-            for i, lo, hi in _ranges:
+            ri_out, bk_out, ct_out = [], [], []
+            for j, (lo, hi) in enumerate(_ranges):
                 inr = keys[(keys >= lo) & (keys <= hi)]
                 if len(inr) == 0:
                     continue
@@ -1037,42 +1048,48 @@ def exact_percentiles(ds, *, col: str, qs: list[float],
                     ((inr - lo) // width).astype(np.int64), minlength=B
                 )
                 nz = np.flatnonzero(counts)
-                qi_out.append(np.full(len(nz), i, np.int64))
+                ri_out.append(np.full(len(nz), j, np.int64))
                 bk_out.append(nz.astype(np.int64))
                 ct_out.append(counts[nz].astype(np.int64))
-            if not qi_out:
+            if not ri_out:
                 return pa.table({
-                    "qi": pa.array([], pa.int64()),
+                    "ri": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64()),
                     "cnt": pa.array([], pa.int64()),
                 })
             return pa.table({
-                "qi": pa.array(np.concatenate(qi_out)),
+                "ri": pa.array(np.concatenate(ri_out)),
                 "bucket": pa.array(np.concatenate(bk_out)),
                 "cnt": pa.array(np.concatenate(ct_out)),
             })
 
         # fold per-batch sparse histograms through a combiner exchange so
-        # the driver only ever sees <= len(qs) * B totals, independent of
-        # block count (take_all on raw per-batch rows would scale with the
-        # input at 100 TB)
+        # the driver only ever sees <= len(uranges) * B totals, independent
+        # of block count (take_all on raw per-batch rows would scale with
+        # the input at 100 TB)
         rows = grouped_aggregate(
             source.map_batches(hist, batch_format="pyarrow"),
-            keys=["qi", "bucket"], aggs={"cnt": ("cnt", "sum")},
+            keys=["ri", "bucket"], aggs={"cnt": ("cnt", "sum")},
             num_partitions=16,
-            schema=pa.schema([("qi", pa.int64()), ("bucket", pa.int64()),
+            schema=pa.schema([("ri", pa.int64()), ("bucket", pa.int64()),
                               ("cnt", pa.int64())]),
         ).take_all()
-        agg: dict[tuple[int, int], int] = {
-            (r["qi"], r["bucket"]): r["cnt"] for r in rows
-        }
-        for i, lo, hi in ranges:
+        range_counts = np.zeros((len(uranges), B), np.int64)
+        for r in rows:
+            range_counts[r["ri"], r["bucket"]] = r["cnt"]
+        if n is None:  # round 1: one full range, its total is the count
+            n = int(range_counts.sum())
+            if n == 0:
+                return pa.table({
+                    "q": pa.array(qs, pa.float64()),
+                    "value": pa.nulls(len(qs), out_type),
+                })
+            for s in state:
+                s["k"] = s["rank"] = max(0, int(np.ceil(s["q"] * n)) - 1)
+        for i, lo, hi in act:
             s = state[i]
             width = (hi - lo) // np.uint64(B) + np.uint64(1)
-            counts = np.zeros(B, np.int64)
-            for (qi, bk), c in agg.items():
-                if qi == i:
-                    counts[bk] = c
+            counts = range_counts[ridx[(lo, hi)]]
             cum = np.cumsum(counts)
             b = int(np.searchsorted(cum, s["rank"] + 1))
             s["rank"] -= int(cum[b - 1]) if b else 0
@@ -1133,6 +1150,112 @@ def exact_percentiles(ds, *, col: str, qs: list[float],
         "q": pa.array([s["q"] for s in state], pa.float64()),
         "value": pa.array([s["value"] for s in state], out_type),
     })
+
+
+def grouped_percentiles(ds, *, keys: list[str], col: str,
+                        qs: dict[str, float],
+                        num_partitions: int | None = None,
+                        schema: "pa.Schema | None" = None):
+    """Per-GROUP exact discrete percentiles (SQL ``quantile_disc(col, q)
+    GROUP BY keys`` — element at rank ``ceil(q*m)-1`` of each group's m
+    non-null values) at any key cardinality: ONE hash exchange on
+    ``part(keys)``, then a partition-local kernel handles every group at
+    once — Arrow sort by (keys..., null-values-last, value order), segment
+    boundaries from adjacent key compares, per-group ranks picked by fancy
+    indexing. No per-group UDF calls; groups whose values are all null
+    yield NULL (SQL semantics). ``qs`` maps output column name -> q.
+
+    Unlike the global ``exact_percentiles`` (multi-pass selection, no data
+    movement), this moves each row once — the right trade when there are
+    many groups and each group's rows fit a partition."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    keys = list(keys)
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    types = dict(zip(sch.names, sch.types))
+    val_t = types[col]
+    out_schema = pa.schema(
+        [(k, types[k]) for k in keys] + [(o, val_t) for o in qs]
+    )
+    in_cols = keys + ([col] if col not in keys else [])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(in_cols)
+        return t.append_column(
+            "__part", pa.array(_partition_codes(t, keys, num_partitions))
+        )
+
+    qlist = list(qs.items())
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or col not in part.column_names:
+            return out_schema.empty_table()
+        vals = part[col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        okey, valid = _order_keys(vals)
+        t = part.append_column(
+            "__ok", pa.array(okey, pa.uint64())
+        ).append_column("__inv", pa.array(~valid))
+        t = t.sort_by(
+            [(k, "ascending") for k in keys]
+            + [("__inv", "ascending"), ("__ok", "ascending")]
+        )
+        n = t.num_rows
+        # segment starts: any key column differs from the previous row
+        # (Arrow equality: null == null for grouping, -0.0 == 0.0)
+        seg = np.zeros(n, bool)
+        seg[0] = True
+        for k in keys:
+            c = t[k]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            a, b = c.slice(1), c.slice(0, n - 1)
+            diff = pc.or_(
+                pc.fill_null(pc.not_equal(a, b), False),
+                pc.xor(pc.is_null(a), pc.is_null(b)),
+            ).to_numpy(zero_copy_only=False)
+            seg[1:] |= diff
+        starts = np.flatnonzero(seg)
+        sizes = np.diff(np.append(starts, n))
+        # non-null count per segment (nulls sorted last within segment)
+        v_sorted = ~t["__inv"].to_numpy(zero_copy_only=False)
+        cs = np.concatenate(([0], np.cumsum(v_sorted)))
+        m = cs[starts + sizes] - cs[starts]
+        vals_sorted = t[col]
+        if isinstance(vals_sorted, pa.ChunkedArray):
+            vals_sorted = vals_sorted.combine_chunks()
+        cols = {k: t[k].take(pa.array(starts, pa.int64())) for k in keys}
+        for out, q in qlist:
+            rank = np.maximum(0, np.ceil(q * m).astype(np.int64) - 1)
+            idx = starts + np.minimum(rank, np.maximum(m - 1, 0))
+            picked = vals_sorted.take(pa.array(idx, pa.int64()))
+            # all-null group: the pick landed on a null row anyway, but be
+            # explicit — m == 0 means NULL by SQL semantics
+            cols[out] = pc.if_else(
+                pa.array(m > 0), picked, pa.scalar(None, val_t)
+            )
+        return pa.table(cols)
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: kernel(
+                g.drop_columns(["__part"])
+                if "__part" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    import ray.data as _rd
+
+    return out.union(_rd.from_arrow(out_schema.empty_table()))
 
 
 # ---------------------------------------------------------------------------

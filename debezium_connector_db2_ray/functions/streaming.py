@@ -41,10 +41,20 @@ def tumbling_counts(ds, *, width_hours: int = 24):
             }
         )
 
+    in_sch = ds.schema()
+    if hasattr(in_sch, "base_schema"):
+        in_sch = in_sch.base_schema
     return grouped_aggregate(
         ds.map_batches(project, batch_format="pyarrow", batch_size=400_000),
         keys=["user_id", "bucket"],
         aggs={"n": ("value", "count_all"), "value_sum": ("value", "sum")},
+        # the projection's schema is statically known — pass it so
+        # grouped_aggregate never executes an upstream sample to infer it
+        schema=pa.schema([
+            ("user_id", in_sch.field("user_id").type),
+            ("bucket", pa.int64()),
+            ("value", in_sch.field("value").type),
+        ]),
     )
 
 
@@ -100,9 +110,14 @@ def sessionize(ds, *, gap_minutes: int = 120):
         (the interval-merge 'reach') comes from pandas' C-grouped cummax,
         so no per-user Python/UDF calls happen anywhere."""
         if part.num_rows == 0 or "start_ts" not in part.column_names:
+            # preserve the caller's user_id type (string ids are supported)
+            utype = (
+                part["user_id"].type
+                if "user_id" in part.column_names else pa.int64()
+            )
             return pa.table(
                 {
-                    "user_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], utype),
                     "session_idx": pa.array([], pa.int64()),
                     "n_events": pa.array([], pa.int64()),
                     "start_ts": pa.array([], pa.timestamp("us")),
@@ -146,17 +161,14 @@ def sessionize(ds, *, gap_minutes: int = 120):
         )
 
     def tag(t: pa.Table) -> pa.Table:
-        from debezium_connector_db2_ray.functions.dedup import _mix_part
+        # shared table-level partitioner (handles int/float/string keys)
+        from debezium_connector_db2_ray.functions.relational import (
+            _partition_codes,
+        )
 
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        if u.dtype.kind not in "iu":
-            import polars as pl
-
-            col = t["user_id"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            u = pl.from_arrow(col).hash(seed=5).to_numpy().astype(np.uint64)
-        return t.append_column("__part", pa.array(_mix_part(_P, u)))
+        return t.append_column(
+            "__part", pa.array(_partition_codes(t, ["user_id"], _P))
+        )
 
     from debezium_connector_db2_ray.functions.relational import (
         derive_num_partitions,

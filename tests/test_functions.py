@@ -597,9 +597,7 @@ def test_grouped_aggregate_all_null_group_and_empty(ray_session):
         )
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
-    assert r.loc[0, "nv"] == 0 and pa.compute.is_null(
-        pa.scalar(None)
-    )  # group k=1 exists
+    assert r.loc[0, "k"] == 1 and r.loc[0, "nv"] == 0  # group k=1 exists
     assert r.loc[0].isna()["m"] and r.loc[0].isna()["s"]
     assert r.loc[1, "s"] == 3 and r.loc[1, "m"] == 3.0
 
@@ -749,3 +747,127 @@ def test_exact_percentiles_match_duckdb_quantile_disc(ray_session):
         col="v", qs=[0.5],
     )
     assert nul["value"].to_pylist() == [None]
+
+
+def test_grouped_aggregate_signed_zero_and_key_column_agg(ray_session):
+    """Regressions from review: (1) -0.0 and 0.0 float keys are ONE SQL
+    group (bit-pattern hashing split them); (2) aggregating a column that
+    is also a group key (SELECT k, count(k) GROUP BY k) works via the
+    raw-value alias instead of a duplicate-schema crash."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    t = pa.table({
+        "k": pa.array([0.0, -0.0, 0.0, -0.0, 1.0], pa.float64()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    r = (
+        grouped_aggregate(
+            rd.from_arrow(t), keys=["k"], aggs={"s": ("v", "sum")},
+            num_partitions=8,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert len(r) == 2  # one row for zero, one for 1.0
+    assert r.loc[0, "k"] == 0.0 and r.loc[0, "s"] == 10
+    assert r.loc[1, "k"] == 1.0 and r.loc[1, "s"] == 5
+
+    t2 = pa.table({"k": pa.array([1, 1, None, 2], pa.int64())})
+    r2 = (
+        grouped_aggregate(
+            rd.from_arrow(t2), keys=["k"],
+            aggs={"n": ("k", "count"), "mx": ("k", "max")},
+            num_partitions=4,
+        )
+        .to_pandas().sort_values("k", na_position="first")
+        .reset_index(drop=True)
+    )
+    # null key group: count(k) over it is 0 (nulls excluded), max NULL
+    assert r2["k"].isna()[0] and r2.loc[0, "n"] == 0
+    assert r2.loc[1, "k"] == 1 and r2.loc[1, "n"] == 2 and r2.loc[1, "mx"] == 1
+    assert r2.loc[2, "k"] == 2 and r2.loc[2, "n"] == 1
+
+
+def test_sessionize_string_user_ids(ray_session):
+    """String user ids survive the hash-partition exchange and the
+    empty-partition schema fallback."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import sessionize
+
+    rows = [
+        {"user_id": "alice", "ts": 0},
+        {"user_id": "alice", "ts": 60_000_000},
+        {"user_id": "alice", "ts": 10**13},
+        {"user_id": "bob", "ts": 5},
+    ]
+    t = pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows]),
+        "ts": pa.array(
+            [r["ts"] for r in rows], pa.int64()
+        ).cast(pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t), gap_minutes=120).take_all()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user["alice"]) == 2  # big gap splits a session
+    assert sum(s["n_events"] for s in per_user["alice"]) == 3
+    assert len(per_user["bob"]) == 1
+
+
+def test_grouped_percentiles_match_duckdb(ray_session):
+    """Per-group quantile_disc: null group keys, null values excluded from
+    ranks, all-null-value groups yield NULL — exact vs DuckDB."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_percentiles,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(
+            [None if x % 89 == 7 else int(x)
+             for x in rng.integers(0, 900, n)], pa.int64(),
+        ),
+        "v": pa.array(
+            [None if x % 13 == 5 else float(x)
+             for x in rng.normal(0, 100, n)], pa.float64(),
+        ),
+    })
+    res = grouped_percentiles(
+        rd.from_arrow(t).repartition(5), keys=["k"], col="v",
+        qs={"p50": 0.5, "p90": 0.9}, num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, quantile_disc(v, 0.5) p50, quantile_disc(v, 0.9) p90 "
+        "FROM t GROUP BY k"
+    ).fetchdf()
+    a = res.sort_values("k", na_position="first").reset_index(drop=True)
+    b = want.sort_values("k", na_position="first").reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[["k", "p50", "p90"]], b, check_dtype=False)
+
+    t2 = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "v": pa.array([None, None, 5.0], pa.float64()),
+    })
+    r2 = (
+        grouped_percentiles(
+            rd.from_arrow(t2), keys=["k"], col="v", qs={"p50": 0.5},
+            num_partitions=4,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert np.isnan(r2.loc[0, "p50"]) and r2.loc[1, "p50"] == 5.0
