@@ -1504,6 +1504,340 @@ def q_grouped_percentiles(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# window functions / composition pipelines (round 3, second batch)
+# ---------------------------------------------------------------------------
+
+SQL_TOP_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """SQL row_number()/QUALIFY top-n per group: each customer's 3 highest
+    -value orders — one hash exchange + partition-local sort/segment-rank
+    (relational.top_n_per_group), never a per-group UDF. Deterministic
+    tiebreak on o_orderkey makes the row set (and rank) cross-engine
+    exact."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        top_n_per_group,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return top_n_per_group(
+        ds, keys=["o_custkey"],
+        order_by=[("o_totalprice", "descending"),
+                  ("o_orderkey", "ascending")],
+        n=3,
+    )
+
+
+SQL_LAG_DELTAS = """
+SELECT event_id, user_id,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events
+"""
+
+
+def q_lag_deltas(sf_dir: str):
+    """SQL lag() window function: per-user inter-event gap in microseconds
+    (NULL for each user's first event) — one hash exchange on user_id +
+    partition-local sort and vectorized adjacent difference
+    (relational.grouped_lag_delta). The per-user event-cadence signal a
+    transcript/behavior pipeline derives before sessionizing."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_lag_delta,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+    )
+    out = grouped_lag_delta(
+        ds, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="ts", out_col="gap_us",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "gap_us"]),
+        batch_format="pyarrow",
+    )
+
+
+# sliding windows: width 24h, stride 6h -> every event lands in k=4 windows;
+# both engines compute window starts as int64 epoch-us floor arithmetic.
+_SLIDE_W, _SLIDE_S = 24, 6
+SQL_SLIDING = f"""
+SELECT event_type,
+       CAST((epoch_us(ts) // {_SLIDE_S * 3_600_000_000})
+            * {_SLIDE_S * 3_600_000_000}
+            - i * {_SLIDE_S * 3_600_000_000} AS BIGINT) AS win_start_us,
+       CAST(count(*) AS BIGINT) AS n
+FROM events CROSS JOIN range(0, {_SLIDE_W // _SLIDE_S}) t(i)
+GROUP BY 1, 2
+"""
+
+
+def q_sliding_counts(sf_dir: str):
+    """OVERLAPPING sliding-window event counts (24 h windows every 6 h):
+    the k-fold window expansion happens inside the per-batch partial
+    (streaming.sliding_counts), so the exchange ships distinct
+    (type, window) rows, never k x events."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import (
+        sliding_counts,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return sliding_counts(
+        ds, key_col="event_type",
+        width_hours=_SLIDE_W, stride_hours=_SLIDE_S,
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','purchase')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT by conditional aggregation: per-user event counts spread into
+    one column per event type — the indicator projection is a map, the
+    fold is one combiner exchange (grouped_aggregate), integer-exact."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        cols = {"user_id": batch["user_id"]}
+        named = ("click", "view", "purchase")
+        other = pa.array(np.ones(batch.num_rows, np.int64))
+        for v in named:
+            m = pc.fill_null(pc.equal(et, v), False)
+            ind = m.cast(pa.int64())
+            cols[f"n_{v}"] = ind
+            other = pc.subtract(other, ind)
+        cols["n_other"] = other
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={
+            "n_events": ("n_click", "count_all"),
+            "n_click": ("n_click", "sum"),
+            "n_view": ("n_view", "sum"),
+            "n_purchase": ("n_purchase", "sum"),
+            "n_other": ("n_other", "sum"),
+        },
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("n_click", pa.int64()),
+            ("n_view", pa.int64()), ("n_purchase", pa.int64()),
+            ("n_other", pa.int64()),
+        ]),
+    )
+
+
+# Gopher-style repetition quality signal: fraction of duplicate TOKENS per
+# document. Tokenizer = lowercase + the RE2-pinned \S+ class both engines
+# share; dup_frac = (n - d) / n computed double/double in the same order.
+SQL_REP_TOKENS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(coalesce(text, '')), '[\t\n\f\r ]+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) - len(list_distinct(t)) AS BIGINT) AS n_dup,
+       CASE WHEN len(t) = 0 THEN NULL
+            ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+                 / CAST(len(t) AS DOUBLE) END AS dup_frac
+FROM toks
+"""
+
+
+def q_rep_tokens(sf_dir: str):
+    """Repetition quality score (Gopher-style duplicate-token fraction):
+    one vectorized polars pass — lowercase, RE2-pinned tokenize,
+    list-length minus distinct-length; empty docs score NULL."""
+    import polars as pl
+
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    def score(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+        n = toks.list.len().cast(pl.Int64).to_numpy().astype(np.int64)
+        d = toks.list.unique().list.len().cast(pl.Int64).to_numpy().astype(
+            np.int64
+        )
+        dup = n - d
+        frac = np.where(n > 0, dup / np.maximum(n, 1).astype(np.float64),
+                        np.nan)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n),
+            "n_dup": pa.array(dup),
+            "dup_frac": pa.array(frac, pa.float64(),
+                                 mask=(n == 0)),
+        })
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# TPC-H Q3-shaped 3-way composition; money in scaled integers so the sum is
+# order-independent (same rule as SQL_PRICING).
+Q3_CUTOFF = "1998-06-01"
+SQL_TPCH_Q3 = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_e4 DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H-Q3-shaped composition: filter customer segment, date-filter
+    orders and lineitem AT THE READ (predicate pushdown prunes row
+    groups), two repartition_joins (dimension side first — the
+    customer-filtered orders set is the small side of the fact join), a
+    grouped_aggregate on (orderkey, orderdate), then a tiny top-10 ordered
+    limit. Demonstrates the join family composing without re-tuning:
+    every exchange self-sizes via derive_num_partitions."""
+    import datetime as _dt
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr=f"c_mktsegment == 'BUILDING'")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def keep_orders(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch["o_orderdate"],
+                    pa.scalar(cutoff, pa.timestamp("us")))
+        t = batch.filter(pc.fill_null(m, False))
+        # join key shares the dimension side's column name (repartition_join
+        # joins on ONE shared name, like SQL USING)
+        return pa.table({
+            "c_custkey": t["o_custkey"],
+            "l_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+        })
+
+    def rev_items(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["l_shipdate"],
+                       pa.scalar(cutoff, pa.timestamp("us")))
+        t = batch.filter(pc.fill_null(m, False))
+        price = pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(
+            pa.int64()
+        )
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(
+            pa.int64()
+        )
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev_e4": rev,
+        })
+
+    orders = orders.map_batches(keep_orders, batch_format="pyarrow")
+    li = li.map_batches(rev_items, batch_format="pyarrow")
+    co = repartition_join(
+        cust.select_columns(["c_custkey"]), orders, on="c_custkey",
+    ).select_columns(["l_orderkey", "o_orderdate"])
+    j = repartition_join(co, li, on="l_orderkey")
+    agg = grouped_aggregate(
+        j.select_columns(["l_orderkey", "o_orderdate", "rev_e4"]),
+        keys=["l_orderkey", "o_orderdate"],
+        aggs={"revenue_e4": ("rev_e4", "sum")},
+        schema=pa.schema([
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("rev_e4", pa.int64()),
+        ]),
+    )
+    top = agg.sort(
+        ["revenue_e4", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+    return top.map_batches(
+        lambda t: t.select(["l_orderkey", "revenue_e4", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1543,6 +1877,12 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_decontaminate": q_decontaminate,
     "percentiles_price": q_percentiles,
     "grouped_percentiles_user": q_grouped_percentiles,
+    "top_orders_per_cust": q_top_orders,
+    "events_lag_deltas": q_lag_deltas,
+    "stream_sliding_counts": q_sliding_counts,
+    "events_pivot": q_events_pivot,
+    "text_rep_tokens": q_rep_tokens,
+    "tpch_q3_shipping": q_tpch_q3,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1578,6 +1918,12 @@ DATA_ORACLES: dict[str, str] = {
     "docs_decontaminate": SQL_DECONTAMINATE,
     "percentiles_price": SQL_PERCENTILES,
     "grouped_percentiles_user": SQL_GROUPED_PERCENTILES,
+    "top_orders_per_cust": SQL_TOP_ORDERS,
+    "events_lag_deltas": SQL_LAG_DELTAS,
+    "stream_sliding_counts": SQL_SLIDING,
+    "events_pivot": SQL_EVENTS_PIVOT,
+    "text_rep_tokens": SQL_REP_TOKENS,
+    "tpch_q3_shipping": SQL_TPCH_Q3,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -983,6 +983,166 @@ def _order_keys(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray
     return keys, valid
 
 
+def _segment_starts(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Start offsets of equal-key runs in a table already SORTED by
+    ``keys``: a segment begins wherever any key column differs from the
+    previous row (Arrow equality semantics — null == null for grouping,
+    -0.0 == 0.0). Shared by every partition-local windowed kernel
+    (grouped_percentiles / top_n_per_group / grouped_lag_delta)."""
+    n = t.num_rows
+    seg = np.zeros(n, bool)
+    seg[0] = True
+    for k in keys:
+        c = t[k]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        a, b = c.slice(1), c.slice(0, n - 1)
+        diff = pc.or_(
+            pc.fill_null(pc.not_equal(a, b), False),
+            pc.xor(pc.is_null(a), pc.is_null(b)),
+        ).to_numpy(zero_copy_only=False)
+        seg[1:] |= diff
+    return np.flatnonzero(seg)
+
+
+def _window_exchange(ds, *, keys: list[str], cols: list[str],
+                     num_partitions: int | None, kernel, out_schema):
+    """The one-exchange skeleton every partitioned window operator shares:
+    project to the needed columns, tag each row with a hash partition of
+    the window PARTITION BY keys (equal key tuples co-locate, like the
+    replay path's conv_id exchange, pipelines/replay.py:635), then run a
+    partition-local vectorized kernel over each partition at once — never
+    a per-group UDF. The trailing union with an empty typed table pins the
+    output schema even when every partition is empty."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        return t.append_column(
+            "__part", pa.array(_partition_codes(t, keys, num_partitions))
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(
+            lambda g: kernel(
+                g.drop_columns(["__part"])
+                if "__part" in g.column_names else g
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    import ray.data as _rd
+
+    return out.union(_rd.from_arrow(out_schema.empty_table()))
+
+
+def top_n_per_group(ds, *, keys: list[str],
+                    order_by: list[tuple[str, str]], n: int,
+                    num_partitions: int | None = None,
+                    schema: "pa.Schema | None" = None,
+                    out_rank: str = "rn"):
+    """SQL ``row_number() OVER (PARTITION BY keys ORDER BY ...) <= n``
+    (QUALIFY top-n per group) at any key cardinality: ONE hash exchange on
+    ``part(keys)``, then a partition-local kernel — Arrow sort by
+    (keys..., order_by...), segment boundaries from adjacent key compares,
+    per-row rank = row offset - segment start, keep rank < n. All columns
+    of ``ds`` pass through; ``out_rank`` carries the 1-based row_number.
+    ``order_by`` entries are ("col", "ascending"|"descending"); give a
+    deterministic total order (unique tiebreak column) for cross-engine
+    reproducibility. Nulls order last under both Arrow sort_by and
+    DuckDB's default NULLS LAST.
+
+    At 100 TB: each row moves once; no per-group task, no global sort —
+    the same exchange shape as the LWW apply (stages/apply.py:151)."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_rank, pa.int64())]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        # per-row rank within its segment, fully vectorized: subtract the
+        # owning segment's start offset from each row offset
+        sizes = np.diff(np.append(starts, t.num_rows))
+        rank = (np.arange(t.num_rows, dtype=np.int64)
+                - np.repeat(starts, sizes))
+        keep = rank < n
+        t = t.append_column(out_rank, pa.array(rank + 1, pa.int64()))
+        return t.filter(pa.array(keep)).select(cols + [out_rank])
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
+
+
+def grouped_lag_delta(ds, *, keys: list[str],
+                      order_by: list[tuple[str, str]], col: str,
+                      out_col: str = "delta",
+                      num_partitions: int | None = None,
+                      schema: "pa.Schema | None" = None):
+    """SQL ``col - lag(col) OVER (PARTITION BY keys ORDER BY ...)`` — the
+    inter-event-gap window function: ONE hash exchange on ``part(keys)``,
+    partition-local sort + vectorized adjacent difference, NULL for each
+    group's first row (lag of nothing). ``col`` must be numeric or
+    timestamp; timestamps diff into int64 microseconds (DuckDB
+    ``date_diff('microsecond', ...)`` parity). All input columns pass
+    through plus ``out_col``."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    val_t = sch.field(col).type
+    out_t = pa.int64() if pa.types.is_temporal(val_t) else val_t
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_col, out_t)]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_temporal(val_t) else \
+            v.to_numpy(zero_copy_only=False)
+        d = np.empty(len(x), dtype=np.int64 if out_t == pa.int64()
+                     else x.dtype)
+        d[1:] = x[1:] - x[:-1]
+        d[starts] = 0  # masked below; avoids cross-segment garbage
+        first = np.zeros(len(x), bool)
+        first[starts] = True
+        delta = pa.array(d, out_t, mask=first)
+        return t.append_column(out_col, delta)
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
+
+
 def exact_percentiles(ds, *, col: str, qs: list[float],
                       hist_bits: int = 12, collect_limit: int = 65_536):
     """EXACT discrete percentiles (SQL ``quantile_disc`` semantics: the
@@ -1207,21 +1367,7 @@ def grouped_percentiles(ds, *, keys: list[str], col: str,
             + [("__inv", "ascending"), ("__ok", "ascending")]
         )
         n = t.num_rows
-        # segment starts: any key column differs from the previous row
-        # (Arrow equality: null == null for grouping, -0.0 == 0.0)
-        seg = np.zeros(n, bool)
-        seg[0] = True
-        for k in keys:
-            c = t[k]
-            if isinstance(c, pa.ChunkedArray):
-                c = c.combine_chunks()
-            a, b = c.slice(1), c.slice(0, n - 1)
-            diff = pc.or_(
-                pc.fill_null(pc.not_equal(a, b), False),
-                pc.xor(pc.is_null(a), pc.is_null(b)),
-            ).to_numpy(zero_copy_only=False)
-            seg[1:] |= diff
-        starts = np.flatnonzero(seg)
+        starts = _segment_starts(t, keys)
         sizes = np.diff(np.append(starts, n))
         # non-null count per segment (nulls sorted last within segment)
         v_sorted = ~t["__inv"].to_numpy(zero_copy_only=False)

@@ -58,6 +58,74 @@ def tumbling_counts(ds, *, width_hours: int = 24):
     )
 
 
+def sliding_counts(ds, *, key_col: str = "event_type",
+                   width_hours: int = 24, stride_hours: int = 6):
+    """OVERLAPPING sliding-window counts per key: every event falls in
+    ``width/stride`` windows (window w covers [w, w + width)), so each
+    window's count is the number of events with
+    ``win_start <= ts < win_start + width``. width must be an integer
+    multiple of stride — then the covering windows of an event at epoch e
+    are exactly ``floor(e/stride)*stride - i*stride`` for i in [0, k),
+    k = width//stride, and no containment filter is needed.
+
+    Scale shape: the k-fold expansion happens INSIDE the per-batch partial
+    (a k-times np.repeat followed by a per-batch unique-count), so the
+    exchange ships one row per distinct (key, window) per batch — bounded
+    by key-cardinality x windows-per-batch, never k x events. The final
+    fold is the high-cardinality grouped_aggregate. Window starts are
+    int64 epoch microseconds (cross-engine-stable, no timezone)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    if width_hours % stride_hours:
+        raise ValueError("width_hours must be a multiple of stride_hours")
+    stride = np.int64(stride_hours * HOUR_US)
+    k = width_hours // stride_hours
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = (ts // stride) * stride
+        # k shifted copies of every event, then a per-batch combine:
+        # (key code, window) pairs fold into one int64 (window/stride fits
+        # far below 2^40 for microsecond epochs; codes are small)
+        win = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * stride, len(base)
+        )
+        cd = np.repeat(codes, k)
+        packed = cd * np.int64(1 << 44) + (win // stride)
+        uniq, counts = np.unique(packed, return_counts=True)
+        u_cd = (uniq >> np.int64(44)).astype(np.int64)
+        u_win = (uniq & np.int64((1 << 44) - 1)) * stride
+        return pa.table({
+            key_col: enc.dictionary.take(pa.array(u_cd, pa.int64())),
+            "win_start_us": pa.array(u_win, pa.int64()),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    in_sch = ds.schema()
+    if hasattr(in_sch, "base_schema"):
+        in_sch = in_sch.base_schema
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=400_000),
+        keys=[key_col, "win_start_us"],
+        aggs={"n": ("n", "sum")},
+        schema=pa.schema([
+            (key_col, in_sch.field(key_col).type),
+            ("win_start_us", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    )
+
+
 def sessionize(ds, *, gap_minutes: int = 120):
     """Session windows per user: a gap greater than ``gap_minutes`` starts a
     new session. Emits one row per session: (user_id, session_idx, n_events,

@@ -871,3 +871,122 @@ def test_grouped_percentiles_match_duckdb(ray_session):
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     assert np.isnan(r2.loc[0, "p50"]) and r2.loc[1, "p50"] == 5.0
+
+
+def test_top_n_per_group_matches_duckdb(ray_session):
+    """row_number()-top-n: null group keys group together, null order
+    values sort last (Arrow at_end == DuckDB default NULLS LAST), rank is
+    1-based and deterministic under the unique tiebreak."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        top_n_per_group,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(
+            [None if x % 97 == 3 else int(x)
+             for x in rng.integers(0, 700, n)], pa.int64(),
+        ),
+        "v": pa.array(
+            [None if x % 11 == 4 else float(x)
+             for x in rng.normal(0, 50, n)], pa.float64(),
+        ),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    res = top_n_per_group(
+        rd.from_arrow(t).repartition(6), keys=["k"],
+        order_by=[("v", "descending"), ("id", "ascending")], n=4,
+        num_partitions=8,
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT k, v, id, CAST(rn AS BIGINT) rn FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY k ORDER BY v DESC NULLS LAST, id) rn FROM t"
+        ") WHERE rn <= 4"
+    ).fetchdf()
+    cols = ["k", "v", "id", "rn"]
+    a = res[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    b = want[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_grouped_lag_delta_matches_pandas_shift(ray_session):
+    """lag() deltas: per-key first row NULL, timestamps diff to int64 us,
+    result invariant to input block layout (the exchange re-co-locates)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_lag_delta,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 10_000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 10**9, n).astype(np.int64)
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "u": pa.array(rng.integers(0, 300, n), pa.int64()),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+    res = grouped_lag_delta(
+        rd.from_arrow(t).repartition(7), keys=["u"],
+        order_by=[("ts", "ascending"), ("id", "ascending")],
+        col="ts", out_col="gap", num_partitions=8,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["u", "ts", "id"])
+    df["gap"] = (
+        df.groupby("u")["ts"].diff().dt.total_seconds() * 1_000_000
+    )
+    want = df.sort_values("id").reset_index(drop=True)["gap"]
+    got = res["gap"].astype("float64")
+    assert np.allclose(got.fillna(-1), want.fillna(-1))
+    # exactly one NULL per user (its first event)
+    assert res["gap"].isna().sum() == df["u"].nunique()
+
+
+def test_sliding_counts_brute_force(ray_session):
+    """Sliding windows: every reported (key, window) count equals the
+    brute-force containment count, and the windows covering each event
+    are exactly width/stride many."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import (
+        HOUR_US,
+        sliding_counts,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 5_000
+    base = np.int64(1_700_000_000_000_000)
+    ts = base + rng.integers(0, 5 * 24 * HOUR_US, n).astype(np.int64)
+    keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "event_type": pa.array(keys),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+    })
+    W, S = 12, 4
+    res = sliding_counts(
+        rd.from_arrow(t).repartition(5), key_col="event_type",
+        width_hours=W, stride_hours=S,
+    ).to_pandas()
+    w_us, s_us = W * HOUR_US, S * HOUR_US
+    total = 0
+    for _, row in res.iterrows():
+        lo = row["win_start_us"]
+        m = (keys == row["event_type"]) & (ts >= lo) & (ts < lo + w_us)
+        assert row["n"] == m.sum(), (row, m.sum())
+        total += row["n"]
+        assert lo % s_us == 0
+    assert total == n * (W // S)  # each event in exactly k windows
