@@ -1838,6 +1838,136 @@ def q_tpch_q3(sf_dir: str):
     )
 
 
+SQL_ROLLING_SUM = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS roll_cents
+FROM events
+"""
+
+
+def q_rolling_sum(sf_dir: str):
+    """SQL window-frame aggregate: per-user rolling 4-event value sum —
+    one hash exchange, then the whole partition computes from a single
+    cumulative sum (relational.grouped_rolling_sum). Money in scaled
+    integers so the frame sums are cross-engine exact."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_sum,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pc.round(
+                pc.multiply(batch["value"], 100.0)
+            ).cast(pa.int64()),
+        })
+
+    out = grouped_rolling_sum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="cents", window_rows=4, out_col="roll_cents",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("cents", pa.int64()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "roll_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+# per-group deterministic sample: the mix64 chain in SQL (HUGEINT products
+# of 32-bit multiplicands are exact; bit-identical to relational.mix64 —
+# same contract as SQL_STRATIFIED above)
+SQL_SAMPLE_PER_GROUP = """
+WITH s1 AS (
+  SELECT user_id, event_id,
+         CAST((CAST(event_id AS HUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z0
+  FROM events
+), s2 AS (
+  SELECT user_id, event_id,
+         CAST((CAST(xor(z0, z0 >> 33) AS HUGEINT) * 2246822507)
+              % 18446744073709551616 AS UBIGINT) AS z1
+  FROM s1
+), s3 AS (
+  SELECT user_id, event_id,
+         CAST((CAST(xor(z1, z1 >> 29) AS HUGEINT) * 3266489909)
+              % 18446744073709551616 AS UBIGINT) AS z2
+  FROM s2
+), h AS (
+  SELECT user_id, event_id, xor(z2, z2 >> 32) AS h64
+  FROM s3
+)
+SELECT user_id, event_id
+FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY h64, event_id
+         ) AS rn
+  FROM h
+)
+WHERE rn <= 5
+"""
+
+
+def q_sample_per_group(sf_dir: str):
+    """Per-group reservoir-style sample, deterministic and cross-engine
+    reproducible: order each user's events by mix64(event_id) (an
+    unbiased 64-bit avalanche both engines compute bit-identically) and
+    keep the first 5 — exactly 'ORDER BY hash LIMIT k per group', the
+    scalable form of sampling k rows per key with no RNG state."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        mix64,
+        top_n_per_group,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def hcol(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "h64": pa.array(mix64(ids), pa.uint64()),
+        })
+
+    out = top_n_per_group(
+        ds.map_batches(hcol, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_by=[("h64", "ascending"), ("event_id", "ascending")],
+        n=5,
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("event_id", pa.int64()),
+            ("h64", pa.uint64()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "event_id"]),
+        batch_format="pyarrow",
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -1883,6 +2013,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "events_pivot": q_events_pivot,
     "text_rep_tokens": q_rep_tokens,
     "tpch_q3_shipping": q_tpch_q3,
+    "events_rolling_sum": q_rolling_sum,
+    "sample_per_group": q_sample_per_group,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -1924,6 +2056,8 @@ DATA_ORACLES: dict[str, str] = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "text_rep_tokens": SQL_REP_TOKENS,
     "tpch_q3_shipping": SQL_TPCH_Q3,
+    "events_rolling_sum": SQL_ROLLING_SUM,
+    "sample_per_group": SQL_SAMPLE_PER_GROUP,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

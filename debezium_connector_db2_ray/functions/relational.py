@@ -1143,6 +1143,56 @@ def grouped_lag_delta(ds, *, keys: list[str],
     )
 
 
+def grouped_rolling_sum(ds, *, keys: list[str],
+                        order_by: list[tuple[str, str]], col: str,
+                        window_rows: int, out_col: str = "rolling",
+                        num_partitions: int | None = None,
+                        schema: "pa.Schema | None" = None):
+    """SQL ``sum(col) OVER (PARTITION BY keys ORDER BY ... ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)``: one hash exchange +
+    partition-local sort, then the whole partition's rolling sums come
+    from ONE cumulative sum (frame sum = cum[i] - cum[start-1], start
+    clamped to the row's segment head) — no per-group or per-frame loop.
+    ``col`` must be integer (pre-scale money to cents — float window sums
+    are not associative across engines) and non-null within frames; all
+    input columns pass through plus ``out_col`` (int64)."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_col, pa.int64())]
+    )
+    w = int(window_rows)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, t.num_rows))
+        seg_start = np.repeat(starts, sizes)
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cum = np.cumsum(x, dtype=np.int64)
+        i = np.arange(t.num_rows, dtype=np.int64)
+        prev = np.maximum(i - w, seg_start - 1)
+        roll = cum - np.where(prev >= 0, cum[np.maximum(prev, 0)], 0)
+        return t.append_column(out_col, pa.array(roll, pa.int64()))
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
+
+
 def exact_percentiles(ds, *, col: str, qs: list[float],
                       hist_bits: int = 12, collect_limit: int = 65_536):
     """EXACT discrete percentiles (SQL ``quantile_disc`` semantics: the

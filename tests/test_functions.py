@@ -990,3 +990,35 @@ def test_sliding_counts_brute_force(ray_session):
         total += row["n"]
         assert lo % s_us == 0
     assert total == n * (W // S)  # each event in exactly k windows
+
+
+def test_grouped_rolling_sum_matches_pandas(ray_session):
+    """Window-frame rolling sum: frame clamps at each group's head, groups
+    smaller than the window sum everything, block layout irrelevant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_sum,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 8_000
+    t = pa.table({
+        "id": pa.array(np.arange(n), pa.int64()),
+        "k": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "v": pa.array(rng.integers(-100, 100, n), pa.int64()),
+    })
+    res = grouped_rolling_sum(
+        rd.from_arrow(t).repartition(6), keys=["k"],
+        order_by=[("id", "ascending")], col="v", window_rows=3,
+        out_col="r", num_partitions=8,
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "id"])
+    df["r"] = (
+        df.groupby("k")["v"].rolling(3, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    want = df.sort_values("id").reset_index(drop=True)
+    assert (res["r"].values == want["r"].astype(np.int64).values).all()
