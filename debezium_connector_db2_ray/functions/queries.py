@@ -1968,6 +1968,67 @@ def q_sample_per_group(sf_dir: str):
     )
 
 
+# incremental dedup: state = even doc_ids, increment = odd doc_ids —
+# the oracle recomputes both the within-increment keep-first and the
+# anti-join against state, nulls compared as equal on both engines.
+SQL_DEDUP_INCREMENTAL = """
+WITH inc AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+), st AS (
+  SELECT text FROM documents WHERE doc_id % 2 = 0
+), r AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM inc
+)
+SELECT doc_id, text FROM r
+WHERE rn = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM st WHERE st.text IS NOT DISTINCT FROM r.text
+  )
+"""
+
+
+def _dedup_state_dir(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return (
+        f"/tmp/db2ray_dedup_state/{tag}_{_source_fingerprint(sf_dir)}_b32"
+    )
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Cross-run incremental dedup against PERSISTED state (the CDC loop
+    applied to content identity): corpus-so-far = even doc_ids, bucketed
+    on disk once; the odd-doc increment probes only its touched bucket
+    directories and anti-joins on true text. State I/O scales with the
+    increment, never the corpus."""
+    from debezium_connector_db2_ray.functions.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    def parity(p: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"]
+            return batch.filter(
+                pc.equal(pc.bit_wise_and(ids, pa.scalar(1, pa.int64())), p)
+            )
+        return fn
+
+    state = _dedup_state_dir(sf_dir)
+    if not os.path.exists(os.path.join(state, "meta.json")):
+        build_dedup_state(
+            _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+                parity(0), batch_format="pyarrow"
+            ),
+            state, num_buckets=32,
+        )
+    inc = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        parity(1), batch_format="pyarrow"
+    )
+    return incremental_dedup(state, inc)
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2015,6 +2076,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "tpch_q3_shipping": q_tpch_q3,
     "events_rolling_sum": q_rolling_sum,
     "sample_per_group": q_sample_per_group,
+    "dedup_incremental": q_dedup_incremental,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2058,6 +2120,7 @@ DATA_ORACLES: dict[str, str] = {
     "tpch_q3_shipping": SQL_TPCH_Q3,
     "events_rolling_sum": SQL_ROLLING_SUM,
     "sample_per_group": SQL_SAMPLE_PER_GROUP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -1022,3 +1022,47 @@ def test_grouped_rolling_sum_matches_pandas(ray_session):
     )
     want = df.sort_values("id").reset_index(drop=True)
     assert (res["r"].values == want["r"].astype(np.int64).values).all()
+
+
+def test_incremental_dedup_append_loop(ray_session, tmp_path):
+    """The cross-run ingest loop: increment 2 must drop texts that
+    increment 1 appended into state, plus state-vs-increment and
+    within-increment dups; null texts dedup like values."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        build_dedup_state,
+        incremental_dedup,
+    )
+
+    state = str(tmp_path / "state")
+    corpus = pa.table({
+        "doc_id": pa.array([0, 2, 4], pa.int64()),
+        "text": pa.array(["alpha", "beta", None], pa.string()),
+    })
+    build_dedup_state(rd.from_arrow(corpus), state, num_buckets=8)
+
+    inc1 = pa.table({
+        "doc_id": pa.array([1, 3, 5, 7], pa.int64()),
+        "text": pa.array(["alpha", "gamma", "gamma", None], pa.string()),
+    })
+    out1 = (
+        incremental_dedup(state, rd.from_arrow(inc1), append=True)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # 'alpha' dup-of-state, None dup-of-state, 'gamma' keep-first (id 3)
+    assert list(out1["doc_id"]) == [3]
+    assert list(out1["text"]) == ["gamma"]
+
+    inc2 = pa.table({
+        "doc_id": pa.array([9, 11], pa.int64()),
+        "text": pa.array(["gamma", "delta"], pa.string()),
+    })
+    out2 = (
+        incremental_dedup(state, rd.from_arrow(inc2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # 'gamma' was appended by run 1 -> dropped now; 'delta' is new
+    assert list(out2["doc_id"]) == [11]
+    assert list(out2["text"]) == ["delta"]
