@@ -2029,6 +2029,46 @@ def q_dedup_incremental(sf_dir: str):
     return incremental_dedup(state, inc)
 
 
+SQL_TFIDF_TOPK = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(coalesce(text, '')), '[\t\n\f\r ]+'), x -> x <> '') AS ts
+  FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(ts) AS term FROM tok
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM pairs GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM pairs GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Each document's 3 most characteristic terms by quantized integer
+    TF-IDF: a DF combiner exchange over the vocabulary, a bounded
+    broadcast of the df>=2 slice, then one map-only scoring pass
+    (text.tfidf_topk) — exact because absent-from-broadcast means df==1
+    exactly."""
+    from debezium_connector_db2_ray.functions.text import tfidf_topk
+
+    return tfidf_topk(
+        _docs(sf_dir, columns=["doc_id", "text"]), k=3, min_df=2
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2077,6 +2117,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "events_rolling_sum": q_rolling_sum,
     "sample_per_group": q_sample_per_group,
     "dedup_incremental": q_dedup_incremental,
+    "text_tfidf_topk": q_tfidf_topk,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2121,6 +2162,7 @@ DATA_ORACLES: dict[str, str] = {
     "events_rolling_sum": SQL_ROLLING_SUM,
     "sample_per_group": SQL_SAMPLE_PER_GROUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "text_tfidf_topk": SQL_TFIDF_TOPK,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -148,3 +148,101 @@ def rolling_hash_batch(batch: pa.Table, *, window: int = 16) -> pa.Table:
     return pa.table(
         {"doc_id": batch["doc_id"], "rolling_min_hash": pa.array(out, pa.uint64())}
     )
+
+
+def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               k: int = 3, min_df: int = 2):
+    """Per-document top-k TF-IDF terms with a QUANTIZED integer score
+    (``tf * 1_000_000 // df`` — monotone in tf/df, so the ranking matches
+    real tf-idf at any fixed tf, and integer arithmetic keeps both engines
+    bit-identical; no float log). Two passes:
+
+    1. DF: per-batch distinct (doc, term) partials -> grouped_aggregate
+       per term (one combiner exchange over the vocabulary).
+    2. Broadcast the df >= ``min_df`` slice once (``ray.put``) — absent
+       terms have df < min_df; with min_df=2 absence means df == 1
+       EXACTLY, so results stay exact while the broadcast stays a
+       heavy-tail-trimmed fraction of the vocabulary. Then one map-only
+       corpus pass: per-doc term counts (polars group_by, C speed),
+       vectorized df lookup, integer score, per-doc top-k by
+       (score desc, term asc) via sort + segment ranks.
+
+    At 100 TB swap the string-keyed broadcast for the 64-bit term-hash
+    variant (collision odds ~n^2/2^65) — the lookup is the only change."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        grouped_aggregate,
+    )
+
+    def _tok(col) -> "pl.Series":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        return s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = _tok(batch[text_col])
+        uniq = toks.list.unique().explode().drop_nulls()
+        vc = uniq.value_counts()
+        cols = vc.columns  # [term, 'count']
+        return pa.table({
+            "term": vc[cols[0]].to_arrow().cast(pa.string()),
+            "df": vc["count"].to_arrow().cast(pa.int64()),
+        })
+
+    df_rows = grouped_aggregate(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        keys=["term"], aggs={"df": ("df", "sum")},
+        schema=pa.schema([("term", pa.string()), ("df", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], min_df)),
+        batch_format="pyarrow",
+    ).take_all()
+    df_map = pd.Series(
+        np.array([r["df"] for r in df_rows], np.int64),
+        index=pd.Index([r["term"] for r in df_rows], dtype=object),
+    )
+    ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        toks = _tok(batch[text_col])
+        flat = pl.DataFrame({
+            "i": pl.Series(np.arange(batch.num_rows, dtype=np.int64)),
+            "t": toks,
+        }).explode("t").drop_nulls()
+        tf = flat.group_by(["i", "t"]).len()
+        i = tf["i"].to_numpy().astype(np.int64)
+        terms = tf["t"].to_numpy()
+        tfv = tf["len"].to_numpy().astype(np.int64)
+        dfv = (
+            pd.Series(terms, dtype=object).map(dfm)
+            .fillna(1).astype(np.int64).to_numpy()
+        )
+        sc = tfv * np.int64(1_000_000) // dfv
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = pa.table({
+            id_col: ids.take(pa.array(i, pa.int64())),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfv),
+            "df": pa.array(dfv),
+            "score": pa.array(sc),
+            "__neg": pa.array(-sc),
+        }).sort_by([
+            (id_col, "ascending"), ("__neg", "ascending"),
+            ("term", "ascending"),
+        ])
+        starts = _segment_starts(t, [id_col])
+        sizes = np.diff(np.append(starts, t.num_rows))
+        rank = (np.arange(t.num_rows, dtype=np.int64)
+                - np.repeat(starts, sizes))
+        return t.filter(pa.array(rank < k)).drop_columns(["__neg"])
+
+    return ds.map_batches(score, batch_format="pyarrow")
