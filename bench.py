@@ -221,6 +221,12 @@ def run_gate_queries(timings: dict) -> None:
         ("grouped_distinct_suppliers", DATA_QUERIES),
         ("docs_decontaminate", DATA_QUERIES),
         ("stream_sessionize", DATA_QUERIES),
+        ("tpch_q3_shipping", DATA_QUERIES),
+        ("top_orders_per_cust", DATA_QUERIES),
+        ("events_rolling_sum", DATA_QUERIES),
+        ("stream_sliding_counts", DATA_QUERIES),
+        ("text_tfidf_topk", DATA_QUERIES),
+        ("dedup_incremental", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()
