@@ -356,13 +356,17 @@ def ensure_dedup_data(n_docs: int) -> dict:
     )
     allidx = np.concatenate([idx, idx[dup_src], near])
     flat = pa.array(vocab[allidx.ravel()])
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.cast(pa.large_string())
     offsets = pa.array(
         np.arange(0, (len(allidx) + 1) * toks_per_doc, toks_per_doc,
-                  dtype=np.int32)
+                  dtype=np.int64)
     )
     texts = pc.binary_join(
-        pa.LargeListArray.from_arrays(offsets.cast(pa.int64()), flat), " "
-    )
+        pa.LargeListArray.from_arrays(offsets, flat),
+        pa.scalar(" ", pa.large_string()),
+    ).cast(pa.string())
     pq.write_table(
         pa.table({
             "doc_id": pa.array(np.arange(len(allidx), dtype=np.int64)),
