@@ -2069,6 +2069,69 @@ def q_tfidf_topk(sf_dir: str):
     )
 
 
+# LEFT OUTER join parity: only BUILDING-segment customers survive the
+# right side, so every other order carries NULL segment — pins the
+# outer-join null semantics of repartition_join against SQL.
+SQL_LEFT_JOIN = """
+SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+FROM orders o
+LEFT JOIN (
+  SELECT c_custkey, c_mktsegment FROM customer
+  WHERE c_mktsegment = 'BUILDING'
+) c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_left_join(sf_dir: str):
+    """LEFT OUTER repartition_join: orders against the BUILDING-only
+    customer slice — unmatched orders keep their row with a NULL segment
+    (partition-local Arrow left_outer join after one exchange per side)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        repartition_join,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def keep_building(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.equal(batch["c_mktsegment"], "BUILDING"), False
+        )
+        return pa.table({
+            "o_custkey": batch["c_custkey"].filter(m),
+            "c_mktsegment": batch["c_mktsegment"].filter(m),
+        })
+
+    return repartition_join(
+        orders,
+        cust.map_batches(keep_building, batch_format="pyarrow"),
+        on="o_custkey", how="left_outer",
+    )
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct users: one map-only register pass
+    + a <=2^b-row combiner exchange — the monitoring-grade cardinality
+    answer that never moves values. Approximate by design (rows-only
+    check); the error bound vs exact is pinned in pytest
+    (test_hll_approx_count_distinct_error_bounds)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.sketch import (
+        approx_count_distinct,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return approx_count_distinct(ds, col="user_id", b=12)
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2118,6 +2181,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "sample_per_group": q_sample_per_group,
     "dedup_incremental": q_dedup_incremental,
     "text_tfidf_topk": q_tfidf_topk,
+    "orders_left_join": q_left_join,
+    "approx_distinct_users": q_approx_distinct,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2163,6 +2228,7 @@ DATA_ORACLES: dict[str, str] = {
     "sample_per_group": SQL_SAMPLE_PER_GROUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "text_tfidf_topk": SQL_TFIDF_TOPK,
+    "orders_left_join": SQL_LEFT_JOIN,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -1066,3 +1066,35 @@ def test_incremental_dedup_append_loop(ray_session, tmp_path):
     # 'gamma' was appended by run 1 -> dropped now; 'delta' is new
     assert list(out2["doc_id"]) == [11]
     assert list(out2["text"]) == ["delta"]
+
+
+def test_hll_approx_count_distinct_error_bounds(ray_session):
+    """HLL sketch: within ~3x the theoretical standard error on int and
+    string columns at two true cardinalities, and exact-ish under heavy
+    duplication (distinct << rows)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.sketch import (
+        approx_count_distinct,
+    )
+
+    rng = np.random.default_rng(83)
+    b = 12
+    se = 1.04 / np.sqrt(1 << b)
+    for true_n, n_rows in [(50_000, 200_000), (1_000, 100_000)]:
+        vals = rng.integers(0, true_n, n_rows).astype(np.int64)
+        exact = len(np.unique(vals))
+        t = pa.table({"v": pa.array(vals)})
+        est = approx_count_distinct(
+            rd.from_arrow(t).repartition(6), col="v", b=b
+        )["n_distinct_approx"][0].as_py()
+        assert abs(est - exact) / exact < 3 * se, (true_n, est, exact)
+
+    svals = np.array([f"user-{i}" for i in rng.integers(0, 7_000, 50_000)])
+    exact = len(np.unique(svals))
+    t = pa.table({"v": pa.array(svals)})
+    est = approx_count_distinct(
+        rd.from_arrow(t).repartition(4), col="v", b=b
+    )["n_distinct_approx"][0].as_py()
+    assert abs(est - exact) / exact < 3 * se
