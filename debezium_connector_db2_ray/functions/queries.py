@@ -2116,6 +2116,145 @@ def q_left_join(sf_dir: str):
     )
 
 
+SQL_EVENT_SEQUENCE = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_event_sequence(sf_dir: str):
+    """Transcript assembly: each user's full event-type sequence as ONE
+    ordered string (turns -> conversation) — hash exchange + partition-
+    local sort and a single vectorized binary_join per partition
+    (relational.grouped_string_agg), never per-group concatenation."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        grouped_string_agg,
+        repartition_join,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    seq = grouped_string_agg(
+        ds, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="event_type", sep=",", out_col="seq",
+    )
+    counts = grouped_aggregate(
+        ds.select_columns(["user_id"]),
+        keys=["user_id"], aggs={"n": ("user_id", "count_all")},
+        schema=pa.schema([("user_id", pa.int64())]),
+    )
+    return repartition_join(seq, counts, on="user_id")
+
+
+SQL_CLICK_NOT_PURCHASE = """
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_click_not_purchase(sf_dir: str):
+    """Set difference (EXCEPT) without a dedicated operator: one combiner
+    exchange of conditional counts per (user, day), then a filter —
+    user-days with a click but no purchase."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    day_us = np.int64(86_400_000_000)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        ts = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(ts // day_us),
+            "c": pc.fill_null(pc.equal(et, "click"), False).cast(
+                pa.int64()
+            ),
+            "p": pc.fill_null(pc.equal(et, "purchase"), False).cast(
+                pa.int64()
+            ),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow"),
+        keys=["user_id", "day"],
+        aggs={"c": ("c", "sum"), "p": ("p", "sum")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("day", pa.int64()),
+            ("c", pa.int64()), ("p", pa.int64()),
+        ]),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(batch["c"], 0), pc.equal(batch["p"], 0))
+        t = batch.filter(m)
+        return pa.table({"user_id": t["user_id"], "day": t["day"]})
+
+    import ray.data as _rd
+
+    out_schema = pa.schema([("user_id", pa.int64()), ("day", pa.int64())])
+    return agg.map_batches(keep, batch_format="pyarrow").union(
+        _rd.from_arrow(out_schema.empty_table())
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1
+"""
+
+
+def q_value_histogram(sf_dir: str):
+    """Binned value histogram (corpus profiling): bucket projection is a
+    map, the fold one combiner exchange; identical IEEE floor/round on
+    both engines, sums in integer cents."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        return pa.table({
+            "bucket": pc.floor(pc.divide(v, 10.0)).cast(pa.int64()),
+            "cents": pc.round(pc.multiply(v, 100.0)).cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs={"n": ("cents", "count_all"), "cents": ("cents", "sum")},
+        schema=pa.schema([("bucket", pa.int64()), ("cents", pa.int64())]),
+    )
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct users: one map-only register pass
     + a <=2^b-row combiner exchange — the monitoring-grade cardinality
@@ -2183,6 +2322,9 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "text_tfidf_topk": q_tfidf_topk,
     "orders_left_join": q_left_join,
     "approx_distinct_users": q_approx_distinct,
+    "user_event_sequence": q_event_sequence,
+    "users_click_not_purchase": q_click_not_purchase,
+    "events_value_histogram": q_value_histogram,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2229,6 +2371,9 @@ DATA_ORACLES: dict[str, str] = {
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "text_tfidf_topk": SQL_TFIDF_TOPK,
     "orders_left_join": SQL_LEFT_JOIN,
+    "user_event_sequence": SQL_EVENT_SEQUENCE,
+    "users_click_not_purchase": SQL_CLICK_NOT_PURCHASE,
+    "events_value_histogram": SQL_VALUE_HISTOGRAM,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

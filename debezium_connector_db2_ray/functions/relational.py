@@ -1193,6 +1193,74 @@ def grouped_rolling_sum(ds, *, keys: list[str],
     )
 
 
+def grouped_string_agg(ds, *, keys: list[str],
+                       order_by: list[tuple[str, str]], col: str,
+                       sep: str = ",", out_col: str = "agg",
+                       num_partitions: int | None = None,
+                       schema: "pa.Schema | None" = None):
+    """SQL ``string_agg(col, sep ORDER BY ...) GROUP BY keys`` — assemble
+    each group's values into one ordered string (the transcript-assembly
+    shape: turns -> conversation). One hash exchange on ``part(keys)``,
+    then a partition-local kernel: Arrow sort, segment boundaries, and a
+    single vectorized ``binary_join`` over a list array built from the
+    segment offsets — no per-group concatenation loop. NULL values are
+    skipped (SQL string_agg semantics); groups with only NULLs yield
+    NULL."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    keys = list(keys)
+    out_schema = pa.schema(
+        [(k, sch.field(k).type) for k in keys] + [(out_col, pa.string())]
+    )
+    need = list(dict.fromkeys(
+        keys + [c for c, _ in order_by] + [col]
+    ))
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        n = t.num_rows
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        # drop nulls but keep per-segment counts to rebuild offsets
+        cs = np.concatenate(([0], np.cumsum(valid)))
+        ends = np.append(starts[1:], n)
+        seg_counts = cs[ends] - cs[starts]
+        kept = v.drop_null()
+        offsets = np.concatenate(([0], np.cumsum(seg_counts)))
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), kept
+            ),
+            sep,
+        )
+        # all-null group: empty list joins to '' — force NULL (SQL)
+        joined = pc.if_else(
+            pa.array(seg_counts > 0), joined, pa.scalar(None, pa.string())
+        )
+        cols = {
+            k: t[k].take(pa.array(starts, pa.int64())) for k in keys
+        }
+        cols[out_col] = joined
+        return pa.table(cols)
+
+    return _window_exchange(
+        ds.select_columns(need) if hasattr(ds, "select_columns") else ds,
+        keys=keys, cols=need, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
+
+
 def exact_percentiles(ds, *, col: str, qs: list[float],
                       hist_bits: int = 12, collect_limit: int = 65_536):
     """EXACT discrete percentiles (SQL ``quantile_disc`` semantics: the
