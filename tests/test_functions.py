@@ -1098,3 +1098,38 @@ def test_hll_approx_count_distinct_error_bounds(ray_session):
         rd.from_arrow(t).repartition(4), col="v", b=b
     )["n_distinct_approx"][0].as_py()
     assert abs(est - exact) / exact < 3 * se
+
+
+def test_grouped_string_agg_null_semantics(ray_session):
+    """string_agg parity: NULL values skipped inside groups, all-NULL
+    groups yield NULL, ordering honored, vs DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_string_agg,
+    )
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array([2, 1, 3, 1, 2, 1], pa.int64()),
+        "v": pa.array(["b", "a", None, None, None, "z"], pa.string()),
+    })
+    res = (
+        grouped_string_agg(
+            rd.from_arrow(t).repartition(3), keys=["k"],
+            order_by=[("o", "ascending")], col="v", sep="|",
+            out_col="s", num_partitions=4,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT k, string_agg(v, '|' ORDER BY o) s FROM t GROUP BY k"
+        )
+        .fetchdf().sort_values("k").reset_index(drop=True)
+    )
+    assert list(res["k"]) == list(want["k"])
+    assert res["s"].fillna("<N>").tolist() == want["s"].fillna("<N>").tolist()
