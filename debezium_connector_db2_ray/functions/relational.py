@@ -1098,7 +1098,10 @@ def grouped_lag_delta(ds, *, keys: list[str],
     """SQL ``col - lag(col) OVER (PARTITION BY keys ORDER BY ...)`` — the
     inter-event-gap window function: ONE hash exchange on ``part(keys)``,
     partition-local sort + vectorized adjacent difference, NULL for each
-    group's first row (lag of nothing). ``col`` must be numeric or
+    group's first row (lag of nothing). Reference parity: the connector's
+    change-table scan classifies update pairs with exactly this
+    LEAD/LAG-over-(partition, order) shape in pushed-down SQL
+    (LuwPlatform.java:29-39); here the window runs distributed. ``col`` must be numeric or
     timestamp; timestamps diff into int64 microseconds (DuckDB
     ``date_diff('microsecond', ...)`` parity). All input columns pass
     through plus ``out_col``."""
