@@ -1055,8 +1055,14 @@ def top_n_per_group(ds, *, keys: list[str],
     reproducibility. Nulls order last under both Arrow sort_by and
     DuckDB's default NULLS LAST.
 
-    At 100 TB: each row moves once; no per-group task, no global sort —
-    the same exchange shape as the LWW apply (stages/apply.py:151)."""
+    At 100 TB: a per-BATCH pre-combiner keeps only each batch's local
+    top-n per group before the exchange (any group's GLOBAL top-n is a
+    subset of the union of its per-batch top-ns, and dropped rows rank
+    strictly below every survivor, so post-exchange ranks are unchanged)
+    — the exchange ships at most n rows per (group, batch), which is what
+    tames a mega-group that would otherwise land half the input on one
+    partition. Same exchange shape as the LWW apply
+    (stages/apply.py:151)."""
     if schema is not None:
         sch = schema
     else:
@@ -1068,10 +1074,10 @@ def top_n_per_group(ds, *, keys: list[str],
         [(c, sch.field(c).type) for c in cols] + [(out_rank, pa.int64())]
     )
 
-    def kernel(part: pa.Table) -> pa.Table:
-        if part.num_rows == 0:
-            return out_schema.empty_table()
-        t = part.sort_by(
+    def local_topn(t: pa.Table) -> pa.Table:
+        """Sort + segment-rank + keep rank < n (shared by the per-batch
+        combiner and the per-partition finisher)."""
+        t = t.sort_by(
             [(k, "ascending") for k in keys] + list(order_by)
         )
         starts = _segment_starts(t, keys)
@@ -1080,12 +1086,25 @@ def top_n_per_group(ds, *, keys: list[str],
         sizes = np.diff(np.append(starts, t.num_rows))
         rank = (np.arange(t.num_rows, dtype=np.int64)
                 - np.repeat(starts, sizes))
-        keep = rank < n
         t = t.append_column(out_rank, pa.array(rank + 1, pa.int64()))
-        return t.filter(pa.array(keep)).select(cols + [out_rank])
+        return t.filter(pa.array(rank < n))
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return local_topn(batch.select(cols)).select(cols + [out_rank])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        return local_topn(
+            part.select(cols)
+        ).select(cols + [out_rank])
 
     return _window_exchange(
-        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        ds.map_batches(combine, batch_format="pyarrow"),
+        keys=keys, cols=cols + [out_rank],
+        num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
 

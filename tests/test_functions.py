@@ -1133,3 +1133,38 @@ def test_grouped_string_agg_null_semantics(ray_session):
     )
     assert list(res["k"]) == list(want["k"])
     assert res["s"].fillna("<N>").tolist() == want["s"].fillna("<N>").tolist()
+
+
+def test_top_n_per_group_mega_group_combiner(ray_session):
+    """Skew: one key owning ~all rows must still return the exact global
+    top-n with correct ranks (the per-batch combiner bounds what the
+    exchange ships; survivors' ranks equal global ranks)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        top_n_per_group,
+    )
+
+    rng = np.random.default_rng(97)
+    n = 50_000
+    k = np.zeros(n, np.int64)  # one mega-group
+    k[:100] = rng.integers(1, 10, 100)  # few small groups
+    v = rng.permutation(n).astype(np.int64)
+    t = pa.table({
+        "k": pa.array(k), "v": pa.array(v),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    res = top_n_per_group(
+        rd.from_arrow(t).repartition(8), keys=["k"],
+        order_by=[("v", "descending"), ("id", "ascending")], n=3,
+        num_partitions=4,
+    ).to_pandas().sort_values(["k", "rn"]).reset_index(drop=True)
+    df = t.to_pandas().sort_values(["k", "v", "id"],
+                                   ascending=[True, False, True])
+    want = df.groupby("k").head(3)
+    assert len(res) == len(want)
+    for kk, grp in want.groupby("k"):
+        got = res[res["k"] == kk]
+        assert list(got["v"]) == list(grp["v"])
+        assert list(got["rn"]) == list(range(1, len(grp) + 1))
