@@ -2271,6 +2271,182 @@ def q_approx_distinct(sf_dir: str):
     return approx_count_distinct(ds, col="user_id", b=12)
 
 
+SQL_BCAST_JOIN = """
+SELECT c_custkey, c_nationkey, n_name, n_regionkey
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_bcast_join(sf_dir: str):
+    """Map-side dim enrichment: customer probed against the ray.put
+    nation table (25 rows) — no exchange at all on the fact side; probe
+    index built once per actor (relational.broadcast_join)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    return broadcast_join(cust, nat, on="c_nationkey", right_on="n_nationkey")
+
+
+SQL_SEMI_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+    AND l_quantity >= 50 AND l_discount >= 0.09
+)
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """Semi join (EXISTS) as a broadcast key-filter: the rare big-line
+    order keys collapse to per-batch-distinct values worker-side, ship
+    once via ray.put, and orders filters map-side — the big side never
+    shuffles (relational.semi_join_filter)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        semi_join_filter,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    big = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_discount"],
+    ).filter(expr="l_quantity >= 50 and l_discount >= 0.09")
+    return semi_join_filter(orders, big, on="o_orderkey", right_on="l_orderkey")
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+         + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (returnflag, linestatus): one distributed
+    grouped_aggregate exchange for the finest level, coarser levels and
+    the grand total folded from the finest partials; gid carries the SQL
+    GROUPING bitmask (relational.rollup_aggregate)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        rollup_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("l_quantity"), "qty",
+            b["l_quantity"].cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+    return rollup_aggregate(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": ("qty", "sum"), "n": ("qty", "count_all")},
+        grouping_col="gid",
+        schema=pa.schema([
+            ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+            ("qty", pa.int64()),
+        ]),
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, measure, value FROM (
+  SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, l_tax
+  FROM lineitem WHERE l_linenumber = 1
+) UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+                                 l_discount, l_tax))
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Wide -> long melt of the four lineitem measures (first line of
+    each order): pure map-side, id columns zero-copy, no exchange
+    (relational.unpivot)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import unpivot
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+    ).filter(expr="l_linenumber == 1")
+    return unpivot(
+        ds.map_batches(
+            lambda b: b.drop_columns(["l_linenumber"]),
+            batch_format="pyarrow",
+        ),
+        id_cols=["l_orderkey"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        name_col="measure", value_col="value",
+    )
+
+
+SQL_DENSE_RANK = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+       CAST(DENSE_RANK() OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+       ) AS BIGINT) AS rnk
+FROM events
+"""
+
+
+def q_dense_rank(sf_dir: str):
+    """DENSE_RANK of each user's event DAYS (ties shared within a day):
+    one hash exchange on user_id, partition-local sort + run-boundary
+    cumsum kernel (relational.grouped_rank). Reference analog: per-key
+    rowLsn ordering in the change-table scan."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import grouped_rank
+
+    day_us = np.int64(86_400_000_000)
+
+    def addday(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return b.drop_columns(["ts"]).append_column(
+            "day", pa.array(ts // day_us)
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(addday, batch_format="pyarrow")
+    return grouped_rank(
+        ds, keys=["user_id"], order_by=[("day", "ascending")],
+        method="dense", out_col="rnk",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("day", pa.int64()),
+        ]),
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2325,6 +2501,11 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "user_event_sequence": q_event_sequence,
     "users_click_not_purchase": q_click_not_purchase,
     "events_value_histogram": q_value_histogram,
+    "cust_nation_broadcast": q_bcast_join,
+    "orders_semi_bigline": q_semi_join,
+    "lineitem_rollup": q_rollup,
+    "lineitem_unpivot": q_unpivot,
+    "user_day_dense_rank": q_dense_rank,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2374,6 +2555,11 @@ DATA_ORACLES: dict[str, str] = {
     "user_event_sequence": SQL_EVENT_SEQUENCE,
     "users_click_not_purchase": SQL_CLICK_NOT_PURCHASE,
     "events_value_histogram": SQL_VALUE_HISTOGRAM,
+    "cust_nation_broadcast": SQL_BCAST_JOIN,
+    "orders_semi_bigline": SQL_SEMI_JOIN,
+    "lineitem_rollup": SQL_ROLLUP,
+    "lineitem_unpivot": SQL_UNPIVOT,
+    "user_day_dense_rank": SQL_DENSE_RANK,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

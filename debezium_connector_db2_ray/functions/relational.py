@@ -1585,3 +1585,403 @@ def topk_terms(ds, *, text_col: str = "text", k: int = 20):
         schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
     )
     return totals.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# broadcast (map-side) join family
+# ---------------------------------------------------------------------------
+
+class _BroadcastProbe:
+    """Actor-pool stage for broadcast_join: fetches the broadcast dim table
+    from the object store ONCE per actor (zero-copy shared memory on the
+    node) and builds a sorted-key probe index in __init__; __call__ is a
+    pure vectorized searchsorted probe per batch."""
+
+    def __init__(self, ref, on, how, rename, r_types):
+        import ray
+
+        tbl = ray.get(ref)
+        k = tbl[on]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        keys = (
+            pc.fill_null(k.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        if self.keys.size and np.any(self.keys[1:] == self.keys[:-1]):
+            raise ValueError(
+                "broadcast_join: right-side join keys must be unique "
+                "(dimension-table contract)"
+            )
+        self.rows = order
+        self.tbl = tbl.combine_chunks()
+        self.on = on
+        self.how = how
+        self.rename = rename
+        self.r_types = r_types
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kcol = batch[self.on]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        valid = pc.is_valid(kcol).to_numpy(zero_copy_only=False)
+        k = (
+            pc.fill_null(kcol.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if self.keys.size:
+            pos = np.searchsorted(self.keys, k)
+            pos_c = np.minimum(pos, self.keys.size - 1)
+            hit = valid & (self.keys[pos_c] == k)
+            idx = self.rows[pos_c]
+        else:
+            hit = np.zeros(len(k), bool)
+            idx = np.zeros(len(k), np.int64)
+        if self.how == "inner":
+            sel = pa.array(hit)
+            out = batch.filter(sel)
+            take = pa.array(idx[hit])
+            for c, outname in self.rename.items():
+                out = out.append_column(outname, self.tbl[c].take(take))
+            return out
+        # left_outer: keep every left row, null-fill the misses
+        out = batch
+        take = pa.array(idx)
+        hit_arr = pa.array(hit)
+        for c, outname in self.rename.items():
+            taken = self.tbl[c].take(take)
+            out = out.append_column(
+                outname,
+                pc.if_else(hit_arr, taken, pa.scalar(None, self.r_types[c])),
+            )
+        return out
+
+
+def broadcast_join(left, right, *, on: str, right_on: str | None = None,
+                   how: str = "inner", right_suffix: str = "_r",
+                   max_right_rows: int = 5_000_000,
+                   concurrency=(1, 8)):
+    """Map-side equi-join against a SMALL dimension side: the right Dataset
+    is collected once, ``ray.put`` into the object store, and every map
+    task probes a sorted-key index built once per actor — NO exchange at
+    all on the big side (repartition_join moves every row of both sides
+    once; this moves none). The canonical 100 TB enrichment shape: ship the
+    25-row nation table to the data, never shuffle the fact table.
+
+    Contract: integer keys; right keys UNIQUE (validated); right side small
+    (<= max_right_rows, enforced at build — beyond that use
+    repartition_join). ``how``: inner | left_outer. Right columns colliding
+    with left names get ``right_suffix``.
+
+    Reference analog: the in-memory table-id -> schema lookups the
+    reference probes per event (Db2DatabaseSchema); here generalized to a
+    first-class dim-enrichment operator."""
+    import ray
+
+    if how not in ("inner", "left_outer"):
+        raise ValueError(how)
+    ron = right_on or on
+    refs = right.to_arrow_refs()
+    parts = [t for t in ray.get(refs) if t.num_rows] or [
+        ray.get(refs[0])
+    ] if refs else []
+    rt = pa.concat_tables(parts) if parts else None
+    if rt is None or rt.num_rows == 0:
+        rt = pa.table({})  # handled below via empty schema path
+    if rt.num_rows > max_right_rows:
+        raise ValueError(
+            f"broadcast_join: right side has {rt.num_rows} rows "
+            f"(> max_right_rows={max_right_rows}); use repartition_join"
+        )
+    if ron != on and ron in rt.column_names:
+        rt = rt.rename_columns(
+            [on if c == ron else c for c in rt.column_names]
+        )
+    lschema = left.schema()
+    if hasattr(lschema, "base_schema"):
+        lschema = lschema.base_schema
+    lnames = set(lschema.names)
+    rcols = [c for c in rt.column_names if c != on]
+    rename = {c: (c + right_suffix if c in lnames else c) for c in rcols}
+    r_types = {c: rt.schema.field(c).type for c in rcols}
+    ref = ray.put(rt)
+    return left.map_batches(
+        _BroadcastProbe,
+        fn_constructor_kwargs=dict(
+            ref=ref, on=on, how=how, rename=rename, r_types=r_types,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def semi_join_filter(left, right, *, on: str, right_on: str | None = None,
+                     anti: bool = False, max_keys: int = 50_000_000):
+    """Semi / anti join as a broadcast key-filter (EXISTS / NOT EXISTS):
+    the right side collapses to its DISTINCT join keys (a per-batch
+    ``pc.unique`` combiner runs before anything leaves the workers, so the
+    collect moves per-batch-distinct keys, not rows), the deduped sorted
+    key array is ``ray.put`` once, and the left side filters map-side via
+    searchsorted membership — the big side never shuffles.
+
+    EXISTS semantics: NULL left keys never match (filtered out for semi,
+    kept for anti — exactly SQL EXISTS / NOT EXISTS, not NOT IN's
+    null-poisoning). ``max_keys`` bounds the driver-held distinct-key
+    array; beyond it, use repartition_join + grouping instead.
+
+    Reference analog: the capture-table include-list filter applied to the
+    change stream (connector.py include/exclude, M5) — generalized to a
+    data-driven key set."""
+    import ray
+
+    ron = right_on or on
+
+    def distinct(batch: pa.Table) -> pa.Table:
+        col = batch[ron]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.unique(col.cast(pa.int64()))
+        u = u.filter(pc.is_valid(u))
+        return pa.table({"k": u})
+
+    key_parts = ray.get(
+        right.map_batches(distinct, batch_format="pyarrow").to_arrow_refs()
+    )
+    arrs = [t["k"].to_numpy(zero_copy_only=False) for t in key_parts
+            if t.num_rows]
+    keys = (
+        np.unique(np.concatenate(arrs)) if arrs
+        else np.empty(0, np.int64)
+    ).astype(np.int64)
+    if keys.size > max_keys:
+        raise ValueError(
+            f"semi_join_filter: {keys.size} distinct keys "
+            f"(> max_keys={max_keys}); use repartition_join"
+        )
+    ref = ray.put(keys)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = batch[on]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = (
+            pc.fill_null(col.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if ks.size:
+            pos = np.minimum(np.searchsorted(ks, v), ks.size - 1)
+            member = valid & (ks[pos] == v)
+        else:
+            member = np.zeros(len(v), bool)
+        return batch.filter(pa.array(~member if anti else member))
+
+    return left.map_batches(filt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# rollup aggregate / unpivot / grouped rank
+# ---------------------------------------------------------------------------
+
+def _table_group_agg(tbl: pa.Table, keys: list[str],
+                     spec: list[tuple[str, str]]) -> pa.Table:
+    """Null-safe local pa.Table.group_by (pyarrow multi-key group_by
+    duplicates null-key groups — same workaround as grouped_aggregate's
+    (sentinel, validity) encoding, applied to a driver-sized table)."""
+    if not keys:
+        cols = {}
+        for c, fn in spec:
+            col = tbl[c]
+            if fn == "sum":
+                cols[c] = pa.array([pc.sum(col).as_py()], col.type if
+                                   pa.types.is_floating(col.type) else pa.int64())
+            elif fn == "min":
+                cols[c] = pa.array([pc.min(col).as_py()], col.type)
+            elif fn == "max":
+                cols[c] = pa.array([pc.max(col).as_py()], col.type)
+            else:
+                raise ValueError(fn)
+        return pa.table(cols)
+    enc = tbl
+    nk = {c: f"__nk_{c}" for c in keys}
+    types = {c: tbl.schema.field(c).type for c in keys}
+    for c in keys:
+        col = enc[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            z = pa.scalar("", col.type)
+        elif pa.types.is_binary(col.type):
+            z = pa.scalar(b"", col.type)
+        else:
+            z = pc.cast(pa.scalar(0), col.type)
+        enc = enc.set_column(
+            enc.column_names.index(c), c, pc.fill_null(col, z)
+        ).append_column(nk[c], pc.is_null(col))
+    gb = list(keys) + list(nk.values())
+    g = enc.group_by(gb).aggregate(spec)
+    agg_names = [n for n in g.column_names if n not in gb]
+    out = {
+        c: pc.if_else(g[nk[c]], pa.scalar(None, types[c]), g[c])
+        for c in keys
+    }
+    for (c, _), an in zip(spec, agg_names):
+        out[c] = g[an]
+    return pa.table(out)
+
+
+def rollup_aggregate(ds, *, keys: list[str],
+                     aggs: dict[str, tuple[str, str]],
+                     grouping_col: str = "gid",
+                     num_partitions: int | None = None,
+                     schema: "pa.Schema | None" = None) -> pa.Table:
+    """SQL ``GROUP BY ROLLUP(keys...)``: the finest level runs as ONE
+    distributed grouped_aggregate exchange over the raw input; every
+    coarser level (prefixes of ``keys``, down to the grand total) folds the
+    finest-level AGGREGATE — the raw data is read and shuffled exactly
+    once, and only the rollup result (which the caller materializes by
+    definition) is driver-sized. ``grouping_col`` carries the SQL
+    GROUPING bitmask (bit i set <=> keys[i] rolled up; big-endian like
+    DuckDB's GROUPING(a, b)) so subtotal NULLs are distinguishable from
+    genuine NULL key values.
+
+    Supported fns: sum | count | count_all | min | max (re-foldable
+    partials; mean is not — decompose it yourself as sum+count).
+    Returns a pa.Table: keys + grouping_col + aggregate columns."""
+    refold = {"sum": "sum", "count": "sum", "count_all": "sum",
+              "min": "min", "max": "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in refold:
+            raise ValueError(f"rollup_aggregate: unfoldable fn {fn!r}")
+    finest = grouped_aggregate(
+        ds, keys=keys, aggs=aggs, num_partitions=num_partitions,
+        schema=schema,
+    )
+    import ray
+
+    parts = [t for t in ray.get(finest.to_arrow_refs()) if t.num_rows]
+    base = (
+        pa.concat_tables(parts).combine_chunks() if parts
+        else None
+    )
+    if base is None:
+        # typed empty result
+        sch = schema if schema is not None else ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+        key_fields = [(k, sch.field(k).type) for k in keys]
+        agg_fields = []
+        for out, (col, fn) in aggs.items():
+            if fn in ("count", "count_all"):
+                agg_fields.append((out, pa.int64()))
+            else:
+                agg_fields.append((out, sch.field(col).type))
+        return pa.schema(
+            key_fields + [(grouping_col, pa.int64())] + agg_fields
+        ).empty_table()
+    spec = [(out, refold[fn]) for out, (_, fn) in aggs.items()]
+    levels = []
+    n = len(keys)
+    for lvl in range(n, -1, -1):
+        kept = keys[:lvl]
+        t = (
+            base.select(kept + list(aggs)) if lvl < n else base
+        )
+        g = _table_group_agg(t, kept, spec) if lvl < n else base
+        gid = sum(1 << (n - 1 - i) for i in range(lvl, n))
+        cols = {}
+        for i, k in enumerate(keys):
+            if i < lvl:
+                cols[k] = g[k]
+            else:
+                cols[k] = pa.nulls(g.num_rows, base.schema.field(k).type)
+        cols[grouping_col] = pa.array(
+            np.full(g.num_rows, gid, np.int64)
+        )
+        for out in aggs:
+            cols[out] = g[out]
+        levels.append(pa.table(cols))
+    return pa.concat_tables(levels)
+
+
+def unpivot(ds, *, id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value",
+            value_type: "pa.DataType | None" = None):
+    """Wide -> long (SQL UNPIVOT / pandas melt): each input row emits one
+    output row per entry of ``value_cols``. Pure map-side — zero-copy on
+    the id columns (Arrow table concat references the same buffers), one
+    cast per measure column; no exchange, trivially streaming at any
+    scale. ``value_type`` defaults to float64."""
+    vt = value_type or pa.float64()
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for m in value_cols:
+            cols = {c: batch[c] for c in id_cols}
+            cols[name_col] = pa.array(
+                np.full(batch.num_rows, m), pa.string()
+            )
+            cols[value_col] = batch[m].cast(vt)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def grouped_rank(ds, *, keys: list[str],
+                 order_by: list[tuple[str, str]],
+                 method: str = "dense", out_col: str = "rnk",
+                 num_partitions: int | None = None,
+                 schema: "pa.Schema | None" = None):
+    """SQL ``DENSE_RANK() / RANK() OVER (PARTITION BY keys ORDER BY ...)``
+    with tie groups sharing a rank: one hash exchange on part(keys), then
+    a partition-local vectorized kernel — sort by (keys..., order_by...),
+    key-segment starts and order-value-run starts from adjacent compares,
+    rank from cumulative run counts (dense) or run-start offsets (rank).
+    No pre-combiner is possible (a row's rank needs every earlier tie
+    group), so a mega-group lands on one partition — same caveat and same
+    exchange shape as grouped_lag_delta.
+
+    Reference analog: the change-table scan's per-key event ordering
+    (rowLsn ordering in Db2StreamingChangeEventSource); generalized to
+    the SQL rank family."""
+    if method not in ("dense", "rank"):
+        raise ValueError(method)
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_col, pa.int64())]
+    )
+    ocols = [c for c, _ in order_by]
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        n = t.num_rows
+        starts = _segment_starts(t, keys)
+        runs = _segment_starts(t, keys + ocols)
+        sizes = np.diff(np.append(starts, n))
+        run_sizes = np.diff(np.append(runs, n))
+        if method == "dense":
+            newv = np.zeros(n, np.int64)
+            newv[runs] = 1
+            cum = np.cumsum(newv)
+            rank = cum - np.repeat(cum[starts], sizes) + 1
+        else:
+            first_of_run = np.repeat(runs, run_sizes)
+            rank = first_of_run - np.repeat(starts, sizes) + 1
+        return t.append_column(out_col, pa.array(rank, pa.int64()))
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

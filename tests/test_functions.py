@@ -1168,3 +1168,142 @@ def test_top_n_per_group_mega_group_combiner(ray_session):
         got = res[res["k"] == kk]
         assert list(got["v"]) == list(grp["v"])
         assert list(got["rn"]) == list(range(1, len(grp) + 1))
+
+
+# ---------------------------------------------------------------------------
+# broadcast / semi join family + rollup / unpivot / rank
+# ---------------------------------------------------------------------------
+
+def test_broadcast_join_left_outer_and_contracts(ray_session):
+    """Left-outer null-fill on misses, inner drops misses, duplicate dim
+    keys rejected, oversized dim rejected."""
+    import pyarrow as pa
+    import pytest as pt
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None, 2], pa.int64()),
+        "x": pa.array([10, 20, 30, 40, 50], pa.int64()),
+    }))
+    dim = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["a", "b"]),
+        "x": pa.array([100, 200], pa.int64()),  # collides with left.x
+    }))
+    lo = broadcast_join(left, dim, on="k", how="left_outer").to_pandas()
+    lo = lo.sort_values("x").reset_index(drop=True)
+    assert list(lo["name"]) == ["a", "b", None, None, "b"]
+    assert list(lo["x_r"].fillna(-1).astype(int)) == [100, 200, -1, -1, 200]
+    inner = broadcast_join(left, dim, on="k", how="inner").to_pandas()
+    assert sorted(inner["x"]) == [10, 20, 50]
+
+    dup = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64()),
+    }))
+    with pt.raises(Exception, match="unique"):
+        broadcast_join(left, dup, on="k").to_pandas()
+    with pt.raises(ValueError, match="max_right_rows"):
+        broadcast_join(left, dim, on="k", max_right_rows=1)
+
+
+def test_semi_join_filter_exists_semantics(ray_session):
+    """EXISTS/NOT EXISTS: null left keys never match (dropped by semi,
+    kept by anti), null right keys ignored — NOT the NOT-IN poisoning."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        semi_join_filter,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, None], pa.int64()),
+        "x": pa.array([10, 20, 30, 40], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "r": pa.array([2, 2, None, 9], pa.int64()),
+    }))
+    semi = semi_join_filter(left, right, on="k", right_on="r").to_pandas()
+    assert sorted(semi["x"]) == [20]
+    anti = semi_join_filter(
+        left, right, on="k", right_on="r", anti=True
+    ).to_pandas()
+    assert sorted(anti["x"]) == [10, 30, 40]
+
+
+def test_rollup_grouping_bitmask_disambiguates_real_nulls(ray_session):
+    """A genuine NULL key value stays a finest-level group (gid=0),
+    distinct from the rolled-up subtotal rows (gid>0) with the same NULL
+    column — the SQL GROUPING() contract."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        rollup_aggregate,
+    )
+
+    t = pa.table({
+        "a": pa.array(["x", "x", None], pa.string()),
+        "b": pa.array(["p", "q", "p"], pa.string()),
+        "v": pa.array([1, 2, 4], pa.int64()),
+    })
+    out = rollup_aggregate(
+        rd.from_arrow(t), keys=["a", "b"],
+        aggs={"s": ("v", "sum"), "n": ("v", "count_all")},
+        schema=t.schema,
+    ).to_pandas()
+    fin = out[out["gid"] == 0]
+    assert len(fin) == 3  # (x,p) (x,q) (NULL,p) all finest
+    null_fin = fin[fin["a"].isna()]
+    assert list(null_fin["s"]) == [4]
+    lvl1 = out[out["gid"] == 1].sort_values("a", na_position="first")
+    assert list(lvl1["s"]) == [4, 3]  # NULL-subtotal, x-subtotal
+    total = out[out["gid"] == 3]
+    assert list(total["s"]) == [7] and list(total["n"]) == [3]
+
+
+def test_grouped_rank_gaps_vs_dense(ray_session):
+    """RANK leaves gaps after ties; DENSE_RANK does not."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import grouped_rank
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "v": pa.array([5, 5, 7, 9, 1], pa.int64()),
+        "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+    })
+    dense = grouped_rank(
+        rd.from_arrow(t), keys=["g"], order_by=[("v", "ascending")],
+        method="dense", schema=t.schema,
+    ).to_pandas().sort_values("id")
+    assert list(dense["rnk"]) == [1, 1, 2, 3, 1]
+    gaps = grouped_rank(
+        rd.from_arrow(t), keys=["g"], order_by=[("v", "ascending")],
+        method="rank", schema=t.schema,
+    ).to_pandas().sort_values("id")
+    assert list(gaps["rnk"]) == [1, 1, 3, 4, 1]
+
+
+def test_unpivot_types_and_fanout(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import unpivot
+
+    t = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "a": pa.array([1.5, 2.5], pa.float64()),
+        "b": pa.array([10, 20], pa.int64()),  # cast to float64 on melt
+    })
+    out = unpivot(
+        rd.from_arrow(t), id_cols=["id"], value_cols=["a", "b"],
+    ).to_pandas().sort_values(["id", "name"]).reset_index(drop=True)
+    assert len(out) == 4
+    assert list(out["value"]) == [1.5, 10.0, 2.5, 20.0]
+    assert out["value"].dtype.kind == "f"
