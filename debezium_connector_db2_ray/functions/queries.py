@@ -2447,6 +2447,39 @@ def q_dense_rank(sf_dir: str):
     )
 
 
+SQL_NTILE = """
+SELECT event_id, user_id,
+       CAST(NTILE(4) OVER (
+         PARTITION BY user_id ORDER BY event_id
+       ) AS BIGINT) AS nt
+FROM events
+"""
+
+
+def q_ntile(sf_dir: str):
+    """NTILE(4) of each user's events by event_id (unique tiebreak →
+    deterministic tiles): one hash exchange on user_id, partition-local
+    divmod tile assignment (relational.grouped_ntile). Reference analog:
+    evenly splitting a key's change stream into equal batches
+    (Db2StreamingChangeEventSource windowing in spirit)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_ntile,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    return grouped_ntile(
+        ds, keys=["user_id"], order_by=[("event_id", "ascending")],
+        n=4, out_col="nt",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ]),
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2506,6 +2539,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_rollup": q_rollup,
     "lineitem_unpivot": q_unpivot,
     "user_day_dense_rank": q_dense_rank,
+    "user_event_ntile": q_ntile,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2560,6 +2594,7 @@ DATA_ORACLES: dict[str, str] = {
     "lineitem_rollup": SQL_ROLLUP,
     "lineitem_unpivot": SQL_UNPIVOT,
     "user_day_dense_rank": SQL_DENSE_RANK,
+    "user_event_ntile": SQL_NTILE,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -1985,3 +1985,58 @@ def grouped_rank(ds, *, keys: list[str],
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def grouped_ntile(ds, *, keys: list[str],
+                  order_by: list[tuple[str, str]], n: int,
+                  out_col: str = "nt",
+                  num_partitions: int | None = None,
+                  schema: "pa.Schema | None" = None):
+    """SQL ``NTILE(n) OVER (PARTITION BY keys ORDER BY ...)``: same
+    one-exchange skeleton as grouped_rank; the kernel computes each key
+    segment's (base, rem) = divmod(size, n) and assigns the first ``rem``
+    tiles ``base+1`` rows, the rest ``base`` — the SQL distribution rule —
+    fully vectorized via per-segment np.repeat. ``order_by`` must give a
+    deterministic total order (unique tiebreak) for cross-engine parity:
+    NTILE is position-based, so ties are split by position."""
+    if n < 1:
+        raise ValueError("ntile n must be >= 1")
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_col, pa.int64())]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        m = t.num_rows
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, m))
+        base = sizes // n
+        rem = sizes % n
+        # row offset within its segment
+        off = np.arange(m, dtype=np.int64) - np.repeat(starts, sizes)
+        b = np.repeat(base, sizes)
+        r = np.repeat(rem, sizes)
+        cut = r * (b + 1)  # rows below `cut` live in the big tiles
+        big = off < cut
+        tile = np.where(
+            big,
+            off // np.maximum(b + 1, 1),
+            r + np.where(b > 0, (off - cut) // np.maximum(b, 1), 0),
+        ) + 1
+        return t.append_column(out_col, pa.array(tile, pa.int64()))
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

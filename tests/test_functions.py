@@ -1290,6 +1290,44 @@ def test_grouped_rank_gaps_vs_dense(ray_session):
     assert list(gaps["rnk"]) == [1, 1, 3, 4, 1]
 
 
+def test_grouped_ntile_matches_duckdb(ray_session):
+    """NTILE distribution rule (first s%n tiles get the extra row) vs
+    DuckDB, covering groups smaller than n, equal to n, and a multiple
+    plus remainder; ties impossible (unique order key)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import grouped_ntile
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 12, 400)          # skewed sizes incl. tiny groups
+    t = pa.table({
+        "g": pa.array(g, pa.int64()),
+        "id": pa.array(np.arange(400), pa.int64()),
+    })
+    for n in (1, 3, 4, 7):
+        got = grouped_ntile(
+            rd.from_arrow(t), keys=["g"], order_by=[("id", "ascending")],
+            n=n, schema=t.schema,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+        exp = duckdb.sql(
+            f"SELECT g, id, CAST(NTILE({n}) OVER "
+            "(PARTITION BY g ORDER BY id) AS BIGINT) AS nt "
+            "FROM t ORDER BY id"
+        ).df()
+        assert list(got["nt"]) == list(exp["nt"]), f"n={n}"
+    # single-row group -> tile 1
+    one = pa.table({"g": pa.array([9], pa.int64()),
+                    "id": pa.array([0], pa.int64())})
+    got1 = grouped_ntile(
+        rd.from_arrow(one), keys=["g"], order_by=[("id", "ascending")],
+        n=5, schema=one.schema,
+    ).to_pandas()
+    assert list(got1["nt"]) == [1]
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
