@@ -2480,6 +2480,291 @@ def q_ntile(sf_dir: str):
     )
 
 
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id, value,
+       PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS pr,
+       CUME_DIST() OVER (PARTITION BY user_id ORDER BY value) AS cd
+FROM events
+"""
+
+
+def q_percent_rank(sf_dir: str):
+    """PERCENT_RANK + CUME_DIST of event values within each user: two
+    passes of the rank kernel sharing one exchange shape (tie runs share
+    the statistic, so no unique tiebreak is needed); both statistics are
+    one division of exact int64 counts -> bit-identical to DuckDB."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import grouped_rank
+
+    base = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("value", pa.float64()),
+    ])
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    pr = grouped_rank(
+        ds, keys=["user_id"], order_by=[("value", "ascending")],
+        method="percent_rank", out_col="pr", schema=base,
+    )
+    return grouped_rank(
+        pr, keys=["user_id"], order_by=[("value", "ascending")],
+        method="cume_dist", out_col="cd",
+        schema=pa.schema(list(base) + [pa.field("pr", pa.float64())]),
+    )
+
+
+SQL_GROUPED_MOMENTS = """
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS s,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_pop
+FROM (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS s,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS ss
+  FROM lineitem GROUP BY l_returnflag
+)
+"""
+
+
+def q_grouped_moments(sf_dir: str):
+    """Distributed mean/variance from exact integer partials: per-batch
+    (n, sum, sumsq) combiner via grouped_aggregate, one tiny exchange,
+    then a single float division per group — the same explicit formula
+    the oracle runs over exact BIGINT sums, so the doubles are
+    bit-identical (no streaming Welford drift, no order dependence).
+    Partitioning note: int64 sumsq bounds quantity^2 * rows per group;
+    at 100 TB promote the partials to float64 or split counts."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.cast(b["l_quantity"], pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "q": q,
+            "q2": pc.multiply(q, q),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).map_batches(prep, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        ds, keys=["l_returnflag"],
+        aggs={"n": ("q", "count"), "s": ("q", "sum"), "ss": ("q2", "sum")},
+        schema=pa.schema([
+            ("l_returnflag", pa.string()), ("q", pa.int64()),
+            ("q2", pa.int64()),
+        ]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = b["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": b["n"], "s": b["s"],
+            "mean": pa.array(s / n, pa.float64()),
+            "var_pop": pa.array((n * ss - s * s) / (n * n), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_TOP_EVENT_TYPE = """
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY count(*) DESC, event_type
+         ) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def q_top_event_type(sf_dir: str):
+    """Per-group MODE (most frequent event_type per user, ties broken by
+    smallest type): grouped_aggregate count over (user, type) — the
+    high-cardinality combiner path — then top_n_per_group n=1 ordered by
+    (count desc, type asc). Two bounded exchanges, no per-group UDF."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        top_n_per_group,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = grouped_aggregate(
+        ds, keys=["user_id", "event_type"],
+        aggs={"n": ("event_type", "count_all")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+        ]),
+    )
+    top = top_n_per_group(
+        counts, keys=["user_id"],
+        order_by=[("n", "descending"), ("event_type", "ascending")], n=1,
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]),
+    )
+    return top.map_batches(
+        lambda b: pa.table({
+            "user_id": b["user_id"],
+            "top_type": b["event_type"],
+            "n": b["n"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+SQL_FULL_JOIN = """
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_acctbal, o.o_orderkey, o.o_totalprice
+FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000) c
+FULL OUTER JOIN
+     (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+      WHERE o_totalprice > 150000) o
+ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_full_join(sf_dir: str):
+    """FULL OUTER equi-join where both sides carry unmatched keys
+    (rich customers without big orders; big orders from poor customers):
+    one exchange per side + partition-local Arrow full-outer join with
+    key coalescing (relational.repartition_join how=full_outer)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_acctbal") > 5000,
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 150000,
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
+    from debezium_connector_db2_ray.functions.relational import (
+        repartition_join,
+    )
+
+    return repartition_join(cust, orders, on="custkey", how="full_outer")
+
+
+SQL_CLICK_AND_PURCHASE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_click_and_purchase(sf_dir: str):
+    """INTERSECT DISTINCT of two user sets (clickers ∩ purchasers) via
+    relational.distinct_set_op: per-batch hash-distinct combiner with
+    side flags, one exchange, presence-flag filter."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        distinct_set_op,
+    )
+
+    def pick(et: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.fill_null(pc.equal(b["event_type"], et), False)
+            ).select(["user_id"])
+
+        return fn
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    clicks = ev.map_batches(pick("click"), batch_format="pyarrow")
+    buys = ev.map_batches(pick("purchase"), batch_format="pyarrow")
+    return distinct_set_op(
+        clicks, buys, cols=["user_id"], op="intersect",
+        schema=pa.schema([("user_id", pa.int64())]),
+    )
+
+
+SQL_Q13_CUSTDIST = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COALESCE(o.n, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN (
+    SELECT o_custkey, count(*) AS n FROM orders
+    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+  ) o ON c.c_custkey = o.o_custkey
+) GROUP BY c_count
+"""
+
+
+def q_q13_custdist(sf_dir: str):
+    """TPC-H Q13 shape (order-count distribution over ALL customers,
+    including zero-order ones): grouped_aggregate count per custkey on
+    the filtered orders (combiner bounds the exchange), LEFT join onto
+    customer keys (null -> 0), then a second combiner exchange over the
+    tiny c_count domain. Three bounded exchanges, no driver collection."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    per_cust = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"],
+            filter=pads.field("o_orderpriority") != "1-URGENT",
+        ).map_batches(
+            lambda b: b.select(["o_custkey"]).rename_columns(["custkey"]),
+            batch_format="pyarrow",
+        ),
+        keys=["custkey"], aggs={"n": ("custkey", "count_all")},
+        schema=pa.schema([("custkey", pa.int64())]),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    joined = repartition_join(cust, per_cust, on="custkey", how="left_outer")
+
+    def ccount(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(b["n"], 0).cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        joined.map_batches(ccount, batch_format="pyarrow"),
+        keys=["c_count"], aggs={"custdist": ("c_count", "count_all")},
+        schema=pa.schema([("c_count", pa.int64())]),
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2540,6 +2825,12 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "lineitem_unpivot": q_unpivot,
     "user_day_dense_rank": q_dense_rank,
     "user_event_ntile": q_ntile,
+    "user_value_percent_rank": q_percent_rank,
+    "lineitem_grouped_moments": q_grouped_moments,
+    "user_top_event_type": q_top_event_type,
+    "customer_orders_full_join": q_full_join,
+    "users_click_and_purchase": q_click_and_purchase,
+    "tpch_q13_custdist": q_q13_custdist,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2595,6 +2886,12 @@ DATA_ORACLES: dict[str, str] = {
     "lineitem_unpivot": SQL_UNPIVOT,
     "user_day_dense_rank": SQL_DENSE_RANK,
     "user_event_ntile": SQL_NTILE,
+    "user_value_percent_rank": SQL_PERCENT_RANK,
+    "lineitem_grouped_moments": SQL_GROUPED_MOMENTS,
+    "user_top_event_type": SQL_TOP_EVENT_TYPE,
+    "customer_orders_full_join": SQL_FULL_JOIN,
+    "users_click_and_purchase": SQL_CLICK_AND_PURCHASE,
+    "tpch_q13_custdist": SQL_Q13_CUSTDIST,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -830,10 +830,12 @@ def repartition_join(
     here); the sort exchange + partition-local Acero join is the same
     algorithm with the exchange this engine already trusts.
 
-    Supported ``how``: inner, left_outer. Right columns colliding with left
-    names get ``right_suffix``. ``num_partitions`` defaults size-derived
-    (derive_num_partitions)."""
-    if how not in ("inner", "left_outer"):
+    Supported ``how``: inner, left_outer, full_outer. Right columns
+    colliding with left names get ``right_suffix``. ``num_partitions``
+    defaults size-derived (derive_num_partitions). full_outer coalesces
+    the key column (Arrow join semantics), so unmatched right rows carry
+    their key with left payload nulls."""
+    if how not in ("inner", "left_outer", "full_outer"):
         raise ValueError(how)
     if num_partitions is None:
         num_partitions = derive_num_partitions(left, right)
@@ -896,7 +898,8 @@ def repartition_join(
         ])
         j = lt.join(
             rt, keys=[on],
-            join_type="inner" if how == "inner" else "left outer",
+            join_type={"inner": "inner", "left_outer": "left outer",
+                       "full_outer": "full outer"}[how],
         )
         return j.select(out_names)
 
@@ -1943,10 +1946,15 @@ def grouped_rank(ds, *, keys: list[str],
     group), so a mega-group lands on one partition — same caveat and same
     exchange shape as grouped_lag_delta.
 
+    ``percent_rank`` and ``cume_dist`` reuse the same kernel and emit
+    float64: percent_rank = (rank-1)/(group_size-1) (0.0 for a 1-row
+    group), cume_dist = rows_at_or_before_tie_run / group_size — both a
+    single division of exact int64 counts, so bit-identical to DuckDB's.
+
     Reference analog: the change-table scan's per-key event ordering
     (rowLsn ordering in Db2StreamingChangeEventSource); generalized to
     the SQL rank family."""
-    if method not in ("dense", "rank"):
+    if method not in ("dense", "rank", "percent_rank", "cume_dist"):
         raise ValueError(method)
     if schema is not None:
         sch = schema
@@ -1955,8 +1963,12 @@ def grouped_rank(ds, *, keys: list[str],
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
+    out_type = (
+        pa.float64() if method in ("percent_rank", "cume_dist")
+        else pa.int64()
+    )
     out_schema = pa.schema(
-        [(c, sch.field(c).type) for c in cols] + [(out_col, pa.int64())]
+        [(c, sch.field(c).type) for c in cols] + [(out_col, out_type)]
     )
     ocols = [c for c, _ in order_by]
 
@@ -1976,15 +1988,98 @@ def grouped_rank(ds, *, keys: list[str],
             newv[runs] = 1
             cum = np.cumsum(newv)
             rank = cum - np.repeat(cum[starts], sizes) + 1
+        elif method == "cume_dist":
+            # rows at-or-before each row's tie run, within its segment
+            run_end = np.repeat(runs + run_sizes, run_sizes)
+            seg_start = np.repeat(starts, sizes)
+            seg_size = np.repeat(sizes, sizes)
+            cd = (run_end - seg_start).astype(np.float64) / seg_size
+            return t.append_column(out_col, pa.array(cd, pa.float64()))
         else:
             first_of_run = np.repeat(runs, run_sizes)
             rank = first_of_run - np.repeat(starts, sizes) + 1
+            if method == "percent_rank":
+                seg_size = np.repeat(sizes, sizes)
+                pr = np.where(
+                    seg_size > 1,
+                    (rank - 1).astype(np.float64)
+                    / np.maximum(seg_size - 1, 1),
+                    0.0,
+                )
+                return t.append_column(
+                    out_col, pa.array(pr, pa.float64())
+                )
         return t.append_column(out_col, pa.array(rank, pa.int64()))
 
     return _window_exchange(
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def distinct_set_op(left, right, *, cols: list[str], op: str,
+                    num_partitions: int | None = None,
+                    schema: "pa.Schema | None" = None):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT set semantics) over the
+    ``cols`` tuple of two datasets, as ONE combiner exchange: each batch
+    collapses to its distinct tuples tagged with per-side presence counts
+    (pyarrow hash-distinct — the combiner bounds shuffle volume by
+    distinct tuples per batch, not rows), then grouped_aggregate sums the
+    presence flags and a filter keeps tuples in-both (intersect) or
+    left-only (except). Null tuples group as equal, matching SQL set-op
+    (NOT IN-free) semantics. Scales like grouped_aggregate: one
+    partition's distinct tuples must fit a worker.
+
+    Reference analog: none in the connector — Debezium leaves set algebra
+    to downstream SQL; first-class here (SURVEY §2 relational family)."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+    if schema is not None:
+        sch = schema
+    else:
+        sch = left.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(cols)
+    key_types = [sch.field(c).type for c in cols]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            d = batch.select(cols).group_by(cols).aggregate([])
+            n = d.num_rows
+            one = np.ones(n, np.int64)
+            zero = np.zeros(n, np.int64)
+            return d.append_column(
+                "__l", pa.array(one if side == 0 else zero)
+            ).append_column(
+                "__r", pa.array(one if side == 1 else zero)
+            )
+
+        return fn
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    agg = grouped_aggregate(
+        u, keys=cols,
+        aggs={"__l": ("__l", "sum"), "__r": ("__r", "sum")},
+        num_partitions=num_partitions,
+        schema=pa.schema(
+            [(c, t) for c, t in zip(cols, key_types)]
+            + [("__l", pa.int64()), ("__r", pa.int64())]
+        ),
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        l_in = pc.greater(batch["__l"], 0)
+        r_in = pc.greater(batch["__r"], 0)
+        keep = (
+            pc.and_(l_in, r_in) if op == "intersect"
+            else pc.and_(l_in, pc.invert(r_in))
+        )
+        return batch.filter(keep).select(cols)
+
+    return agg.map_batches(pick, batch_format="pyarrow")
 
 
 def grouped_ntile(ds, *, keys: list[str],

@@ -1328,6 +1328,96 @@ def test_grouped_ntile_matches_duckdb(ray_session):
     assert list(got1["nt"]) == [1]
 
 
+def test_percent_rank_cume_dist_vs_duckdb(ray_session):
+    """Tie runs share the statistic; 1-row group -> pr 0.0, cd 1.0;
+    bit-exact doubles vs DuckDB (same int division)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import grouped_rank
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "v": pa.array([5.0, 5.0, 7.0, 9.0, 9.0, 3.0], pa.float64()),
+        "id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    })
+    pr = grouped_rank(
+        rd.from_arrow(t), keys=["g"], order_by=[("v", "ascending")],
+        method="percent_rank", out_col="pr", schema=t.schema,
+    )
+    out = grouped_rank(
+        pr, keys=["g"], order_by=[("v", "ascending")],
+        method="cume_dist", out_col="cd",
+        schema=pa.schema(list(t.schema) + [pa.field("pr", pa.float64())]),
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    exp = duckdb.sql(
+        "SELECT id, PERCENT_RANK() OVER (PARTITION BY g ORDER BY v) pr,"
+        " CUME_DIST() OVER (PARTITION BY g ORDER BY v) cd"
+        " FROM t ORDER BY id"
+    ).df()
+    assert list(out["pr"]) == list(exp["pr"])
+    assert list(out["cd"]) == list(exp["cd"])
+    assert out.loc[5, "pr"] == 0.0 and out.loc[5, "cd"] == 1.0
+
+
+def test_distinct_set_op_intersect_except(ray_session):
+    """DISTINCT set semantics incl. null tuples grouping as equal and
+    duplicates collapsing on both sides."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        distinct_set_op,
+    )
+
+    l = pa.table({"k": pa.array([1, 1, 2, 3, None], pa.int64())})
+    r = pa.table({"k": pa.array([2, 2, None, 9], pa.int64())})
+    inter = distinct_set_op(
+        rd.from_arrow(l), rd.from_arrow(r), cols=["k"], op="intersect",
+        schema=l.schema,
+    ).to_pandas()
+    vals = set(inter["k"].tolist())
+    assert 2 in vals and len(inter) == 2  # {2, NULL}
+    exc = distinct_set_op(
+        rd.from_arrow(l), rd.from_arrow(r), cols=["k"], op="except",
+        schema=l.schema,
+    ).to_pandas()
+    assert set(exc["k"].dropna().tolist()) == {1, 3} and len(exc) == 2
+
+
+def test_repartition_join_full_outer(ray_session):
+    """Unmatched keys from BOTH sides survive with nulls on the other
+    side; key column is coalesced."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        repartition_join,
+    )
+
+    l = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "a": pa.array([10, 20], pa.int64()),
+    })
+    r = pa.table({
+        "k": pa.array([2, 3], pa.int64()),
+        "b": pa.array([200, 300], pa.int64()),
+    })
+    out = (
+        repartition_join(
+            rd.from_arrow(l), rd.from_arrow(r), on="k", how="full_outer",
+            num_partitions=4,
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2, 3]
+    assert out.loc[0, "b"] != out.loc[0, "b"]  # NaN for unmatched left
+    assert out.loc[1, "a"] == 20 and out.loc[1, "b"] == 200
+    assert out.loc[2, "a"] != out.loc[2, "a"]  # NaN for unmatched right
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
