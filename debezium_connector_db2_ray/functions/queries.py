@@ -2765,6 +2765,171 @@ def q_q13_custdist(sf_dir: str):
     )
 
 
+SQL_TPCH_Q5 = """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4
+FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue by nation): the multi-join
+    flagship. nation ⋈ region and the supplier nation map are tiny ->
+    broadcast once (ray.put) and applied MAP-SIDE, which also pushes the
+    region predicate below both big joins (only ASIA customers/suppliers
+    survive the scan); the two big joins (orders ⋈ customer on custkey,
+    lineitem ⋈ that on orderkey) are repartition_joins — one exchange per
+    side each. Money math in scaled int64 (same rule as SQL_PRICING) so
+    the group sums are order-independent and bit-exact cross-engine.
+    Partitioning assumption: supplier's (suppkey -> nationkey) map fits a
+    broadcast (TPC-H supplier is 1e-4 of lineitem; at 100 TB swap for a
+    third repartition_join without changing the algebra)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = {
+        rk for rk, name in zip(
+            reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()
+        ) if name == "ASIA"
+    }
+    nation_name = {
+        nk: nm for nk, nm, rk in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        ) if rk in asia
+    }
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = np.asarray(sup["s_suppkey"].to_pylist(), np.int64)
+    sn = np.asarray(sup["s_nationkey"].to_pylist(), np.int64)
+    order_ = np.argsort(sk)
+    sup_ref = ray.put((sk[order_], sn[order_]))
+    asia_keys = np.array(sorted(nation_name), np.int64)
+
+    def cust_prep(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(nk, asia_keys)
+        return pa.table({
+            "custkey": b["c_custkey"].filter(pa.array(keep)),
+            "c_nationkey": b["c_nationkey"].filter(pa.array(keep)),
+        })
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(cust_prep, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pads.field("o_orderdate") >= np.datetime64("1996-01-01", "us"))
+            & (pads.field("o_orderdate") < np.datetime64("1997-01-01", "us"))
+        ),
+    ).map_batches(
+        lambda b: b.rename_columns(["orderkey", "custkey"]),
+        batch_format="pyarrow",
+    )
+    j1 = repartition_join(orders, cust, on="custkey", how="inner")
+
+    def line_prep(b: pa.Table) -> pa.Table:
+        e = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)),
+                    pa.int64())
+        d = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)),
+                    pa.int64())
+        rev = pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d))
+        return pa.table({
+            "orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev_e4": rev,
+        })
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    j2 = repartition_join(
+        line,
+        j1.map_batches(
+            lambda b: b.select(["orderkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        ),
+        on="orderkey", how="inner",
+    )
+
+    def local_supplier(b: pa.Table) -> pa.Table:
+        ks, ns = ray.get(sup_ref)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.minimum(np.searchsorted(ks, supp), ks.size - 1)
+        s_nat = np.where(ks[pos] == supp, ns[pos], -1)
+        cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = pa.array(s_nat == cn)
+        kept = b.filter(keep)
+        nats = kept["c_nationkey"].to_numpy(zero_copy_only=False)
+        names = pa.array(
+            [nation_name[int(x)] for x in nats], pa.string()
+        )
+        return pa.table({
+            "n_name": names, "rev_e4": kept["rev_e4"],
+        })
+
+    matched = j2.map_batches(local_supplier, batch_format="pyarrow")
+    return grouped_aggregate(
+        matched, keys=["n_name"], aggs={"revenue_e4": ("rev_e4", "sum")},
+        schema=pa.schema([("n_name", pa.string()), ("rev_e4", pa.int64())]),
+    )
+
+
+SQL_CUST_NO_ORDERS = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+def q_cust_no_orders(sf_dir: str):
+    """ANTI join (NOT EXISTS): customers who never placed an URGENT
+    order. The orders side is predicate-pruned at the read, collapses to
+    per-batch-distinct custkeys before a single broadcast
+    (semi_join_filter anti=True); the customer scan filters map-side via
+    searchsorted — no shuffle at all. NULL-key rows survive, matching
+    NOT EXISTS (not NOT IN) semantics."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        semi_join_filter,
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return semi_join_filter(
+        cust, orders, on="c_custkey", right_on="o_custkey", anti=True,
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -2831,6 +2996,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "customer_orders_full_join": q_full_join,
     "users_click_and_purchase": q_click_and_purchase,
     "tpch_q13_custdist": q_q13_custdist,
+    "tpch_q5_local_revenue": q_tpch_q5,
+    "customers_without_orders": q_cust_no_orders,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -2892,6 +3059,8 @@ DATA_ORACLES: dict[str, str] = {
     "customer_orders_full_join": SQL_FULL_JOIN,
     "users_click_and_purchase": SQL_CLICK_AND_PURCHASE,
     "tpch_q13_custdist": SQL_Q13_CUSTDIST,
+    "tpch_q5_local_revenue": SQL_TPCH_Q5,
+    "customers_without_orders": SQL_CUST_NO_ORDERS,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -1418,6 +1418,29 @@ def test_repartition_join_full_outer(ray_session):
     assert out.loc[2, "a"] != out.loc[2, "a"]  # NaN for unmatched right
 
 
+def test_semi_join_filter_anti_null_keys(ray_session):
+    """NOT EXISTS semantics: a NULL left key never matches, so it is
+    dropped by semi and KEPT by anti (unlike NOT IN null-poisoning)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        semi_join_filter,
+    )
+
+    l = pa.table({"k": pa.array([1, 2, None], pa.int64())})
+    r = pa.table({"k": pa.array([2, 9], pa.int64())})
+    semi = semi_join_filter(
+        rd.from_arrow(l), rd.from_arrow(r), on="k"
+    ).to_pandas()
+    assert semi["k"].tolist() == [2]
+    anti = semi_join_filter(
+        rd.from_arrow(l), rd.from_arrow(r), on="k", anti=True
+    ).to_pandas()
+    assert sorted(anti["k"].dropna().tolist()) == [1]
+    assert anti["k"].isna().sum() == 1
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
