@@ -227,6 +227,9 @@ def run_gate_queries(timings: dict) -> None:
         ("stream_sliding_counts", DATA_QUERIES),
         ("text_tfidf_topk", DATA_QUERIES),
         ("dedup_incremental", DATA_QUERIES),
+        ("tpch_q5_local_revenue", DATA_QUERIES),
+        ("tpch_q13_custdist", DATA_QUERIES),
+        ("user_top_event_type", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

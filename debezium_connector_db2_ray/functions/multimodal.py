@@ -46,16 +46,44 @@ def pack_text_as_media(batch: pa.Table) -> pa.Table:
 
 
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic REAL media fixtures from doc ids: PPM (doc_id%3==0),
-    BMP (==1) or WAV (==2) payloads with true container headers whose
-    dimensions are pure functions of doc_id — so a SQL oracle can recompute
-    what RealDecoder must parse back out (decode inverts encode)."""
+    """Deterministic REAL media fixtures from doc ids: PPM (doc_id%5==0),
+    BMP (==1), WAV (==2), PNG (==3) or GIF (==4) payloads with true,
+    well-formed containers (PNG carries CRC-valid IHDR/IDAT/IEND chunks)
+    whose dimensions are pure functions of doc_id — so a SQL oracle can
+    recompute what RealDecoder must parse back out (decode inverts
+    encode)."""
     import struct
+    import zlib
 
     ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     payloads, kinds = [], []
+
+    def png_chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
     for i in ids:
-        m = int(i) % 3
+        m = int(i) % 5
+        if m == 3:
+            w, h = int(i) % 40 + 1, int(i) % 30 + 1
+            color_type = 2 if int(i) % 2 == 0 else 6  # RGB | RGBA
+            nch = 3 if color_type == 2 else 4
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+            raw = bytes((w * nch + 1) * h)  # filter byte 0 + zero scanline
+            payloads.append(
+                b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+                + png_chunk(b"IDAT", zlib.compress(raw))
+                + png_chunk(b"IEND", b"")
+            )
+            kinds.append("image")
+            continue
+        if m == 4:
+            w, h = int(i) % 20 + 1, int(i) % 15 + 1
+            payloads.append(
+                b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+            )
+            kinds.append("image")
+            continue
         if m == 0:
             w, h = int(i) % 32 + 1, int(i) % 24 + 1
             payloads.append(
@@ -100,11 +128,12 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
 
 class RealDecoder:
     """Dependency-free REAL decoder (actor-pool stage) for the container
-    formats parseable in pure numpy/stdlib: PPM/PGM (P6/P5) and BMP images,
-    RIFF/WAVE audio. Parses ACTUAL header bytes — width/height/channels
-    from the image container, channels/sample-rate/duration from the WAV
-    fmt/data chunks — so decode genuinely inverts whatever encoder wrote
-    the payload. Formats that need codec libraries (JPEG/PNG/MP3/MP4) raise
+    formats parseable in pure numpy/stdlib: PPM/PGM (P6/P5), BMP, PNG
+    (IHDR, CRC-verified) and GIF images, RIFF/WAVE audio. Parses ACTUAL
+    header bytes — width/height/channels from the image container,
+    channels/sample-rate/duration from the WAV fmt/data chunks — so decode
+    genuinely inverts whatever encoder wrote the payload. Formats that
+    need codec libraries (JPEG/MP3/MP4) raise
     ValueError; the production hook swaps PIL/pyav in behind the same actor
     signature. (Reference analog in spirit: typed payload fidelity,
     DatatypesFromSnapshotIT.java:70-140.)"""
@@ -141,6 +170,25 @@ class RealDecoder:
             bpp = struct.unpack_from("<H", p, 28)[0]
             return {"format": "bmp", "width": w, "height": abs(h),
                     "channels": max(1, bpp // 8)}
+        if len(p) >= 33 and p[:8] == b"\x89PNG\r\n\x1a\n":
+            import zlib
+
+            ln, tag = struct.unpack_from(">I4s", p, 8)
+            if tag != b"IHDR" or ln != 13:
+                raise ValueError("PNG missing IHDR")
+            crc = struct.unpack_from(">I", p, 16 + ln)[0]
+            if crc != zlib.crc32(p[12:16 + ln]):
+                raise ValueError("PNG IHDR CRC mismatch")
+            w, h, _depth, color_type = struct.unpack_from(">IIBB", p, 16)
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            if nch is None:
+                raise ValueError(f"PNG bad color type {color_type}")
+            return {"format": "png", "width": w, "height": h,
+                    "channels": nch}
+        if len(p) >= 13 and p[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack_from("<HH", p, 6)
+            return {"format": "gif", "width": w, "height": h,
+                    "channels": 3}
         if len(p) >= 12 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
             o, channels, rate, byte_rate, data_size = 12, None, None, None, None
             while o + 8 <= len(p):

@@ -1064,25 +1064,31 @@ def q_pii_redact(sf_dir: str):
 # must read back out of the PPM/BMP/WAV bytes — decode inverts encode.
 SQL_REAL_DECODE = """
 SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-            ELSE 'wav' END AS format,
-       CASE doc_id % 3 WHEN 0 THEN doc_id % 32 + 1
-            WHEN 1 THEN doc_id % 64 + 1 ELSE NULL END AS width,
-       CASE doc_id % 3 WHEN 0 THEN doc_id % 24 + 1
-            WHEN 1 THEN doc_id % 48 + 1 ELSE NULL END AS height,
-       CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2 ELSE 3 END AS channels,
-       CASE doc_id % 3 WHEN 2 THEN 8000 ELSE NULL END AS sample_rate,
-       CASE doc_id % 3 WHEN 2 THEN (doc_id % 500 + 1) * 1000 // 8000
+       CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+            WHEN 2 THEN 'wav' WHEN 3 THEN 'png' ELSE 'gif' END AS format,
+       CASE doc_id % 5 WHEN 0 THEN doc_id % 32 + 1
+            WHEN 1 THEN doc_id % 64 + 1
+            WHEN 3 THEN doc_id % 40 + 1
+            WHEN 4 THEN doc_id % 20 + 1 ELSE NULL END AS width,
+       CASE doc_id % 5 WHEN 0 THEN doc_id % 24 + 1
+            WHEN 1 THEN doc_id % 48 + 1
+            WHEN 3 THEN doc_id % 30 + 1
+            WHEN 4 THEN doc_id % 15 + 1 ELSE NULL END AS height,
+       CASE doc_id % 5 WHEN 2 THEN 1 + doc_id % 2
+            WHEN 3 THEN 3 + doc_id % 2 ELSE 3 END AS channels,
+       CASE doc_id % 5 WHEN 2 THEN 8000 ELSE NULL END AS sample_rate,
+       CASE doc_id % 5 WHEN 2 THEN (doc_id % 500 + 1) * 1000 // 8000
             ELSE NULL END AS duration_ms
 FROM documents
 """
 
 
 def q_real_decode(sf_dir: str):
-    """REAL media decode: synthesize true PPM/BMP/WAV containers whose
-    dimensions are functions of doc_id, push them through the RealDecoder
-    actor pool (which parses the ACTUAL header bytes), and emit the parsed
-    metadata — oracle-checked because decode must invert encode."""
+    """REAL media decode: synthesize true PPM/BMP/WAV/PNG/GIF containers
+    whose dimensions are functions of doc_id, push them through the
+    RealDecoder actor pool (which parses — and for PNG CRC-checks — the
+    ACTUAL header bytes), and emit the parsed metadata — oracle-checked
+    because decode must invert encode."""
     from debezium_connector_db2_ray.functions.multimodal import (
         RealDecoder,
         decode_media,

@@ -159,6 +159,26 @@ def test_real_decoder_parses_actual_container_bytes(ray_session):
         "format": "wav", "channels": 1, "sample_rate": 8000,
         "duration_ms": 1000,
     }
+    # PNG: CRC-valid grayscale IHDR parses; corrupted CRC raises
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 320, 200, 8, 0, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    assert parse(png) == {
+        "format": "png", "width": 320, "height": 200, "channels": 1,
+    }
+    bad = bytearray(png)
+    bad[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse(bytes(bad))
+    # GIF87a logical screen descriptor
+    gif = b"GIF87a" + struct.pack("<HH", 99, 44) + b"\x00\x00\x00\x3b"
+    assert parse(gif) == {
+        "format": "gif", "width": 99, "height": 44, "channels": 3,
+    }
     # end-to-end through the actor pool: decode inverts encode
     items = [{"doc_id": i} for i in range(30)]
     ds = rd.from_items(items).map_batches(
@@ -168,15 +188,23 @@ def test_real_decoder_parses_actual_container_bytes(ray_session):
     out = out.sort_values("media_id").reset_index(drop=True)
     for _, r in out.iterrows():
         i = int(r["media_id"])
-        if i % 3 == 0:
+        m = i % 5
+        if m == 0:
             assert r["format"] == "ppm" and r["width"] == i % 32 + 1
             assert r["height"] == i % 24 + 1 and r["channels"] == 3
-        elif i % 3 == 1:
+        elif m == 1:
             assert r["format"] == "bmp" and r["width"] == i % 64 + 1
             assert r["height"] == i % 48 + 1
-        else:
+        elif m == 2:
             assert r["format"] == "wav" and r["channels"] == 1 + i % 2
             assert r["duration_ms"] == (i % 500 + 1) * 1000 // 8000
+        elif m == 3:
+            assert r["format"] == "png" and r["width"] == i % 40 + 1
+            assert r["height"] == i % 30 + 1
+            assert r["channels"] == 3 + i % 2
+        else:
+            assert r["format"] == "gif" and r["width"] == i % 20 + 1
+            assert r["height"] == i % 15 + 1 and r["channels"] == 3
 
 
 def test_rolling_hash_prefilter_stability():
