@@ -2936,6 +2936,67 @@ def q_cust_no_orders(sf_dir: str):
     )
 
 
+CHUNK_W, CHUNK_S = 40, 30
+SQL_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '[\\t\\n\\f\\r ]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+)
+, fan AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(
+           0,
+           CAST(ceil(len(tk) / CAST({CHUNK_S} AS DOUBLE)) AS BIGINT) - 1
+         )) AS gs
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(gs AS BIGINT) AS chunk_idx,
+       array_to_string(tk[gs*{CHUNK_S}+1 : gs*{CHUNK_S}+{CHUNK_W}], ' ')
+           AS chunk_text,
+       CAST(least({CHUNK_W}, len(tk) - gs*{CHUNK_S}) AS BIGINT) AS n_tokens
+FROM fan
+"""
+
+
+def q_chunk_documents(sf_dir: str):
+    """Training-data chunking: overlapping token windows (w=40, s=30)
+    per document, a vectorized polars flat fanout with no exchange
+    (text.chunk_documents_batch). Token class pinned to the RE2-safe
+    \\S+ the oracles share."""
+    from debezium_connector_db2_ray.functions.text import (
+        chunk_documents_batch,
+    )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        chunk_documents_batch(CHUNK_W, CHUNK_S), batch_format="pyarrow"
+    )
+
+
+SQL_LONGEST_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 100
+"""
+
+
+def q_longest_docs(sf_dir: str):
+    """Global ORDER BY ... LIMIT 100 via per-batch top-k combiner + one
+    tiny merge (relational.global_top_k) — no full-corpus sort
+    exchange."""
+    from debezium_connector_db2_ray.functions.relational import (
+        global_top_k,
+    )
+
+    return global_top_k(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]),
+        order_by=[("n_chars", "descending"), ("doc_id", "ascending")],
+        k=100,
+        schema=pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3004,6 +3065,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "tpch_q13_custdist": q_q13_custdist,
     "tpch_q5_local_revenue": q_tpch_q5,
     "customers_without_orders": q_cust_no_orders,
+    "docs_chunked": q_chunk_documents,
+    "docs_longest_topk": q_longest_docs,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3067,6 +3130,8 @@ DATA_ORACLES: dict[str, str] = {
     "tpch_q13_custdist": SQL_Q13_CUSTDIST,
     "tpch_q5_local_revenue": SQL_TPCH_Q5,
     "customers_without_orders": SQL_CUST_NO_ORDERS,
+    "docs_chunked": SQL_CHUNKS,
+    "docs_longest_topk": SQL_LONGEST_DOCS,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

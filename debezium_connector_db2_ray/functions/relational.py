@@ -2135,3 +2135,44 @@ def grouped_ntile(ds, *, keys: list[str],
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def global_top_k(ds, *, order_by: list[tuple[str, str]], k: int,
+                 schema: "pa.Schema | None" = None):
+    """Global ``ORDER BY ... LIMIT k`` WITHOUT a full distributed sort:
+    every batch keeps only its local top-k (the combiner — at most k rows
+    leave each batch), then ONE single-partition merge re-sorts the
+    surviving <= k * n_batches rows and slices k. For k << rows this
+    moves O(k) data per batch instead of shuffling the dataset the way
+    ``ds.sort().limit(k)`` would. ``order_by`` should include a unique
+    tiebreak column for deterministic cross-engine results.
+
+    Reference analog: the change-table scan's FETCH FIRST bounding
+    (Db2Connection query hints, O1-O3 in SURVEY §2) — generalized to an
+    arbitrary sort key at corpus scale."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    out_schema = pa.schema([(c, sch.field(c).type) for c in sch.names])
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        return batch.sort_by(list(order_by)).slice(0, k)
+
+    import ray.data as _rd
+
+    combined = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .union(_rd.from_arrow(out_schema.empty_table()))
+        .repartition(1)
+    )
+    return combined.map_batches(
+        local, batch_format="pyarrow",
+        batch_size=None,  # one merge over the single surviving block
+    )

@@ -246,3 +246,62 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return t.filter(pa.array(rank < k)).drop_columns(["__neg"])
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def chunk_documents_batch(window: int, stride: int,
+                          text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Batch transform maker: split each document into overlapping
+    token-window chunks — the training-data chunking stage. Tokens are
+    TOKEN_PATTERN matches (RE2-pinned \\S+, same class as every text
+    oracle); chunk c covers tokens [c*stride, c*stride+window); chunks
+    start at every stride boundary below the token count, so an
+    empty/whitespace doc yields no chunks. Fully vectorized in polars
+    (extract_all -> int_ranges -> explode -> list.slice/join) — a
+    per-row fanout with no Python loop. Each chunk carries
+    (doc_id, chunk_idx, chunk_text, n_tokens).
+
+    Scale note: output is ~window/stride x input tokens; run it as a
+    plain map stage (no exchange) and let downstream ops repartition."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col).fill_null("")
+                .str.extract_all(TOKEN_PATTERN).alias("__tk")
+            )
+            .with_columns(pl.col("__tk").list.len().alias("__n"))
+            .filter(pl.col("__n") > 0)
+            .with_columns(
+                ((pl.col("__n") + stride - 1) // stride).alias("__nc")
+            )
+            .with_columns(
+                pl.int_ranges(0, pl.col("__nc")).alias("chunk_idx")
+            )
+            .explode("chunk_idx")
+            .with_columns(
+                pl.col("__tk").list.slice(
+                    pl.col("chunk_idx") * stride, window
+                ).alias("__ck")
+            )
+            .select(
+                pl.col(id_col),
+                pl.col("chunk_idx").cast(pl.Int64),
+                pl.col("__ck").list.join(" ").alias("chunk_text"),
+                pl.col("__ck").list.len().cast(pl.Int64).alias("n_tokens"),
+            )
+        )
+        t = out.to_arrow()
+        # polars emits large_string; normalize to the engine's string type
+        return t.cast(pa.schema([
+            (id_col, t.schema.field(id_col).type),
+            ("chunk_idx", pa.int64()),
+            ("chunk_text", pa.string()),
+            ("n_tokens", pa.int64()),
+        ]))
+
+    return fn

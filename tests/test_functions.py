@@ -1469,6 +1469,54 @@ def test_semi_join_filter_anti_null_keys(ray_session):
     assert anti["k"].isna().sum() == 1
 
 
+def test_chunk_documents_boundaries():
+    """Chunk windows: stride overlap, ragged tail, whitespace-only doc
+    yields nothing, token class is the RE2-pinned \\S+."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.functions.text import (
+        chunk_documents_batch,
+    )
+
+    fn = chunk_documents_batch(5, 3)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b c d e f g h", " \t\n ", "x\ty\nz"],
+    })
+    out = fn(t).to_pydict()
+    assert out["doc_id"] == [1, 1, 1, 3]
+    assert out["chunk_text"] == ["a b c d e", "d e f g h", "g h", "x y z"]
+    assert out["n_tokens"] == [5, 5, 2, 3]
+    assert out["chunk_idx"] == [0, 1, 2, 0]
+
+
+def test_global_top_k_no_full_sort(ray_session):
+    """Top-k across many blocks: result equals a full sort's head, ties
+    broken by the unique tiebreak column."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import global_top_k
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 50, 5000)
+    t = pa.table({
+        "id": pa.array(np.arange(5000), pa.int64()),
+        "v": pa.array(v, pa.int64()),
+    })
+    got = global_top_k(
+        rd.from_arrow(t).repartition(16),
+        order_by=[("v", "descending"), ("id", "ascending")], k=25,
+        schema=t.schema,
+    ).to_pandas()
+    exp = (
+        t.to_pandas().sort_values(["v", "id"], ascending=[False, True])
+        .head(25).reset_index(drop=True)
+    )
+    assert got[["id", "v"]].values.tolist() == exp[["id", "v"]].values.tolist()
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
