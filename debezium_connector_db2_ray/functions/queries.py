@@ -2997,6 +2997,82 @@ def q_longest_docs(sf_dir: str):
     )
 
 
+SQL_FIRST_LAST = """
+SELECT event_id, user_id, value,
+       FIRST_VALUE(value) OVER w AS first_v,
+       LAST_VALUE(value) OVER w AS last_v
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_first_last(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per user ordered by event_id (unique ->
+    deterministic): one exchange, per-segment Arrow take
+    (relational.grouped_first_last)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_first_last,
+    )
+
+    return grouped_first_last(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "value"],
+        ),
+        keys=["user_id"], order_by=[("event_id", "ascending")],
+        value_col="value",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]),
+    )
+
+
+VOCAB_K = 200
+SQL_VOCAB_COVERAGE = f"""
+WITH vocab AS (
+  SELECT term FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                 '\\s+'), x -> x <> ''))
+           AS term
+    FROM documents
+  ) GROUP BY term ORDER BY count(*) DESC, term ASC LIMIT {VOCAB_K}
+), toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), flat AS (
+  SELECT doc_id, unnest(tk) AS term FROM toks
+), cov AS (
+  SELECT f.doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+  FROM flat f LEFT JOIN vocab v USING (term) GROUP BY f.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.n_in, 0) AS BIGINT) AS n_in_vocab,
+       CASE WHEN c.n_tokens > 0
+            THEN CAST(c.n_in AS DOUBLE) / CAST(c.n_tokens AS DOUBLE)
+       END AS coverage
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Vocabulary coverage / OOV rate per document against the corpus
+    top-200 vocabulary (text.vocab_coverage): vocab via the combiner
+    top-k, broadcast once, map-side scoring."""
+    from debezium_connector_db2_ray.functions.text import vocab_coverage
+
+    return vocab_coverage(
+        _docs(sf_dir, columns=["doc_id", "text"]), vocab_k=VOCAB_K
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3067,6 +3143,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "customers_without_orders": q_cust_no_orders,
     "docs_chunked": q_chunk_documents,
     "docs_longest_topk": q_longest_docs,
+    "user_first_last_value": q_first_last,
+    "docs_vocab_coverage": q_vocab_coverage,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3132,6 +3210,8 @@ DATA_ORACLES: dict[str, str] = {
     "customers_without_orders": SQL_CUST_NO_ORDERS,
     "docs_chunked": SQL_CHUNKS,
     "docs_longest_topk": SQL_LONGEST_DOCS,
+    "user_first_last_value": SQL_FIRST_LAST,
+    "docs_vocab_coverage": SQL_VOCAB_COVERAGE,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

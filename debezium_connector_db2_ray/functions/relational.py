@@ -2176,3 +2176,53 @@ def global_top_k(ds, *, order_by: list[tuple[str, str]], k: int,
         local, batch_format="pyarrow",
         batch_size=None,  # one merge over the single surviving block
     )
+
+
+def grouped_first_last(ds, *, keys: list[str],
+                       order_by: list[tuple[str, str]], value_col: str,
+                       first_col: str = "first_v", last_col: str = "last_v",
+                       num_partitions: int | None = None,
+                       schema: "pa.Schema | None" = None):
+    """SQL ``FIRST_VALUE(v) / LAST_VALUE(v) OVER (PARTITION BY keys
+    ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING)``: the one-exchange window skeleton; the kernel takes each
+    key segment's first/last row index and gathers ``value_col`` with an
+    Arrow take (type-agnostic — works for strings/binary, no numpy
+    round-trip). ``order_by`` needs a unique tiebreak for deterministic
+    first/last under ties."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    vt = sch.field(value_col).type
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols]
+        + [(first_col, vt), (last_col, vt)]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, t.num_rows))
+        idx_first = np.repeat(starts, sizes)
+        idx_last = np.repeat(starts + sizes - 1, sizes)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        return t.append_column(
+            first_col, v.take(pa.array(idx_first, pa.int64()))
+        ).append_column(
+            last_col, v.take(pa.array(idx_last, pa.int64()))
+        )
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

@@ -305,3 +305,56 @@ def chunk_documents_batch(window: int, stride: int,
         ]))
 
     return fn
+
+
+def vocab_coverage(ds, *, vocab_k: int = 200, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Vocabulary coverage / OOV-rate: build the corpus top-``vocab_k``
+    vocabulary (relational.topk_terms — combiner + tiny exchange), pull
+    the k-row result to the driver and ``ray.put`` it ONCE (the canonical
+    small-side broadcast), then score every document map-side: coverage =
+    in-vocab tokens / tokens (NULL for token-free docs). Tokenization is
+    the shared RE2-pinned lowercase \\S+ so the SQL oracle reproduces the
+    identical vocabulary and counts; coverage is one division of exact
+    ints -> bit-identical doubles."""
+    import polars as pl
+    import ray
+
+    from debezium_connector_db2_ray.functions.relational import topk_terms
+
+    vocab_rows = topk_terms(ds, text_col=text_col, k=vocab_k).take(vocab_k)
+    ref = ray.put(sorted(r["term"] for r in vocab_rows))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(ref)
+        df = pl.from_arrow(batch.select([id_col, text_col]))
+        out = (
+            df.with_columns(
+                pl.col(text_col).fill_null("").str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN).alias("__tk")
+            )
+            .with_columns(
+                pl.col("__tk").list.len().cast(pl.Int64).alias("n_tokens"),
+                pl.col("__tk").list.eval(
+                    pl.element().is_in(vocab).cast(pl.Int64)
+                ).list.sum().cast(pl.Int64).alias("n_in_vocab"),
+            )
+            .with_columns(
+                pl.when(pl.col("n_tokens") > 0)
+                .then(
+                    pl.col("n_in_vocab").cast(pl.Float64)
+                    / pl.col("n_tokens").cast(pl.Float64)
+                )
+                .alias("coverage")
+            )
+            .select([id_col, "n_tokens", "n_in_vocab", "coverage"])
+        )
+        t = out.to_arrow()
+        return t.cast(pa.schema([
+            (id_col, t.schema.field(id_col).type),
+            ("n_tokens", pa.int64()),
+            ("n_in_vocab", pa.int64()),
+            ("coverage", pa.float64()),
+        ]))
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1517,6 +1517,29 @@ def test_global_top_k_no_full_sort(ray_session):
     assert got[["id", "v"]].values.tolist() == exp[["id", "v"]].values.tolist()
 
 
+def test_vocab_coverage_empty_doc_and_oov(ray_session):
+    """Token-free doc -> coverage NULL, counts 0; OOV tokens counted."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.text import vocab_coverage
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the the cat", "  ", "the zzz"],
+    })
+    out = (
+        vocab_coverage(rd.from_arrow(t), vocab_k=1)  # vocab == {"the"}
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 0, 2]
+    assert out["n_in_vocab"].tolist() == [2, 0, 1]
+    assert out.loc[0, "coverage"] == 2 / 3
+    assert pd.isna(out.loc[1, "coverage"])
+    assert out.loc[2, "coverage"] == 0.5
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
