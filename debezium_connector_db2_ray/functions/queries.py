@@ -3073,6 +3073,73 @@ def q_vocab_coverage(sf_dir: str):
     )
 
 
+SQL_CORR = """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_extendedprice) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM s
+"""
+
+
+def q_corr(sf_dir: str):
+    """Pearson correlation of (quantity, price-in-dollars) as a global
+    aggregate from EXACT integer partials: per-batch int64 sums of
+    (x, y, x^2, y^2, xy) — the combiner — then one tiny reduce and a
+    single double-precision finish identical to the oracle's expression
+    (IEEE ops over the same exact sums -> bit-identical). int64 bound:
+    sum(y^2) ~ rows * 1e10; switch y to a coarser unit past ~1e8 rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(b["l_extendedprice"]), pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        yn = y.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(xn)], pa.int64()),
+            "sx": pa.array([int(xn.sum())], pa.int64()),
+            "sy": pa.array([int(yn.sum())], pa.int64()),
+            "sxx": pa.array([int((xn * xn).sum())], pa.int64()),
+            "syy": pa.array([int((yn * yn).sum())], pa.int64()),
+            "sxy": pa.array([int((xn * yn).sum())], pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow")
+    a = ds.aggregate(*(Sum(c, alias_name=c)
+                       for c in ("n", "sx", "sy", "sxx", "syy", "sxy")))
+    import math
+
+    n, sx, sy = float(a["n"]), float(a["sx"]), float(a["sy"])
+    sxx, syy, sxy = float(a["sxx"]), float(a["syy"]), float(a["sxy"])
+    corr = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    return pa.table({
+        "n": pa.array([a["n"]], pa.int64()),
+        "corr": pa.array([corr], pa.float64()),
+    })
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3145,6 +3212,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_longest_topk": q_longest_docs,
     "user_first_last_value": q_first_last,
     "docs_vocab_coverage": q_vocab_coverage,
+    "corr_quantity_price": q_corr,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3212,6 +3280,7 @@ DATA_ORACLES: dict[str, str] = {
     "docs_longest_topk": SQL_LONGEST_DOCS,
     "user_first_last_value": SQL_FIRST_LAST,
     "docs_vocab_coverage": SQL_VOCAB_COVERAGE,
+    "corr_quantity_price": SQL_CORR,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

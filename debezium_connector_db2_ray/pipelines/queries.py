@@ -484,6 +484,24 @@ def q_envelope_feed(sf_dir: str):
     return _events(sf_dir).map_batches(env_batch, batch_format="pyarrow")
 
 
+SQL_SKIPPED_OPS = f"""
+SELECT * FROM ({SQL_ENVELOPE.strip()}) WHERE op_char <> 'd'
+"""
+
+
+def q_skipped_operations(sf_dir: str):
+    """``skipped.operations`` parity: the envelope feed with deletes
+    configured away (stages/envelope.filter_operations) — a pure map-side
+    filter after the map-only envelope projection, matching the
+    reference's event-emission skip (CommonConnectorConfig
+    SKIPPED_OPERATIONS, inherited by Db2ConnectorConfig)."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        filter_operations,
+    )
+
+    return filter_operations(q_envelope_feed(sf_dir), skipped={"d"})
+
+
 SOURCE_NAME = "testdb-server"
 SOURCE_DB = "TESTDB"
 SOURCE_SCHEMA = "DB2INST1"
@@ -993,6 +1011,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_partial_update_coalesce": q_partial_update_coalesce,
     "cdc_source_struct": q_source_struct,
     "cdc_decimal_converter": q_decimal_converter,
+    "cdc_skipped_operations": q_skipped_operations,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -1015,4 +1034,5 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_partial_update_coalesce": SQL_PARTIAL_COALESCE,
     "cdc_source_struct": SQL_SOURCE_STRUCT,
     "cdc_decimal_converter": SQL_DECIMAL_CONVERTER,
+    "cdc_skipped_operations": SQL_SKIPPED_OPS,
 }

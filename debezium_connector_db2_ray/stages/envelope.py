@@ -226,3 +226,29 @@ def _mask(values, keep: np.ndarray) -> pa.Array:
     if keep.all():
         return values
     return pc.if_else(pa.array(keep), values, pa.nulls(len(values), values.type))
+
+
+def filter_operations(ds, *, skipped: frozenset[str] | set[str],
+                      op_col: str = "op_char"):
+    """``skipped.operations`` parity (Db2ConnectorConfig inherits
+    CommonConnectorConfig.SKIPPED_OPERATIONS): drop envelope events whose
+    operation character is in ``skipped`` — 'c' (create), 'u' (update),
+    'd' (delete), 'r' (snapshot read) — before they reach a sink. A pure
+    map-side filter: no exchange, streams with backpressure. Rows with a
+    NULL op are kept (the reference only skips explicitly configured
+    ops)."""
+    import pyarrow.compute as pc
+
+    bad = sorted(skipped)
+    for s in bad:
+        if s not in ("c", "u", "d", "r", "t"):
+            raise ValueError(f"unknown operation {s!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(
+            pc.is_in(batch[op_col], value_set=pa.array(bad, pa.string())),
+            False,
+        ))
+        return batch.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
