@@ -3140,6 +3140,75 @@ def q_corr(sf_dir: str):
     })
 
 
+SQL_COHORT = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+), coh AS (
+  SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id
+)
+SELECT c.cohort, u.day - c.cohort AS age,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud u JOIN coh c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-active-day cohort x days-since,
+    distinct active users): distinct (user, day) via the combiner
+    exchange, per-user min-day cohort from the SAME distinct set (second
+    tiny exchange), repartition join back on user_id, then a final
+    combiner exchange over the small (cohort, age) domain. Every stage is
+    partial-aggregated before it ships."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    day_us = np.int64(86_400_000_000)
+
+    def userday(b: pa.Table) -> pa.Table:
+        ts = (
+            b["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        return pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(ts // day_us),
+        })
+
+    ud = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        ).map_batches(userday, batch_format="pyarrow"),
+        keys=["user_id", "day"], aggs={"n": ("day", "count_all")},
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64())]),
+    ).map_batches(
+        lambda b: b.select(["user_id", "day"]), batch_format="pyarrow"
+    )
+    coh = grouped_aggregate(
+        ud, keys=["user_id"], aggs={"cohort": ("day", "min")},
+        schema=pa.schema([("user_id", pa.int64()), ("day", pa.int64())]),
+    )
+    j = repartition_join(ud, coh, on="user_id", how="inner")
+
+    def age(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort": b["cohort"],
+            "age": pc.subtract(b["day"], b["cohort"]),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(age, batch_format="pyarrow"),
+        keys=["cohort", "age"], aggs={"n_users": ("age", "count_all")},
+        schema=pa.schema([("cohort", pa.int64()), ("age", pa.int64())]),
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3213,6 +3282,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "user_first_last_value": q_first_last,
     "docs_vocab_coverage": q_vocab_coverage,
     "corr_quantity_price": q_corr,
+    "events_cohort_retention": q_cohort_retention,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3281,6 +3351,7 @@ DATA_ORACLES: dict[str, str] = {
     "user_first_last_value": SQL_FIRST_LAST,
     "docs_vocab_coverage": SQL_VOCAB_COVERAGE,
     "corr_quantity_price": SQL_CORR,
+    "events_cohort_retention": SQL_COHORT,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -56,7 +56,9 @@ def main() -> None:
                 bad += 1
                 continue
             try:
-                pd.testing.assert_frame_equal(g, x)
+                # dtype-width tolerant, like the driver's value hash
+                # (int32 vs int64 normalizes; Decimal-vs-int still fails)
+                pd.testing.assert_frame_equal(g, x, check_dtype=False)
                 print(f"{name}: ok ({len(g)})")
             except AssertionError as err:
                 print(f"{name}: VALUES {str(err).splitlines()[0]}")
