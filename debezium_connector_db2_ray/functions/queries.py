@@ -3209,6 +3209,71 @@ def q_cohort_retention(sf_dir: str):
     )
 
 
+SQL_SRC_COUNTS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+           AS sum_value_e3
+FROM events GROUP BY event_type
+"""
+
+_SRC_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("user_id", pa.int64()),
+    ("event_type", pa.string()), ("value", pa.float64()),
+])
+
+
+def _src_counts(ds):
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "v": pc.cast(pc.round(pc.multiply(b["value"], 1000.0)),
+                         pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"n": ("v", "count_all"), "sum_value_e3": ("v", "sum")},
+        schema=pa.schema([("event_type", pa.string()), ("v", pa.int64())]),
+    )
+
+
+def q_csv_source(sf_dir: str):
+    """CSV source format: the events table round-tripped through a CSV
+    copy (fixture prep, one-time) and read back with Ray Data's
+    distributed read_csv under a PINNED Arrow schema, then the standard
+    combiner aggregate. The oracle reads the original parquet — equality
+    proves the CSV ingest is lossless (scaled-integer value sum)."""
+    from debezium_connector_db2_ray.sources.files import (
+        csv_copy_of_parquet,
+        read_csv_source,
+    )
+
+    path = csv_copy_of_parquet(
+        f"{sf_dir}/events.parquet", columns=list(_SRC_SCHEMA.names)
+    )
+    return _src_counts(read_csv_source(path, _SRC_SCHEMA))
+
+
+def q_jsonl_source(sf_dir: str):
+    """JSONL source format: same contract as q_csv_source via
+    read_json + per-batch schema conformance."""
+    from debezium_connector_db2_ray.sources.files import (
+        jsonl_copy_of_parquet,
+        read_jsonl_source,
+    )
+
+    path = jsonl_copy_of_parquet(
+        f"{sf_dir}/events.parquet", columns=list(_SRC_SCHEMA.names)
+    )
+    return _src_counts(read_jsonl_source(path, _SRC_SCHEMA))
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3283,6 +3348,8 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "docs_vocab_coverage": q_vocab_coverage,
     "corr_quantity_price": q_corr,
     "events_cohort_retention": q_cohort_retention,
+    "events_csv_source": q_csv_source,
+    "events_jsonl_source": q_jsonl_source,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3352,6 +3419,8 @@ DATA_ORACLES: dict[str, str] = {
     "docs_vocab_coverage": SQL_VOCAB_COVERAGE,
     "corr_quantity_price": SQL_CORR,
     "events_cohort_retention": SQL_COHORT,
+    "events_csv_source": SQL_SRC_COUNTS,
+    "events_jsonl_source": SQL_SRC_COUNTS,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead
