@@ -33,13 +33,14 @@ def csv_copy_of_parquet(parquet_path: str, columns: list[str]) -> str:
     """Materialize (once) a CSV copy of selected parquet columns."""
     out = _fixture_path(parquet_path, "csv")
     if not os.path.exists(out):
-        import pyarrow.csv as pacsv
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.dirname(out), exist_ok=True)
         t = pq.read_table(parquet_path, columns=columns)
         tmp = out + ".tmp"
-        pacsv.write_csv(t, tmp)
+        # pandas str()-formats floats (shortest round-trip) — pyarrow's
+        # csv writer truncates to ~16 significant digits and loses ulps
+        t.to_pandas().to_csv(tmp, index=False)
         os.replace(tmp, out)  # atomic: concurrent callers see whole files
     return out
 
@@ -48,12 +49,18 @@ def jsonl_copy_of_parquet(parquet_path: str, columns: list[str]) -> str:
     """Materialize (once) a JSON-lines copy of selected parquet columns."""
     out = _fixture_path(parquet_path, "jsonl")
     if not os.path.exists(out):
+        import json
+
         import pyarrow.parquet as pq
 
         os.makedirs(os.path.dirname(out), exist_ok=True)
         t = pq.read_table(parquet_path, columns=columns)
         tmp = out + ".tmp"
-        t.to_pandas().to_json(tmp, orient="records", lines=True)
+        # json.dumps uses repr floats (shortest round-trip); pandas
+        # to_json caps double_precision at 15 digits and loses ulps
+        with open(tmp, "w") as f:
+            for rec in t.to_pylist():
+                f.write(json.dumps(rec) + "\n")
         os.replace(tmp, out)
     return out
 
