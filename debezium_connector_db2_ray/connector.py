@@ -46,6 +46,14 @@ class CdcConnector:
     #: stream so every state generation shares the projected schema. Key
     #: columns and changelog metadata cannot be excluded.
     column_exclude: dict[str, tuple[str, ...]] = field(default_factory=dict)
+    #: per-table snapshot row predicate — the reference's
+    #: ``snapshot.select.statement.overrides`` (inherited from
+    #: RelationalDatabaseConnectorConfig; applied by
+    #: RelationalSnapshotChangeEventSource#determineSnapshotSelect). A
+    #: batch -> batch FILTER applied to the table's lake at snapshot time
+    #: and to signal-driven snapshot chunks — never to the stream, exactly
+    #: like the reference (overrides shape the initial SELECT only).
+    snapshot_override: dict[str, "object"] = field(default_factory=dict)
     routing_col: str = "src_table"
     _engines: dict[str, CdcEngine] = field(default_factory=dict, repr=False)
 
@@ -128,6 +136,11 @@ class CdcConnector:
         for table, lake in lakes.items():
             if not self.captures(table):
                 continue
+            ov = self.snapshot_override.get(table)
+            if ov is not None:
+                # snapshot.select.statement.overrides: narrows the initial
+                # snapshot SELECT; the stream stays unfiltered
+                lake = lake.map_batches(ov, batch_format="pyarrow")
             proj = self._projector(table)
             if proj is not None:
                 lake = lake.map_batches(proj, batch_format="pyarrow")
@@ -225,6 +238,13 @@ class CdcConnector:
             if lk is None:
                 continue
             source = lk if callable(lk) else (lambda lk=lk: lk)
+            ov = self.snapshot_override.get(t)
+            if ov is not None:
+                # signal-driven snapshot chunks honor the same snapshot
+                # SELECT override as the initial snapshot
+                raw0 = source
+                source = (lambda raw0=raw0, ov=ov: raw0().map_batches(
+                    ov, batch_format="pyarrow"))
             proj = self._projector(t)
             if proj is not None:
                 # signal-driven snapshot chunks must see the SAME projected

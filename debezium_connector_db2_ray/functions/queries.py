@@ -2830,6 +2830,7 @@ def q_tpch_q5(sf_dir: str):
     order_ = np.argsort(sk)
     sup_ref = ray.put((sk[order_], sn[order_]))
     asia_keys = np.array(sorted(nation_name), np.int64)
+    asia_names = np.array([nation_name[k] for k in asia_keys], object)
 
     def cust_prep(b: pa.Table) -> pa.Table:
         nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
@@ -2888,9 +2889,10 @@ def q_tpch_q5(sf_dir: str):
         keep = pa.array(s_nat == cn)
         kept = b.filter(keep)
         nats = kept["c_nationkey"].to_numpy(zero_copy_only=False)
-        names = pa.array(
-            [nation_name[int(x)] for x in nats], pa.string()
-        )
+        # vectorized nation-name lookup: searchsorted into the (tiny)
+        # sorted ASIA key array — no per-row dict probes
+        pos = np.searchsorted(asia_keys, nats)
+        names = pa.array(asia_names[pos], pa.string())
         return pa.table({
             "n_name": names, "rev_e4": kept["rev_e4"],
         })
@@ -3274,6 +3276,113 @@ def q_jsonl_source(sf_dir: str):
     return _src_counts(read_jsonl_source(path, _SRC_SCHEMA))
 
 
+SQL_CURATION = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS n_tokens,
+         0.5 * LEAST(1.0, len(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) / 100.0)
+         + 0.5 * (1.0 - length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                        / GREATEST(length(text), 1)) AS quality
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(
+             regexp_replace(lower(coalesce(text, '')),
+                            '[^a-z0-9 \t\n\r]', ' ', 'g'),
+             '[ \t\n\r]+', ' ', 'g')) AS norm_text
+  FROM scored
+  WHERE n_tokens >= {QF_MIN_TOKENS} AND quality >= {QF_QUALITY}
+), dedup AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY norm_text
+), surv AS (
+  SELECT k.doc_id, k.lang FROM kept k JOIN dedup USING (doc_id)
+), s1 AS (
+  SELECT doc_id, lang,
+         CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z0
+  FROM surv
+), s2 AS (
+  SELECT doc_id, lang,
+         CAST((CAST(xor(z0, z0 >> 33) AS HUGEINT) * 2246822507)
+              % 18446744073709551616 AS UBIGINT) AS z1
+  FROM s1
+), s3 AS (
+  SELECT doc_id, lang,
+         CAST((CAST(xor(z1, z1 >> 29) AS HUGEINT) * 3266489909)
+              % 18446744073709551616 AS UBIGINT) AS z2
+  FROM s2
+)
+SELECT doc_id, lang FROM s3
+WHERE CAST(xor(z2, z2 >> 32) >> 56 AS BIGINT)
+      < CASE lang WHEN 'en' THEN 128 WHEN 'fr' THEN 64
+                  WHEN 'zh' THEN 0 ELSE 256 END
+"""
+
+
+def q_curation_pipeline(sf_dir: str):
+    """The end-to-end corpus-curation flagship, composed entirely from
+    existing stages: quality prune (map-side score+filter) -> text
+    normalization (map) -> exact dedup keep-min-doc_id on the normalized
+    text (ONE string-keyed exchange via top_n_per_group n=1) ->
+    deterministic per-language stratified sampling (map-side mix64, no
+    exchange). Two map stages + one exchange end to end; every rule is
+    the same arithmetic its standalone oracle uses, so the composed SQL
+    reproduces the pipeline exactly."""
+    import re
+
+    from debezium_connector_db2_ray.functions.relational import (
+        stratified_sample,
+        top_n_per_group,
+    )
+    from debezium_connector_db2_ray.functions.text import (
+        PUNCT_PATTERN,
+        TOKEN_PATTERN,
+    )
+
+    nonalnum = re.compile(r"[^a-z0-9 \t\n\r]")
+    ws = re.compile(r"[ \t\n\r]+")
+
+    def keep_and_norm(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n_tokens = s.str.count(TOKEN_PATTERN).to_numpy(np.int64)
+        n_chars = s.str.len().to_numpy(np.float64)
+        n_punct = s.str.count(PUNCT_PATTERN).to_numpy(np.float64)
+        quality = 0.5 * np.minimum(1.0, n_tokens / 100.0) + 0.5 * (
+            1.0 - n_punct / np.maximum(n_chars, 1.0)
+        )
+        mask = (n_tokens >= QF_MIN_TOKENS) & (quality >= QF_QUALITY)
+        norm = (
+            s[mask].str.lower()
+            .str.replace(nonalnum, " ", regex=True)
+            .str.replace(ws, " ", regex=True)
+            .str.strip()
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(pa.array(mask)),
+            "lang": batch["lang"].filter(pa.array(mask)),
+            "norm_text": pa.array(norm.to_numpy(), pa.string()),
+        })
+
+    kept = _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+        keep_and_norm, batch_format="pyarrow"
+    )
+    surv = top_n_per_group(
+        kept, keys=["norm_text"], order_by=[("doc_id", "ascending")], n=1,
+        schema=pa.schema([
+            ("doc_id", pa.int64()), ("lang", pa.string()),
+            ("norm_text", pa.string()),
+        ]),
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang"]), batch_format="pyarrow"
+    )
+    return stratified_sample(
+        surv, stratum_col="lang", id_col="doc_id", rates=SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+    )
+
+
 DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -3350,6 +3459,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "events_cohort_retention": q_cohort_retention,
     "events_csv_source": q_csv_source,
     "events_jsonl_source": q_jsonl_source,
+    "docs_curation_pipeline": q_curation_pipeline,
 }
 
 DATA_ORACLES: dict[str, str] = {
@@ -3421,6 +3531,7 @@ DATA_ORACLES: dict[str, str] = {
     "events_cohort_retention": SQL_COHORT,
     "events_csv_source": SQL_SRC_COUNTS,
     "events_jsonl_source": SQL_SRC_COUNTS,
+    "docs_curation_pipeline": SQL_CURATION,
     # dedup_simhash / ann_lsh / ann_ivf / ann_ivf_indexed /
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead

@@ -1,7 +1,8 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry that has an oracle_sql() twin at a given sf dir, compare sorted
 columns + rows + values (pandas exact compare, same spirit as the
-driver's value hash). Usage: python scripts/gate_sweep.py [sf_dir]."""
+driver's value hash).
+Usage: python scripts/gate_sweep.py [sf_dir] [query_name ...]"""
 
 import sys
 
@@ -33,9 +34,10 @@ def main() -> None:
             f"FROM read_parquet('{sf}/{t}.parquet')"
         )
     Q, O = e.queries(), e.oracle_sql()
+    only = set(sys.argv[2:])
     bad = 0
     for name, fn in Q.items():
-        if name not in O:
+        if name not in O or (only and name not in only):
             continue
         try:
             got = fn(sf)

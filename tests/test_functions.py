@@ -1540,6 +1540,50 @@ def test_vocab_coverage_empty_doc_and_oov(ray_session):
     assert out.loc[2, "coverage"] == 0.5
 
 
+def test_curation_pipeline_vs_duckdb_composition(ray_session, tmp_path):
+    """The composed curation pipeline equals its composed SQL oracle on a
+    crafted corpus with low-quality, duplicate and multi-lang docs."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        SQL_CURATION,
+        q_curation_pipeline,
+    )
+
+    long_ok = "Good clean text " * 20          # passes quality floor
+    dup_a = "Repeated! Body " * 20             # normalizes same as dup_b
+    dup_b = "repeated  body " * 20
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+        "text": [long_ok, dup_a, dup_b, "#@!$%", long_ok + "tail", None],
+        "lang": ["en", "de", "de", "en", "de", "fr"],
+        "source": ["s"] * 6,
+        "n_chars": pa.array([len(x or "") for x in
+                             [long_ok, dup_a, dup_b, "#@!$%",
+                              long_ok + "tail", None]], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = (
+        q_curation_pipeline(str(tmp_path))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = (
+        con.execute(SQL_CURATION).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    # the de duplicate pair collapsed to the min doc_id before sampling
+    assert 3 not in got["doc_id"].tolist()
+
+
 def test_unpivot_types_and_fanout(ray_session):
     import pyarrow as pa
     import ray.data as rd
