@@ -230,6 +230,7 @@ def run_gate_queries(timings: dict) -> None:
         ("tpch_q5_local_revenue", DATA_QUERIES),
         ("tpch_q13_custdist", DATA_QUERIES),
         ("user_top_event_type", DATA_QUERIES),
+        ("docs_curation_pipeline", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()
