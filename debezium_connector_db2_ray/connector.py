@@ -223,6 +223,7 @@ class CdcConnector:
         for sig in pending_signals(self.root_dir):
             data = dict(sig.data or {})
             targets = data.pop("data-collections", None) or tables
+            conds = data.get("additional-conditions")
             for t in targets:
                 # forward to ANY captured table's durable channel — even one
                 # with no events/lake this run; its channel holds the signal
@@ -230,7 +231,19 @@ class CdcConnector:
                 # are dropped (matching the table-filter chain), so acking
                 # the root signal below never loses a valid request.
                 if self.captures(t):
-                    send_signal(os.path.join(self.root_dir, t), sig.type, data)
+                    fwd = data
+                    if conds is not None:
+                        # route each additional-condition to its
+                        # data-collection (an entry with no collection
+                        # applies everywhere) — the reference ships the
+                        # whole list and matches per chunk query; we subset
+                        # at forward time so each channel sees only its own
+                        fwd = dict(data)
+                        fwd["additional-conditions"] = [
+                            c for c in conds
+                            if c.get("data-collection") in (None, t)
+                        ]
+                    send_signal(os.path.join(self.root_dir, t), sig.type, fwd)
             mark_processed(self.root_dir, sig.id)
         out = {}
         for t in tables:
@@ -238,13 +251,11 @@ class CdcConnector:
             if lk is None:
                 continue
             source = lk if callable(lk) else (lambda lk=lk: lk)
-            ov = self.snapshot_override.get(t)
-            if ov is not None:
-                # signal-driven snapshot chunks honor the same snapshot
-                # SELECT override as the initial snapshot
-                raw0 = source
-                source = (lambda raw0=raw0, ov=ov: raw0().map_batches(
-                    ov, batch_format="pyarrow"))
+            # snapshot.select.statement.overrides shapes ONLY the initial
+            # snapshot SELECT (RelationalSnapshotChangeEventSource
+            # #determineSnapshotSelect); upstream incremental-snapshot
+            # chunks are narrowed via the signal's additional-conditions
+            # instead — handled inside drain_signals per signal payload.
             proj = self._projector(t)
             if proj is not None:
                 # signal-driven snapshot chunks must see the SAME projected

@@ -351,11 +351,58 @@ SELECT doc_id, md5(text) AS fingerprint FROM documents
 
 
 def q_fingerprint(sf_dir: str):
+    """md5 variant — the one fingerprint a SQL oracle can mirror exactly."""
+    import functools
+
     from debezium_connector_db2_ray.functions.text import fingerprint_batch
 
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        functools.partial(fingerprint_batch, algo="md5"),
+        batch_format="pyarrow",
+    )
+
+
+# the default (vectorized xxhash64) fingerprint has no SQL twin, but its
+# DEFINING property does: a collision-free fingerprint has exactly one
+# distinct value per distinct text. The oracle checks that invariant.
+SQL_FINGERPRINT_XX = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_distinct_fp
+FROM documents
+"""
+
+
+def q_fingerprint_xx(sf_dir: str):
+    """Vectorized xxhash64 provenance fingerprint (the at-scale default),
+    checked via the distinct-count invariant: #distinct fingerprints ==
+    #distinct texts (64-bit hash, collision-free on the fixture)."""
+    from debezium_connector_db2_ray.functions.text import fingerprint_batch
+
+    fp = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         fingerprint_batch, batch_format="pyarrow"
     )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["fingerprint"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        u = pc.unique(col)
+        return pa.table({
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "u": pa.array([u], pa.list_(pa.uint64())),
+        })
+
+    # per-batch distinct combiner, then a driver-side fold of the tiny
+    # per-batch distinct sets (bounded by corpus distinct count)
+    rows = fp.map_batches(partial, batch_format="pyarrow").take_all()
+    n_docs = int(sum(r["n_docs"] for r in rows))
+    uniq = np.unique(np.concatenate(
+        [np.asarray(r["u"], np.uint64) for r in rows]
+    )) if rows else np.array([], np.uint64)
+    return pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_distinct_fp": pa.array([int(uniq.size)], pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -956,44 +1003,30 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)""",
 
 def q_dedup_apply(sf_dir: str):
     """The KEEP/DROP application closing the near-dup loop: every doc whose
-    component canonical is another doc is dropped; the corpus streams
-    through one broadcast-filter pass. The drop set is the DUPLICATES (the
-    LSH pipeline's verified output minus canonicals) — orders of magnitude
-    smaller than the corpus, so ray.put broadcast is the legal small-side
-    pattern here, unlike the round-1 corpus-text broadcast this engine
-    removed."""
-    import ray
-
-    from debezium_connector_db2_ray.functions.dedup import minhash_duplicate_pairs
+    component canonical is another doc is dropped. Routing lives in
+    dedup_apply: drop keys are per-batch-distinct-combined, materialized in
+    the object store, and either broadcast as a sorted int64 array
+    (searchsorted membership, zero shuffle) or — on high-duplication
+    corpora where the drop set exceeds the broadcast budget — anti-joined
+    through one hash exchange. The driver never holds a Python drop set."""
+    from debezium_connector_db2_ray.functions.dedup import (
+        dedup_apply,
+        minhash_duplicate_pairs,
+    )
     from debezium_connector_db2_ray.functions.relational import (
         duplicate_components,
     )
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
-    # the DROP SET (non-canonical members of components) is the tiny side;
-    # collecting it for a ray.put broadcast is the legal small-side pattern
-    drops_tbl = comp.map_batches(
-        lambda t: t.filter(pc.not_equal(t["doc_id"], t["canonical_id"])),
+    drops = comp.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["doc_id"], t["canonical_id"])
+        ).select(["doc_id"]),
         batch_format="pyarrow",
-    ).take_all()
-    drop_ref = ray.put({r["doc_id"] for r in drops_tbl})
-
-    def keep(batch: pa.Table) -> pa.Table:
-        drops = ray.get(drop_ref)
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = np.array([i not in drops for i in ids]) if drops else np.ones(
-            len(ids), bool
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].filter(pa.array(mask)),
-                "lang": batch["lang"].filter(pa.array(mask)),
-            }
-        )
-
-    return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
-        keep, batch_format="pyarrow"
+    )
+    return dedup_apply(
+        _docs(sf_dir, columns=["doc_id", "lang"]), drops, on="doc_id"
     )
 
 
@@ -2787,18 +2820,21 @@ GROUP BY n.n_name
 """
 
 
-def q_tpch_q5(sf_dir: str):
+def q_tpch_q5(sf_dir: str, *, supplier_broadcast_bytes: int = 256 << 20):
     """TPC-H Q5 shape (local-supplier revenue by nation): the multi-join
-    flagship. nation ⋈ region and the supplier nation map are tiny ->
-    broadcast once (ray.put) and applied MAP-SIDE, which also pushes the
-    region predicate below both big joins (only ASIA customers/suppliers
-    survive the scan); the two big joins (orders ⋈ customer on custkey,
-    lineitem ⋈ that on orderkey) are repartition_joins — one exchange per
-    side each. Money math in scaled int64 (same rule as SQL_PRICING) so
-    the group sums are order-independent and bit-exact cross-engine.
-    Partitioning assumption: supplier's (suppkey -> nationkey) map fits a
-    broadcast (TPC-H supplier is 1e-4 of lineitem; at 100 TB swap for a
-    third repartition_join without changing the algebra)."""
+    flagship. nation ⋈ region is tiny -> broadcast once (ray.put) and
+    applied MAP-SIDE, which also pushes the region predicate below both
+    big joins (only ASIA customers/suppliers survive the scan); the two
+    big joins (orders ⋈ customer on custkey, lineitem ⋈ that on orderkey)
+    are repartition_joins — one exchange per side each. Money math in
+    scaled int64 (same rule as SQL_PRICING) so the group sums are
+    order-independent and bit-exact cross-engine.
+
+    The supplier (suppkey -> nationkey) side AUTO-ROUTES on measured
+    bytes (parquet column metadata, read before any row): within
+    ``supplier_broadcast_bytes`` it broadcasts (TPC-H supplier is 1e-4 of
+    lineitem); beyond the budget it becomes a third repartition_join with
+    identical algebra — no caller retuning at 100 TB."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
     import ray
@@ -2822,13 +2858,24 @@ def q_tpch_q5(sf_dir: str):
             nat["n_regionkey"].to_pylist(),
         ) if rk in asia
     }
-    sup = pq.read_table(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    sup_path = f"{sf_dir}/supplier.parquet"
+    md = pq.ParquetFile(sup_path).metadata
+    sup_bytes = sum(
+        md.row_group(i).column(j).total_compressed_size
+        for i in range(md.num_row_groups)
+        for j in range(md.num_columns)
+        if md.row_group(i).column(j).path_in_schema
+        in ("s_suppkey", "s_nationkey")
     )
-    sk = np.asarray(sup["s_suppkey"].to_pylist(), np.int64)
-    sn = np.asarray(sup["s_nationkey"].to_pylist(), np.int64)
-    order_ = np.argsort(sk)
-    sup_ref = ray.put((sk[order_], sn[order_]))
+    sup_broadcast = sup_bytes <= supplier_broadcast_bytes
+    if sup_broadcast:
+        sup = pq.read_table(
+            sup_path, columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = np.asarray(sup["s_suppkey"].to_pylist(), np.int64)
+        sn = np.asarray(sup["s_nationkey"].to_pylist(), np.int64)
+        order_ = np.argsort(sk)
+        sup_ref = ray.put((sk[order_], sn[order_]))
     asia_keys = np.array(sorted(nation_name), np.int64)
     asia_names = np.array([nation_name[k] for k in asia_keys], object)
 
@@ -2880,14 +2927,7 @@ def q_tpch_q5(sf_dir: str):
         on="orderkey", how="inner",
     )
 
-    def local_supplier(b: pa.Table) -> pa.Table:
-        ks, ns = ray.get(sup_ref)
-        supp = b["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.minimum(np.searchsorted(ks, supp), ks.size - 1)
-        s_nat = np.where(ks[pos] == supp, ns[pos], -1)
-        cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
-        keep = pa.array(s_nat == cn)
-        kept = b.filter(keep)
+    def name_nations(kept: pa.Table) -> pa.Table:
         nats = kept["c_nationkey"].to_numpy(zero_copy_only=False)
         # vectorized nation-name lookup: searchsorted into the (tiny)
         # sorted ASIA key array — no per-row dict probes
@@ -2897,7 +2937,36 @@ def q_tpch_q5(sf_dir: str):
             "n_name": names, "rev_e4": kept["rev_e4"],
         })
 
-    matched = j2.map_batches(local_supplier, batch_format="pyarrow")
+    if sup_broadcast:
+        def local_supplier(b: pa.Table) -> pa.Table:
+            ks, ns = ray.get(sup_ref)
+            supp = b["l_suppkey"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            pos = np.minimum(np.searchsorted(ks, supp), ks.size - 1)
+            s_nat = np.where(ks[pos] == supp, ns[pos], -1)
+            cn = b["c_nationkey"].to_numpy(zero_copy_only=False)
+            return name_nations(b.filter(pa.array(s_nat == cn)))
+
+        matched = j2.map_batches(local_supplier, batch_format="pyarrow")
+    else:
+        # over-budget supplier side: same algebra through a third
+        # repartition_join (one exchange per side), then the local-supplier
+        # predicate s_nationkey == c_nationkey map-side
+        sup_ds = rd.read_parquet(
+            sup_path, columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(
+            lambda b: b.rename_columns(["l_suppkey", "s_nationkey"]),
+            batch_format="pyarrow",
+        )
+        j3 = repartition_join(j2, sup_ds, on="l_suppkey", how="inner")
+        matched = j3.map_batches(
+            lambda b: name_nations(b.filter(pc.equal(
+                b["s_nationkey"].cast(pa.int64()),
+                b["c_nationkey"].cast(pa.int64()),
+            ))),
+            batch_format="pyarrow",
+        )
     return grouped_aggregate(
         matched, keys=["n_name"], aggs={"revenue_e4": ("rev_e4", "sum")},
         schema=pa.schema([("n_name", pa.string()), ("rev_e4", pa.int64())]),
@@ -3392,6 +3461,7 @@ DATA_QUERIES: dict[str, Callable[[str], Any]] = {
     "text_quality": q_quality,
     "text_langid": q_langid,
     "doc_fingerprint": q_fingerprint,
+    "doc_fingerprint_xx": q_fingerprint_xx,
     "ann_bruteforce": q_ann_bruteforce,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -3469,6 +3539,7 @@ DATA_ORACLES: dict[str, str] = {
     "text_quality": SQL_QUALITY,
     "text_langid": SQL_LANGID,
     "doc_fingerprint": SQL_FINGERPRINT,
+    "doc_fingerprint_xx": SQL_FINGERPRINT_XX,
     "ann_bruteforce": SQL_ANN,
     "emb_near_dup_exact": SQL_EMB_NEAR_DUP,
     "mm_media_meta": SQL_MEDIA_META,

@@ -993,6 +993,10 @@ def _segment_starts(t: pa.Table, keys: list[str]) -> np.ndarray:
     -0.0 == 0.0). Shared by every partition-local windowed kernel
     (grouped_percentiles / top_n_per_group / grouped_lag_delta)."""
     n = t.num_rows
+    if n == 0:
+        # a whitespace-only/NULL-text batch can legitimately produce a
+        # 0-row per-doc table; every caller handles an empty starts array
+        return np.zeros(0, np.int64)
     seg = np.zeros(n, bool)
     seg[0] = True
     for k in keys:
@@ -1569,7 +1573,8 @@ def topk_terms(ds, *, text_col: str = "text", k: int = 20):
             col = col.combine_chunks()
         s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
         toks = (
-            s.str.to_lowercase().str.extract_all(TOKEN_PATTERN).explode().drop_nulls()
+            s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+            .explode(empty_as_null=True).drop_nulls()
         )
         vc = toks.value_counts()
         cols = vc.columns  # [token_col, 'count']
@@ -1651,6 +1656,13 @@ class _BroadcastProbe:
             return out
         # left_outer: keep every left row, null-fill the misses
         out = batch
+        if self.keys.size == 0:
+            # empty dim table: taking index 0 would be out of bounds
+            for c, outname in self.rename.items():
+                out = out.append_column(
+                    outname, pa.nulls(batch.num_rows, self.r_types[c])
+                )
+            return out
         take = pa.array(idx)
         hit_arr = pa.array(hit)
         for c, outname in self.rename.items():
@@ -1691,8 +1703,13 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
         ray.get(refs[0])
     ] if refs else []
     rt = pa.concat_tables(parts) if parts else None
-    if rt is None or rt.num_rows == 0:
-        rt = pa.table({})  # handled below via empty schema path
+    if rt is None:
+        # zero-block right side: keep the TYPED empty table so the probe
+        # index still knows the join column and output types
+        rschema = right.schema()
+        if hasattr(rschema, "base_schema"):
+            rschema = rschema.base_schema
+        rt = rschema.empty_table()
     if rt.num_rows > max_right_rows:
         raise ValueError(
             f"broadcast_join: right side has {rt.num_rows} rows "
@@ -1702,6 +1719,10 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
         rt = rt.rename_columns(
             [on if c == ron else c for c in rt.column_names]
         )
+    # SQL equi-join semantics: a NULL join key never matches anything, so a
+    # NULL-key dimension row must not enter the probe index (it would
+    # otherwise alias key 0 through the fill_null cast below)
+    rt = rt.filter(pc.is_valid(rt[on]))
     lschema = left.schema()
     if hasattr(lschema, "base_schema"):
         lschema = lschema.base_schema

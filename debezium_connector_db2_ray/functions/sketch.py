@@ -58,7 +58,18 @@ def _hash_u64(col) -> np.ndarray:
 
 def hll_register_rows(col, b: int) -> pa.Table:
     """Per-batch HLL partial: sparse (register, max rank) rows — at most
-    2^b rows regardless of batch size."""
+    2^b rows regardless of batch size. NULLs are dropped first so the
+    sketch approximates SQL COUNT(DISTINCT col), which excludes NULLs
+    (hashing a filled NULL would conflate it with a genuine 0)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.drop_null()
+    empty = pa.table({
+        "reg": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    })
+    if len(col) == 0:
+        return empty
     h = _hash_u64(col)
     m_bits = np.uint64(64 - b)
     reg = (h >> m_bits).astype(np.int64)

@@ -117,14 +117,35 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic document fingerprint (md5 of utf-8 text) — the exact-dedup
-    / provenance key."""
-    texts = batch["text"].to_pylist()
-    fp = pa.array(
-        [hashlib.md5((t or "").encode()).hexdigest() for t in texts], pa.string()
-    )
-    return pa.table({"doc_id": batch["doc_id"], "fingerprint": fp})
+def fingerprint_batch(batch: pa.Table, *, algo: str = "xxhash64") -> pa.Table:
+    """Deterministic document fingerprint — the exact-dedup / provenance key.
+
+    Default ``xxhash64``: one vectorized polars hash pass per batch
+    (``fingerprint: uint64``) — ~10x cheaper than per-doc hashlib and the
+    recommended provenance key at corpus scale. ``md5`` stays as the compat
+    option (``fingerprint: string`` hex) for pipelines where the md5 value
+    itself is contractual (it is the only variant a SQL oracle can mirror:
+    DuckDB has md5(), not xxhash)."""
+    if algo == "md5":
+        texts = batch["text"].to_pylist()
+        fp = pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest() for t in texts],
+            pa.string(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "fingerprint": fp})
+    if algo != "xxhash64":
+        raise ValueError(f"fingerprint_batch: unknown algo {algo!r}")
+    import polars as pl
+
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+    h = s.hash(seed=0).to_numpy().astype(np.uint64)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "fingerprint": pa.array(h, pa.uint64()),
+    })
 
 
 def rolling_hash_batch(batch: pa.Table, *, window: int = 16) -> pa.Table:
@@ -187,7 +208,7 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     def df_partial(batch: pa.Table) -> pa.Table:
         toks = _tok(batch[text_col])
-        uniq = toks.list.unique().explode().drop_nulls()
+        uniq = toks.list.unique().explode(empty_as_null=True).drop_nulls()
         vc = uniq.value_counts()
         cols = vc.columns  # [term, 'count']
         return pa.table({
@@ -215,7 +236,7 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
         flat = pl.DataFrame({
             "i": pl.Series(np.arange(batch.num_rows, dtype=np.int64)),
             "t": toks,
-        }).explode("t").drop_nulls()
+        }).explode("t", empty_as_null=True).drop_nulls()
         tf = flat.group_by(["i", "t"]).len()
         i = tf["i"].to_numpy().astype(np.int64)
         terms = tf["t"].to_numpy()
@@ -239,6 +260,10 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
             (id_col, "ascending"), ("__neg", "ascending"),
             ("term", "ascending"),
         ])
+        if t.num_rows == 0:
+            # whole batch tokenized to zero tokens (whitespace/NULL text):
+            # emit the typed empty table so the output schema stays pinned
+            return t.drop_columns(["__neg"])
         starts = _segment_starts(t, [id_col])
         sizes = np.diff(np.append(starts, t.num_rows))
         rank = (np.arange(t.num_rows, dtype=np.int64)
@@ -282,7 +307,7 @@ def chunk_documents_batch(window: int, stride: int,
             .with_columns(
                 pl.int_ranges(0, pl.col("__nc")).alias("chunk_idx")
             )
-            .explode("chunk_idx")
+            .explode("chunk_idx", empty_as_null=True)
             .with_columns(
                 pl.col("__tk").list.slice(
                     pl.col("chunk_idx") * stride, window

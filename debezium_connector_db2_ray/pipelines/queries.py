@@ -342,6 +342,79 @@ def q_classify_ops(sf_dir: str):
     return _events(sf_dir).map_batches(classify_batch, batch_format="pyarrow")
 
 
+def q_classify_multifile(sf_dir: str):
+    """S2 classification over a MULTI-FILE changelog directory: the
+    overlapped cross-file row-group scan (stages/decode.py
+    classify_parquet_stream) — zero shuffle; each task peeks one row group
+    each side and the peek CROSSES file boundaries. The fixture plants an
+    update pair (D ends shard i, its I opens shard i+1) on every shard
+    boundary, so any regression in cross-file adjacency turns ops 3/4 into
+    1/2 and the hash goes red. Oracle: same SQL as cdc_classify_ops —
+    classification must not depend on the file layout (the reference's CD
+    scan is one ordered cursor, platform/LuwPlatform.java:29-39)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from debezium_connector_db2_ray.stages.decode import (
+        classify_parquet_stream,
+        sort_by_position,
+    )
+
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fix_dir = (
+        f"/tmp/db2ray_clmf/{tag}_{st.st_size}_{int(st.st_mtime)}"
+    )
+    done = os.path.join(fix_dir, "_DONE")
+    if not os.path.exists(done):
+        # fixture build (driver-side, gate scale): derive the raw stream,
+        # position-sort, split into shards CUT BETWEEN the D and I of
+        # update pairs so every boundary straddles a commit
+        ev = _pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "props", "ts"],
+        )
+        raw = sort_by_position(derive_raw_stream(ev))
+        op_raw = np.asarray(
+            raw["op_raw"].to_numpy(zero_copy_only=False), dtype="U1"
+        )
+        clo = raw["commit_lsn_lo"].to_numpy(zero_copy_only=False)
+        n = raw.num_rows
+        pair_cut = np.flatnonzero(
+            (op_raw[:-1] == "D") & (op_raw[1:] == "I")
+            & (clo[:-1] == clo[1:])
+        ) + 1
+        n_shards = 6
+        want = np.linspace(0, n, n_shards + 1)[1:-1]
+        cuts = sorted({0, n, *(
+            int(pair_cut[np.argmin(np.abs(pair_cut - w))])
+            for w in want
+        )}) if pair_cut.size else [0, n]
+        os.makedirs(fix_dir, exist_ok=True)
+        for si, (a, b) in enumerate(zip(cuts, cuts[1:])):
+            _pq.write_table(
+                raw.slice(a, b - a),
+                os.path.join(fix_dir, f"shard_{si:04d}.parquet"),
+                row_group_size=4096,
+            )
+        with open(done, "w") as f:
+            f.write(str(cuts))
+
+    out = classify_parquet_stream(fix_dir, groups_per_task=2)
+    return out.map_batches(
+        lambda t: pa.table({
+            "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+            "intent": t["intent_lsn_lo"].cast(pa.int32()),
+            "op": t["op"].cast(pa.int32()),
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "text": t["text"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
 SQL_MAX_LSN = """
 SELECT max(event_id) AS max_commit_lsn, count(*) AS n_events FROM events
 """
@@ -997,6 +1070,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_snapshot_then_stream": q_snapshot_then_stream,
     "cdc_update_pairs": q_update_pairs,
     "cdc_classify_ops": q_classify_ops,
+    "cdc_classify_multifile": q_classify_multifile,
     "cdc_max_lsn": q_max_lsn,
     "cdc_window_bounds": q_window_bounds,
     "cdc_lineage_counts": q_lineage_counts,
@@ -1020,6 +1094,7 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_snapshot_then_stream": SQL_FINAL_STATE,
     "cdc_update_pairs": SQL_UPDATE_PAIRS,
     "cdc_classify_ops": SQL_CLASSIFY,
+    "cdc_classify_multifile": SQL_CLASSIFY,
     "cdc_max_lsn": SQL_MAX_LSN,
     "cdc_window_bounds": SQL_WINDOW_BOUNDS,
     "cdc_lineage_counts": SQL_LINEAGE,

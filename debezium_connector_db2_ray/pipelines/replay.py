@@ -564,6 +564,36 @@ class CdcEngine:
             out.append(m)
         return out
 
+    @staticmethod
+    def _conditions_filter(conds):
+        """Compile a signal's ``additional-conditions`` into a vectorized
+        batch filter. Upstream (AbstractIncrementalSnapshotChangeEventSource)
+        appends the signal's condition text to every chunk SELECT; this
+        engine has no SQL parser, so a condition is a structured triple
+        ``{"column": c, "op": one of == != < <= > >=, "value": v}`` compiled
+        to a pyarrow.compute kernel. NULLs never satisfy a condition (SQL
+        WHERE semantics)."""
+        ops = {
+            "==": pc.equal, "!=": pc.not_equal,
+            "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+        }
+        triples = [
+            (c["column"], ops[c.get("op", "==")], c["value"]) for c in conds
+        ]
+
+        def flt(batch: pa.Table) -> pa.Table:
+            mask = None
+            for col, op, val in triples:
+                m = op(batch[col],
+                       pa.scalar(val, batch.schema.field(col).type))
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                return batch
+            return batch.filter(pc.fill_null(mask, False))
+
+        return flt
+
     def drain_signals(self, lake_source) -> list[WindowManifest]:
         """Process every pending signal — the reference's SignalProcessor
         poll between streaming iterations (Db2ConnectorTask.java:142-161).
@@ -587,15 +617,30 @@ class CdcEngine:
                 mode = (sig.data or {}).get("type", "INCREMENTAL").upper()
                 wm = committed_watermark(self.out_dir)
                 fence = wm if wm is not None else Lsn(0, 0)
+                conds = [
+                    c.get("filter", c)
+                    for c in (sig.data or {}).get(
+                        "additional-conditions", []
+                    )
+                ]
+                src = lake_source
+                if conds:
+                    # the signal's additional-conditions narrow THIS
+                    # snapshot's chunk reads only — the upstream mechanism
+                    # for filtered incremental snapshots (snapshot SELECT
+                    # overrides never apply here)
+                    flt = self._conditions_filter(conds)
+                    src = (lambda base=lake_source, flt=flt:
+                           base().map_batches(flt, batch_format="pyarrow"))
                 if mode == "BLOCKING":
                     # stop-the-stream re-snapshot; streaming resumes at the
                     # same watermark after (BlockingSnapshotIT.java:132-138)
-                    out.append(self.snapshot(lake_source(), fence, replace=True))
+                    out.append(self.snapshot(src(), fence, replace=True))
                 else:
                     n = int((sig.data or {}).get("chunks", 4))
                     out.extend(
                         self.incremental_snapshot(
-                            lake_source(), fence, n_chunks=n, tag=sig.id
+                            src(), fence, n_chunks=n, tag=sig.id
                         )
                     )
             elif sig.type == "log":

@@ -97,56 +97,99 @@ def classify_ops(sorted_table: pa.Table, raw_col: str = "op_raw") -> pa.Table:
     return sorted_table.set_column(i, "op", pa.array(op, pa.int8()))
 
 
-def classify_parquet_stream(path: str, *, groups_per_task: int = 4,
+def classify_parquet_stream(path, *, groups_per_task: int = 4,
                             raw_col: str = "op_raw"):
-    """Zero-shuffle opcode classification of a FILE-resident raw D/I stream
-    whose multi-row commits may straddle row-group boundaries — the general
-    scale path replacing the round-1 hash(commit_lsn) all-to-all.
+    """Zero-shuffle opcode classification of a file-resident raw D/I stream
+    whose multi-row commits may straddle row-group — or FILE — boundaries;
+    the general scale path replacing the round-1 hash(commit_lsn)
+    all-to-all.
 
-    Overlapped scan: the file's row groups are split into contiguous task
-    ranges driver-side; each task reads its groups PLUS one peek row group
-    on each side, classifies with full adjacency, and emits exactly its own
-    rows. Classification of a row depends only on its immediate neighbors
-    (a D directly followed by a same-commit I is an update pair), so one
-    peek row on each side already gives every owned row its true context —
-    the peek group is more than enough and commits of any size are safe.
-    Deterministic, no all-to-all, overlap cost = 2 row groups per task.
+    ``path`` is a single parquet file, a DIRECTORY of position-sorted
+    shards, or an explicit list of files. Shards are taken in lexicographic
+    filename order, which must equal position order (the writer contract
+    for a captured changelog: shard i's last position < shard i+1's first —
+    the multi-file analog of the reference's single ordered CD cursor,
+    platform/LuwPlatform.java:29-39). Within that contract, a commit pair
+    split across two shards classifies exactly like one inside a file.
 
-    Assumes the file is position-sorted (commit-major), as a captured CD
-    table is (reference: the classification SQL orders by
-    IBMSNAP_COMMITSEQ, IBMSNAP_INTENTSEQ — platform/LuwPlatform.java:29-39).
+    Overlapped scan: the GLOBAL row-group sequence across all shards is
+    split into contiguous task ranges driver-side; each task reads its
+    groups PLUS one peek row group on each side — the peek group may live
+    in the previous/next file — classifies with full adjacency, and emits
+    exactly its own rows. Classification of a row depends only on its
+    immediate neighbors (a D directly followed by a same-commit I is an
+    update pair), so one peek row on each side already gives every owned
+    row its true context — the peek group is more than enough and commits
+    of any size are safe. Deterministic, no all-to-all, overlap cost = 2
+    row groups per task.
     """
+    import glob
+    import os
+
     import ray
 
-    pf = pq.ParquetFile(path)
-    n_groups = pf.metadata.num_row_groups
+    if isinstance(path, (list, tuple)):
+        files = [str(p) for p in path]
+    elif os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [str(path)]
+    if not files:
+        raise ValueError(f"classify_parquet_stream: no parquet files in {path!r}")
+
+    # global (file, row group) sequence across shards — metadata only
+    units: list[tuple[int, int, int]] = []  # (file_idx, group_idx, num_rows)
+    for fi, fp in enumerate(files):
+        md = pq.ParquetFile(fp).metadata
+        for g in range(md.num_row_groups):
+            units.append((fi, g, md.row_group(g).num_rows))
+    n_units = len(units)
     ranges = [
-        (lo, min(lo + groups_per_task, n_groups))
-        for lo in range(0, n_groups, groups_per_task)
+        (lo, min(lo + groups_per_task, n_units))
+        for lo in range(0, n_units, groups_per_task)
     ]
-    items = [{"path": path, "lo": lo, "hi": hi, "n": n_groups}
-             for lo, hi in ranges]
+    # each task ships ONLY its own unit slice (+peek) and precomputed own
+    # offsets — per-task metadata stays O(groups_per_task) at any file count
+    items = []
+    for lo, hi in ranges:
+        peek_lo, peek_hi = max(0, lo - 1), min(n_units, hi + 1)
+        span = units[peek_lo:peek_hi]
+        fidx = sorted({u[0] for u in span})
+        remap = {fi: i for i, fi in enumerate(fidx)}
+        items.append({
+            "files": [files[fi] for fi in fidx],
+            "units": [(remap[fi_], g, nr) for fi_, g, nr in span],
+            "own_start": sum(u[2] for u in units[peek_lo:lo]),
+            "own_len": sum(u[2] for u in units[lo:hi]),
+        })
+
+    def _read_units(files_, us) -> pa.Table:
+        """Read a contiguous unit slice, batching row groups per file."""
+        parts, cur_f, cur_gs = [], None, []
+        for fi, g, _ in us:
+            if fi != cur_f and cur_gs:
+                parts.append(
+                    pq.ParquetFile(files_[cur_f]).read_row_groups(cur_gs)
+                )
+                cur_gs = []
+            cur_f = fi
+            cur_gs.append(g)
+        if cur_gs:
+            parts.append(
+                pq.ParquetFile(files_[cur_f]).read_row_groups(cur_gs)
+            )
+        return pa.concat_tables(parts)
 
     def classify_range(batch: pa.Table) -> pa.Table:
         outs = []
         for row in batch.to_pylist():
-            f = pq.ParquetFile(row["path"])
-            lo, hi, n = row["lo"], row["hi"], row["n"]
-            peek_lo = max(0, lo - 1)
-            peek_hi = min(n, hi + 1)
-            t = f.read_row_groups(list(range(peek_lo, peek_hi)))
-            own_start = sum(
-                f.metadata.row_group(g).num_rows for g in range(peek_lo, lo)
-            )
-            own_len = sum(
-                f.metadata.row_group(g).num_rows for g in range(lo, hi)
-            )
-            # the file is position-sorted by contract, so the stable sort is
-            # an identity permutation and file row indices survive it
+            t = _read_units(row["files"], row["units"])
+            # the stream is position-sorted by contract, so the stable sort
+            # is an identity permutation and row indices survive it
             t = sort_by_position(t)
             classified = classify_ops(t, raw_col=raw_col)
             own = np.zeros(len(classified), dtype=bool)
-            own[own_start : own_start + own_len] = True
+            own[row["own_start"]: row["own_start"] + row["own_len"]] = True
             outs.append(classified.filter(pa.array(own)))
         if not outs:
             return pa.table({})
