@@ -74,9 +74,13 @@ DRIVER_GATE_FIRST = [
     # CDC flagships (driver-green in r2 AND r3; keep on the gate)
     "cdc_apply_lww",
     "cdc_snapshot_then_stream",
-    "cdc_classify_ops",
-    # round-4 addition with an explicit verdict Done-condition
+    # round-4 additions with explicit verdict Done-conditions:
+    # cdc_classify_multifile strictly subsumes cdc_classify_ops (same
+    # classification + SQL oracle, plus cross-file commit pairs), so it
+    # takes that flagship's slot; ann_lsh_parity is the no_oracle->checked
+    # ANN conversion (verdict item 6)
     "cdc_classify_multifile",
+    "ann_lsh_parity",
     # the 46 round-3 operators the 50-row cap hid from the driver
     "tpch_pricing_summary",
     "orders_revenue_join",

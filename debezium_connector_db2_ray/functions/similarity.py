@@ -391,3 +391,90 @@ def lsh_topk(ds, queries_ref, *, dim: int, k: int = 10, nbits: int = 8,
         k=k,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-parity LSH: integer hyperplanes + quantized dots, shared verbatim with
+# the DuckDB oracle so the full bucket -> prefilter -> exact-rerank path is
+# value-checkable (the standard-normal-plane LshBucketer above cannot be
+# mirrored in SQL; this variant exists to put the LSH MACHINERY itself on
+# the correctness gate, converting a rows-only row to hash-checked)
+# ---------------------------------------------------------------------------
+
+def sqlparity_planes(dim: int, nbits: int) -> np.ndarray:
+    """Deterministic integer plane matrix P[i, j] = LCG(i*1000 + j), values
+    in [-32768, 32767] — the same arithmetic the SQL oracle generates with
+    range()/modulo, so both engines use bit-identical planes."""
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    j = np.arange(nbits, dtype=np.int64)[None, :]
+    return ((1103515245 * (i * 1000 + j) + 12345) % 65536) - 32768
+
+
+def sqlparity_bucket(m_raw: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket id per RAW (unnormalized) vector: quantize components to
+    floor(v*1000 + 0.5) int64 (kills float-associativity sign flips — the
+    dot products are exact integers on both engines; floor(x+0.5) because
+    numpy rint rounds half-to-even while SQL round() rounds half-away, so
+    neither is used), then nbits sign bits."""
+    q = np.floor(m_raw * 1000.0 + 0.5).astype(np.int64)
+    signs = (q @ planes) > 0
+    return (
+        signs.astype(np.int64) << np.arange(planes.shape[1], dtype=np.int64)
+    ).sum(axis=1)
+
+
+class SqlParityLshTopK:
+    """Actor-pool stage: per-query top-k restricted to candidates sharing
+    that query's SQL-parity bucket. Emits per-batch partials; merge with
+    topk_merge."""
+
+    def __init__(self, queries_ref, *, nbits: int, k: int):
+        import ray
+
+        q = queries_ref if isinstance(queries_ref, dict) else ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qm = _normalize_rows(q["matrix"].astype(np.float64))
+        self.planes = sqlparity_planes(q["matrix"].shape[1], nbits)
+        self.qb = sqlparity_bucket(q["matrix"].astype(np.float64), self.planes)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = _batch_matrix(batch)
+        cb = sqlparity_bucket(raw, self.planes)
+        m = _normalize_rows(raw)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qm @ m.T  # (Q, B)
+        # candidate mask: same bucket as THIS query (per-query sets, like
+        # the oracle's JOIN buckets ON bucket = query_bucket)
+        mask = cb[None, :] == self.qb[:, None]
+        sims = np.where(mask, sims, -np.inf)
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qi = np.repeat(self.qids, k)
+        vi = ids[part.reshape(-1)]
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = sv > -np.inf
+        return pa.table({
+            "query_id": pa.array(qi[keep], pa.int64()),
+            "vec_id": pa.array(vi[keep], pa.int64()),
+            "sim": pa.array(sv[keep], pa.float64()),
+        })
+
+
+def lsh_sqlparity_topk(ds, queries_ref, *, k: int = 10, nbits: int = 8,
+                       concurrency: int = 2):
+    """Full LSH ANN with the SQL-parity bucketer: bucket every vector
+    map-side, keep only candidates in each query's bucket, exact cosine
+    re-rank. Same partial-top-k merge shape as brute_force_topk — the
+    corpus never concentrates anywhere."""
+    partials = ds.map_batches(
+        SqlParityLshTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref,
+                               "nbits": nbits, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+    return partials.groupby("query_id").map_groups(
+        topk_merge(k), batch_format="pyarrow"
+    )

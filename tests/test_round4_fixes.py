@@ -423,3 +423,42 @@ def test_tpch_q5_join_path_matches_broadcast(ray_session):
     )
     assert jn["n_name"].tolist() == exp["n_name"].tolist()
     assert jn["revenue_e4"].tolist() == exp["revenue_e4"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# 10. SQL-parity LSH
+# ---------------------------------------------------------------------------
+
+def test_sqlparity_lsh_candidates_share_query_bucket(ray_session):
+    """Every result of the parity LSH must live in its query's bucket, and
+    within-bucket ranking must equal brute force restricted to the bucket."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        lsh_sqlparity_topk,
+        sqlparity_bucket,
+        sqlparity_planes,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 16
+    m = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(list(m), pa.list_(pa.float64())),
+    }))
+    q = {"qids": np.arange(3), "matrix": m[:3]}
+    out = lsh_sqlparity_topk(ds, ray.put(q), k=4, nbits=6).to_pandas()
+    planes = sqlparity_planes(dim, 6)
+    buckets = sqlparity_bucket(m, planes)
+    qb = sqlparity_bucket(m[:3], planes)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in range(3):
+        rows = out[out["query_id"] == qi].sort_values("rank")
+        ids = rows["vec_id"].to_numpy()
+        assert (buckets[ids] == qb[qi]).all()  # in-bucket only
+        cand = np.flatnonzero(buckets == qb[qi])
+        sims = norm[cand] @ norm[qi]
+        order = np.lexsort((cand, -sims))[:4]
+        assert ids.tolist() == cand[order].tolist()  # exact in-bucket rerank
