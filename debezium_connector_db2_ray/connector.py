@@ -50,10 +50,19 @@ class CdcConnector:
     #: ``snapshot.select.statement.overrides`` (inherited from
     #: RelationalDatabaseConnectorConfig; applied by
     #: RelationalSnapshotChangeEventSource#determineSnapshotSelect). A
-    #: batch -> batch FILTER applied to the table's lake at snapshot time
-    #: and to signal-driven snapshot chunks — never to the stream, exactly
-    #: like the reference (overrides shape the initial SELECT only).
+    #: batch -> batch FILTER applied to the table's lake at INITIAL
+    #: snapshot time only — never to the stream, and never to
+    #: signal-driven incremental chunks (those narrow via the signal's
+    #: additional-conditions), exactly like the reference.
     snapshot_override: dict[str, "object"] = field(default_factory=dict)
+    #: per-table capture-instance stop LSN (the instance's validity end —
+    #: Db2ChangeTable.stopLsn): streamed events with commit_lsn >= stop are
+    #: fenced off (stages/apply.stop_lsn_fence) because they belong to the
+    #: NEXT capture instance.
+    stop_lsns: dict[str, "Lsn"] = field(default_factory=dict)
+    #: the reference's ``z.stop.lsn.ignore`` flag (z/OS capture agents can
+    #: report bogus stop LSNs): True disables every stop-LSN fence.
+    z_stop_lsn_ignore: bool = False
     routing_col: str = "src_table"
     _engines: dict[str, CdcEngine] = field(default_factory=dict, repr=False)
 
@@ -191,6 +200,16 @@ class CdcConnector:
                 routed = win.map_batches(
                     _route(self.routing_col, table), batch_format="pyarrow"
                 )
+                stop = self.stop_lsns.get(table)
+                if stop is not None and not self.z_stop_lsn_ignore:
+                    from debezium_connector_db2_ray.stages.apply import (
+                        stop_lsn_fence,
+                    )
+
+                    routed = routed.map_batches(
+                        lambda b, stop=stop: stop_lsn_fence(b, stop),
+                        batch_format="pyarrow",
+                    )
                 proj = self._projector(table)
                 if proj is not None:
                     # column.exclude.list applied to the STREAM too, so

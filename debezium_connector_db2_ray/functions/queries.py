@@ -3686,3 +3686,113 @@ DATA_ORACLES: dict[str, str] = {
     # emb_near_dup_lsh: approximate or hash-dependent by design ->
     # rows-only driver check, pytest recall oracles instead
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly: sequence packing (distributed scan) + splits
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 2048
+
+SQL_DOCS_PACKED = """
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS prior
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prior AS BIGINT) AS token_offset,
+       CAST(prior // 2048 AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+def q_docs_packed(sf_dir: str):
+    """Sequence packing for training-data assembly: every doc (in doc_id
+    order) gets its global token offset and the id of the fixed-size
+    context window (PACK_CTX tokens) its first token lands in — the
+    running-total layout a packed-pretraining writer needs. The global
+    cumulative sum is relational.prefix_sum: range-partition on doc_id,
+    per-range partials, driver-side exclusive scan of <= P totals, one
+    exchange, partition-local cumsum — the distributed answer to SQL's
+    SUM() OVER (ORDER BY ...) with no global sort and no driver data."""
+    from debezium_connector_db2_ray.functions.relational import prefix_sum
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    def counts(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        n = s.str.count(TOKEN_PATTERN).astype("int64")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n),
+        })
+
+    toks = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    cum = prefix_sum(toks, order_col="doc_id", val_col="n_tokens",
+                     out_col="cum")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = c - n
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": batch["n_tokens"],
+            "token_offset": pa.array(off, pa.int64()),
+            "pack_id": pa.array(off // PACK_CTX, pa.int64()),
+        })
+
+    return cum.map_batches(finish, batch_format="pyarrow")
+
+
+# deterministic LCG split hash, bounded so int64 never overflows at any
+# doc_id (the % 1048576 pre-fold) — arithmetic shared VERBATIM with SQL
+SQL_DOCS_SPLIT = """
+SELECT doc_id,
+       CASE WHEN h < 80 THEN 'train'
+            WHEN h < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         (((doc_id % 1048576) * 1103515245 + 12345) % 2147483648) % 100 AS h
+  FROM documents
+)
+"""
+
+
+def q_docs_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test assignment by a key-derived
+    LCG hash — reproducible on any cluster size, map-only (no shuffle, no
+    RNG state), and stable under corpus growth: a doc's split never changes
+    when neighbors are added, unlike row-number modulo schemes."""
+    def assign(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((d % 1048576) * 1103515245 + 12345) % 2147483648) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+# registered post-definition (the registry dicts are declared above
+# this section of the module)
+DATA_QUERIES["docs_packed"] = q_docs_packed
+DATA_QUERIES["docs_split_assign"] = q_docs_split
+DATA_ORACLES["docs_packed"] = SQL_DOCS_PACKED
+DATA_ORACLES["docs_split_assign"] = SQL_DOCS_SPLIT

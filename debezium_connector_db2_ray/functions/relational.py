@@ -2247,3 +2247,98 @@ def grouped_first_last(ds, *, keys: list[str],
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def prefix_sum(ds, *, order_col: str, val_col: str,
+               out_col: str = "cumsum",
+               num_partitions: int | None = None):
+    """Distributed INCLUSIVE prefix sum over a global integer order — the
+    scan primitive behind sequence packing, running offsets and cumulative
+    quotas that single-node engines get from ``SUM() OVER (ORDER BY ...)``.
+
+    Scale shape (classic two-phase scan, no global sort):
+    1. RANGE-partition on ``order_col`` (contiguous value ranges from
+       min/max metadata — equal order ranges co-locate AND stay globally
+       ordered across partitions, unlike a hash exchange);
+    2. a map-only pass emits per-(batch, range) partial sums — a tiny
+       aggregate (P * batches rows) folds them into per-range totals, and
+       the driver exclusive-scans the <= P totals into range offsets;
+    3. one exchange moves each row to its range; the partition-local kernel
+       sorts by ``order_col`` and adds ``local cumsum + range offset``.
+    Rows move exactly once; the driver holds P numbers, never data.
+
+    ``order_col`` must be a unique integer total order (doc_id, event_id,
+    LSN lo). NULL ``val_col`` counts as 0 (SUM OVER semantics ignore NULL
+    addends)."""
+    import ray
+    import ray.data as _rd
+    from ray.data.aggregate import Max as _RayMax
+    from ray.data.aggregate import Min as _RayMin
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    stats = ds.aggregate(
+        _RayMin(order_col, alias_name="lo"), _RayMax(order_col, alias_name="hi")
+    )
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        sch = ds.schema()
+        base = sch.base_schema if hasattr(sch, "base_schema") else sch
+        empty = pa.schema(
+            [(n, t) for n, t in zip(base.names, base.types)]
+            + [(out_col, pa.int64())]
+        ).empty_table()
+        return _rd.from_arrow(empty)
+    width = max(1, (int(hi) - int(lo) + num_partitions) // num_partitions)
+
+    def part_of(batch: pa.Table) -> np.ndarray:
+        o = batch[order_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ((o - int(lo)) // width).astype(np.int32)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        p = part_of(batch)
+        v = pc.fill_null(batch[val_col].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        order = np.argsort(p, kind="stable")
+        ps, vs = p[order], v[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(ps)) + 1))
+        sums = np.add.reduceat(vs, starts) if len(vs) else np.zeros(0, np.int64)
+        return pa.table({
+            "p": pa.array(ps[starts], pa.int32()),
+            "s": pa.array(sums, pa.int64()),
+        })
+
+    rows = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("p").sum("s")
+        .to_pandas()
+    )
+    totals = np.zeros(num_partitions + 1, np.int64)
+    for p, s in zip(rows["p"], rows["sum(s)"]):
+        totals[int(p)] = int(s)
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    off_ref = ray.put(offsets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("__part", pa.array(part_of(batch)))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.append_column(out_col, pa.array([], pa.int64()))
+        offs = ray.get(off_ref)
+        pcode = int(group["__part"][0].as_py())
+        t = group.drop_columns(["__part"]).sort_by([(order_col, "ascending")])
+        v = pc.fill_null(t[val_col].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return t.append_column(
+            out_col, pa.array(np.cumsum(v) + offs[pcode], pa.int64())
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return out

@@ -462,3 +462,91 @@ def test_sqlparity_lsh_candidates_share_query_bucket(ray_session):
         sims = norm[cand] @ norm[qi]
         order = np.lexsort((cand, -sims))[:4]
         assert ids.tolist() == cand[order].tolist()  # exact in-bucket rerank
+
+
+# ---------------------------------------------------------------------------
+# 11. z.stop.lsn.ignore connector flag
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ignore", [False, True])
+def test_connector_stop_lsn_fence_flag(ray_session, tmp_path, ignore):
+    """stop_lsns fences streamed events at/above the capture instance's
+    stop LSN; z_stop_lsn_ignore=True (the reference's z.stop.lsn.ignore)
+    disables the fence."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+
+    def changelog(rows):
+        n = len(rows)
+        return pa.table({
+            "commit_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "commit_lsn_lo": pa.array([r[0] for r in rows], pa.uint64()),
+            "intent_lsn_hi": pa.array([0] * n, pa.uint64()),
+            "intent_lsn_lo": pa.array([r[0] for r in rows], pa.uint64()),
+            "op": pa.array([2] * n, pa.int8()),
+            "conv_id": pa.array([r[1] for r in rows]),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array([r[2] for r in rows]),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+            "src_table": pa.array(["TABLEA"] * n),
+        })
+
+    log = changelog([(150, "c1", "a"), (180, "c2", "b"), (220, "c3", "c")])
+    p = str(tmp_path / "log.parquet")
+    pq.write_table(log, p)
+    conn = CdcConnector(
+        root_dir=str(tmp_path / "lh"), num_partitions=2,
+        stop_lsns={"TABLEA": Lsn(0, 200)}, z_stop_lsn_ignore=ignore,
+    )
+    conn.replay(rd.read_parquet(p), Lsn(0, 100), Lsn(0, 300), 1)
+    got = sorted(conn.state("TABLEA").to_pandas()["conv_id"])
+    # commit 220 >= stop 200 is fenced unless the z/OS ignore flag is set
+    assert got == (["c1", "c2", "c3"] if ignore else ["c1", "c2"])
+
+
+# ---------------------------------------------------------------------------
+# 12. distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def test_prefix_sum_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import prefix_sum
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    order = rng.permutation(n)  # arbitrary block order
+    vals = rng.integers(0, 50, n)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(order, pa.int64()),
+        "v": pa.array(vals[order], pa.int64()),
+    })).repartition(7)
+    out = prefix_sum(ds, order_col="k", val_col="v", out_col="cum",
+                     num_partitions=5).to_pandas().sort_values("k")
+    want = np.cumsum(vals)
+    assert (out["cum"].to_numpy() == want).all()
+    assert (out["k"].to_numpy() == np.arange(n)).all()
+
+
+def test_prefix_sum_nulls_and_empty(ray_session):
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import prefix_sum
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([3, 1, 2], pa.int64()),
+        "v": pa.array([10, None, 5], pa.int64()),
+    }))
+    out = prefix_sum(ds, order_col="k", val_col="v").to_pandas().sort_values("k")
+    assert out["cumsum"].tolist() == [0, 5, 15]  # NULL adds 0
+
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+    }))
+    got = prefix_sum(empty, order_col="k", val_col="v")
+    assert got.count() == 0
