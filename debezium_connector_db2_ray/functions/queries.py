@@ -474,12 +474,9 @@ ANN_LSH_PARITY_NBITS = 8
 
 # SQL twin of similarity.sqlparity_planes / sqlparity_bucket: integer LCG
 # planes, floor(v*1000 + 0.5) quantization (exact-integer dots — no float
-# sign ambiguity), per-query candidates = same-bucket vectors, exact cosine
-# re-rank. This puts the LSH bucket->prefilter->rerank MACHINERY itself on
-# the hash-checked gate (the standard-normal-plane variant above stays the
-# production path and keeps its pytest recall check).
-SQL_ANN_LSH_PARITY = f"""
-WITH ev AS (
+# sign ambiguity). Shared by the parity ANN and parity near-dup oracles.
+SQL_PARITY_BUCKETS_CTE = f"""
+ev AS (
   SELECT vec_id, unnest(embedding) AS v,
          unnest(range(1, len(embedding) + 1)) AS i
   FROM embeddings
@@ -501,7 +498,15 @@ buckets AS (
          CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT)
          AS bucket
   FROM dots GROUP BY vec_id
-),
+)
+"""
+
+# per-query candidates = same-bucket vectors, exact cosine re-rank. This
+# puts the LSH bucket->prefilter->rerank MACHINERY itself on the
+# hash-checked gate (the standard-normal-plane variant above stays the
+# production path and keeps its pytest recall check).
+SQL_ANN_LSH_PARITY = f"""
+WITH {SQL_PARITY_BUCKETS_CTE.strip()},
 q AS (
   SELECT e.vec_id AS query_id, e.embedding AS qe, b.bucket AS qb
   FROM embeddings e JOIN buckets b USING (vec_id)
@@ -3796,3 +3801,31 @@ DATA_QUERIES["docs_packed"] = q_docs_packed
 DATA_QUERIES["docs_split_assign"] = q_docs_split
 DATA_ORACLES["docs_packed"] = SQL_DOCS_PACKED
 DATA_ORACLES["docs_split_assign"] = SQL_DOCS_SPLIT
+
+
+SQL_EMB_NEAR_DUP_PARITY = f"""
+WITH {SQL_PARITY_BUCKETS_CTE.strip()}
+SELECT ba.vec_id AS a, bb.vec_id AS b
+FROM buckets ba
+JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+JOIN embeddings ea ON ea.vec_id = ba.vec_id
+JOIN embeddings eb ON eb.vec_id = bb.vec_id
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {NEARDUP_T}
+"""
+
+
+def q_emb_near_dup_parity(sf_dir: str):
+    """Full-corpus LSH near-dup with the SQL-parity bucketer — the
+    hash-checked twin of emb_near_dup_lsh: one exchange on the bucket id,
+    within-bucket exact cosine in bounded matmul slices. Same threshold as
+    the exact baseline; the oracle reproduces bucket assignment and the
+    pair predicate verbatim."""
+    from debezium_connector_db2_ray.functions.similarity import (
+        sqlparity_near_dup_pairs,
+    )
+
+    return sqlparity_near_dup_pairs(_emb(sf_dir), threshold=NEARDUP_T)
+
+
+DATA_QUERIES["emb_near_dup_parity"] = q_emb_near_dup_parity
+DATA_ORACLES["emb_near_dup_parity"] = SQL_EMB_NEAR_DUP_PARITY

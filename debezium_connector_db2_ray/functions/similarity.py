@@ -478,3 +478,55 @@ def lsh_sqlparity_topk(ds, queries_ref, *, k: int = 10, nbits: int = 8,
     return partials.groupby("query_id").map_groups(
         topk_merge(k), batch_format="pyarrow"
     )
+
+
+def sqlparity_near_dup_pairs(ds, *, threshold: float, nbits: int = 8,
+                             block: int = 2048):
+    """Embedding-cosine near-dup pairs with the SQL-parity bucketer: all
+    (a < b) in the SAME parity bucket with cos >= threshold — the
+    hash-checkable twin of cosine_near_dup_pairs (whose standard-normal
+    planes a SQL oracle cannot reproduce). One exchange on the bucket id;
+    within-bucket exact cosine runs in ``block``-row matmul slices so a hot
+    bucket bounds memory, not correctness."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        raw = _batch_matrix(batch)
+        planes = sqlparity_planes(raw.shape[1], nbits)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "embedding": batch["embedding"],
+            "bucket": pa.array(sqlparity_bucket(raw, planes), pa.int64()),
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        })
+        if group.num_rows < 2:
+            return empty
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize_rows(_batch_matrix(group))
+        outs_a, outs_b = [], []
+        for i in range(0, len(ids), block):
+            sims = m[i:i + block] @ m.T
+            bi, bj = np.nonzero(sims >= threshold)
+            a, b = ids[bi + i], ids[bj]
+            keep = a < b
+            outs_a.append(a[keep])
+            outs_b.append(b[keep])
+        a = np.concatenate(outs_a) if outs_a else np.zeros(0, np.int64)
+        b = np.concatenate(outs_b) if outs_b else np.zeros(0, np.int64)
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )
+    import ray.data as _rd
+
+    return out.union(_rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    })))
