@@ -3829,3 +3829,65 @@ def q_emb_near_dup_parity(sf_dir: str):
 
 DATA_QUERIES["emb_near_dup_parity"] = q_emb_near_dup_parity
 DATA_ORACLES["emb_near_dup_parity"] = SQL_EMB_NEAR_DUP_PARITY
+
+
+LATE_US = 6 * 3600 * 1_000_000   # 6h allowed lateness
+LATE_SHIFT_US = 12 * 3600 * 1_000_000  # synthetic 12h-late replays
+
+# The fixture's event time is monotone per user (no natural late data), so
+# both engines deterministically shift every 7th event 12h into the past —
+# the same inject-synthetic-signal pattern the PII row uses — making the
+# drop path real: those replays arrive (by event_id) after newer events
+# and fall behind the 6h watermark.
+SQL_LATE_FILTER = f"""
+WITH shifted AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - CASE WHEN event_id % 7 = 0
+                             THEN {LATE_SHIFT_US} ELSE 0 END AS t_us
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, t_us,
+         max(t_us) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM shifted
+)
+SELECT event_id, user_id, t_us FROM w
+WHERE wm IS NULL OR t_us >= wm - {LATE_US}
+"""
+
+
+def q_events_late_filter(sf_dir: str):
+    """Streaming allowed-lateness filter: per-user watermark = running max
+    event time over PRIOR arrivals (arrival order = event_id); events more
+    than 6h behind their key's watermark drop — the event-time late-data
+    contract a streaming ingest needs before windowed aggregation. One hash
+    exchange on user_id; per-partition vectorized segment cummax."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.streaming import (
+        late_event_filter,
+    )
+
+    def shift(batch: pa.Table) -> pa.Table:
+        ev = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t_us = t - np.where(ev % 7 == 0, LATE_SHIFT_US, 0)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "t_us": pa.array(t_us, pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(shift, batch_format="pyarrow")
+    return late_event_filter(
+        ds, key_col="user_id", order_col="event_id", ts_col="t_us",
+        allowed_lateness_us=LATE_US,
+    )
+
+
+DATA_QUERIES["events_late_filter"] = q_events_late_filter
+DATA_ORACLES["events_late_filter"] = SQL_LATE_FILTER

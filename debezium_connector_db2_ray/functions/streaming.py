@@ -255,3 +255,66 @@ def sessionize(ds, *, gap_minutes: int = 120):
             batch_format="pyarrow",
         )
     )
+
+
+def late_event_filter(ds, *, key_col: str, order_col: str, ts_col: str,
+                      allowed_lateness_us: int,
+                      num_partitions: int | None = None):
+    """Event-time late-data filter with a per-key watermark: processing
+    order is ``order_col`` (the arrival/LSN order); each key's watermark is
+    the running max event time over PRIOR arrivals; an event older than
+    ``watermark - allowed_lateness_us`` is dropped — the standard streaming
+    allowed-lateness contract (the first arrival of a key always passes:
+    no watermark yet).
+
+    Scale shape: ONE hash exchange on the key, then a partition-local
+    vectorized kernel — sort by (key, order), per-segment exclusive running
+    max of the timestamp (np.maximum.accumulate per key run), one boolean
+    filter. Equivalent single-node SQL:
+    ``MAX(ts) OVER (PARTITION BY key ORDER BY order
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``."""
+    import pyarrow.compute as pc
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        derive_num_partitions,
+    )
+
+    sch = ds.schema()
+    base = sch.base_schema if hasattr(sch, "base_schema") else sch
+    cols = list(base.names)
+    out_schema = pa.schema(list(zip(base.names, base.types)))
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by([(key_col, "ascending"), (order_col, "ascending")])
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = _segment_starts(t, [key_col])
+        seg_id = np.zeros(t.num_rows, np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        # per-key running max via pandas C-grouped cummax (the same
+        # vectorized trick sessionize uses — no per-key Python loop)
+        incl = (
+            pd.Series(tv).groupby(seg_id).cummax().to_numpy()
+        ).astype(np.int64)
+        wm = np.empty_like(incl)
+        wm[1:] = incl[:-1]
+        keep = np.ones(t.num_rows, bool)
+        has_prior = np.ones(t.num_rows, bool)
+        has_prior[starts] = False
+        late = has_prior & (tv < wm - allowed_lateness_us)
+        keep &= ~late
+        return t.filter(pa.array(keep))
+
+    return _window_exchange(
+        ds, keys=[key_col], cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
