@@ -3891,3 +3891,46 @@ def q_events_late_filter(sf_dir: str):
 
 DATA_QUERIES["events_late_filter"] = q_events_late_filter
 DATA_ORACLES["events_late_filter"] = SQL_LATE_FILTER
+
+
+HH_PHI = 0.002
+
+SQL_HEAVY_TERMS = f"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(coalesce(lower(text), ''),
+                                               '\\s+'),
+                x -> x <> '')) AS term
+  FROM documents
+)
+SELECT term, count(*) AS n
+FROM t GROUP BY term
+HAVING count(*) > {HH_PHI} * (SELECT count(*) FROM t)
+"""
+
+
+def q_heavy_terms(sf_dir: str):
+    """Exact corpus heavy hitters (terms with frequency > 0.2% of all
+    tokens) via the two-pass Misra-Gries + recount scheme
+    (sketch.heavy_hitters_exact): bounded memory at any corpus size, no
+    full-vocabulary shuffle — vs the oracle's unnest GROUP BY HAVING."""
+    import polars as pl
+
+    from debezium_connector_db2_ray.functions.sketch import (
+        heavy_hitters_exact,
+    )
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    def list_tokens(batch: pa.Table) -> "pl.Series":
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        return s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+
+    return heavy_hitters_exact(
+        _docs(sf_dir, columns=["text"]), list_tokens=list_tokens, phi=HH_PHI
+    )
+
+
+DATA_QUERIES["text_heavy_terms"] = q_heavy_terms
+DATA_ORACLES["text_heavy_terms"] = SQL_HEAVY_TERMS

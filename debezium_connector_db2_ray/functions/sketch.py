@@ -124,3 +124,107 @@ def approx_count_distinct(ds, *, col: str, b: int = 12) -> pa.Table:
         "n_distinct_approx": pa.array([int(round(est))], pa.int64()),
         "b": pa.array([b], pa.int64()),
     })
+
+
+def heavy_hitters_exact(ds, *, list_tokens, phi: float, m: int = 4096,
+                        num_partitions: int = 16):
+    """EXACT frequency-> phi*N heavy hitters over an unbounded token stream
+    in two bounded passes (the classic Misra-Gries + recount scheme):
+
+    1. Candidates: each batch tokenizes once, value-counts, and MG-compresses
+       to <= ``m`` counters (subtract the (m+1)-th largest count, keep
+       positives) — per-item undercount <= batch_tokens/m, so across the
+       whole stream lb(term) >= true(term) - N/m. One combiner exchange over
+       <= m rows/batch folds the partials; every term with
+       lb > phi*N - N/m is a candidate (a GUARANTEED superset of the true
+       heavy hitters when m > 1/phi). The batch token total rides along as
+       the sentinel term '' (the tokenizer never emits empty strings), so N
+       needs no second aggregate.
+    2. Recount: the candidate list (small by construction) broadcasts via
+       ray.put; one more map pass counts ONLY candidates exactly; a tiny
+       combiner exchange + HAVING count > phi*N finishes — exact output,
+       bounded memory at any corpus size, no full-vocabulary shuffle.
+
+    ``list_tokens(batch) -> polars Series[list[str]]`` supplies
+    tokenization (shared with the text oracles)."""
+    import polars as pl
+    import ray
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    assert m > 1.0 / phi, "m must exceed 1/phi for the superset guarantee"
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks = list_tokens(batch)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        n_batch = len(flat)
+        if n_batch == 0:
+            return pa.table({
+                "term": pa.array([""], pa.string()),
+                "lb": pa.array([0], pa.int64()),
+            })
+        vc = flat.value_counts()
+        cols = vc.columns  # [term, 'count']
+        terms = vc[cols[0]].to_numpy()
+        counts = vc["count"].to_numpy().astype(np.int64)
+        if len(counts) > m:
+            order = np.argsort(-counts, kind="stable")
+            sub = counts[order[m]]
+            keep = counts - sub > 0
+            terms, counts = terms[keep], counts[keep] - sub
+        return pa.table({
+            "term": pa.array(
+                np.concatenate((terms.astype(object), np.array([""], object))),
+                pa.string(),
+            ),
+            "lb": pa.array(
+                np.concatenate((counts, np.array([n_batch], np.int64))),
+                pa.int64(),
+            ),
+        })
+
+    merged = grouped_aggregate(
+        ds.map_batches(mg_partial, batch_format="pyarrow"),
+        keys=["term"], aggs={"lb": ("lb", "sum")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("term", pa.string()), ("lb", pa.int64())]),
+    ).take_all()  # <= m * batches partials fold to <= vocabulary rows; the
+    # MG truncation keeps this far below the vocabulary in practice
+    n_total = sum(r["lb"] for r in merged if r["term"] == "")
+    thresh = phi * n_total
+    cands = sorted(
+        r["term"] for r in merged
+        if r["term"] != "" and r["lb"] > thresh - n_total / m
+    )
+    if not cands:
+        return pa.table({
+            "term": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+    cand_ref = ray.put(pl.Series(cands))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        toks = list_tokens(batch)
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        hits = flat.filter(flat.is_in(cs))
+        vc = hits.value_counts()
+        cols = vc.columns
+        return pa.table({
+            "term": vc[cols[0]].to_arrow().cast(pa.string()),
+            "n": vc["count"].to_arrow().cast(pa.int64()),
+        })
+
+    exact = grouped_aggregate(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        keys=["term"], aggs={"n": ("n", "sum")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("term", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()
+    out = exact[exact["n"] > thresh].sort_values("term")
+    return pa.table({
+        "term": pa.array(out["term"].to_numpy(), pa.string()),
+        "n": pa.array(out["n"].to_numpy(), pa.int64()),
+    })

@@ -550,3 +550,48 @@ def test_prefix_sum_nulls_and_empty(ray_session):
     }))
     got = prefix_sum(empty, order_col="k", val_col="v")
     assert got.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# 13. two-pass exact heavy hitters (MG truncation forced)
+# ---------------------------------------------------------------------------
+
+def test_heavy_hitters_exact_with_forced_truncation(ray_session):
+    """m far below the vocabulary forces MG compression in every batch; the
+    two-pass scheme must still be EXACT (candidate superset + recount)."""
+    import polars as pl
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.sketch import heavy_hitters_exact
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: few heavy terms + a large distinct tail
+    heavy = [f"h{i}" for i in range(5)]
+    docs = []
+    for d in range(400):
+        toks = [heavy[rng.integers(5)] for _ in range(rng.integers(3, 9))]
+        toks += [f"tail{rng.integers(20000)}" for _ in range(10)]
+        docs.append(" ".join(toks))
+    tbl = pa.table({"text": pa.array(docs)})
+    ds = rd.from_arrow(tbl).repartition(8)
+
+    def list_tokens(batch: pa.Table) -> "pl.Series":
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pl.from_arrow(col).str.extract_all(r"[^\t\n\f\r ]+")
+
+    phi = 0.01
+    out = heavy_hitters_exact(
+        ds, list_tokens=list_tokens, phi=phi, m=128
+    ).to_pandas()
+
+    all_toks = " ".join(docs).split()
+    import collections
+    cnt = collections.Counter(all_toks)
+    n = len(all_toks)
+    want = sorted(t for t, c in cnt.items() if c > phi * n)
+    assert sorted(out["term"]) == want
+    got = dict(zip(out["term"], out["n"]))
+    for t in want:
+        assert got[t] == cnt[t]  # counts exact, not MG lower bounds
