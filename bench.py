@@ -251,6 +251,12 @@ def run_gate_queries(timings: dict) -> None:
         ("tpch_q13_custdist", DATA_QUERIES),
         ("user_top_event_type", DATA_QUERIES),
         ("docs_curation_pipeline", DATA_QUERIES),
+        # round-4 additions
+        ("dedup_apply", DATA_QUERIES),
+        ("docs_packed", DATA_QUERIES),
+        ("text_heavy_terms", DATA_QUERIES),
+        ("events_late_filter", DATA_QUERIES),
+        ("ann_lsh_parity", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

@@ -3934,3 +3934,62 @@ def q_heavy_terms(sf_dir: str):
 
 DATA_QUERIES["text_heavy_terms"] = q_heavy_terms
 DATA_ORACLES["text_heavy_terms"] = SQL_HEAVY_TERMS
+
+
+SQL_LATE_TUMBLING = f"""
+WITH shifted AS (
+  SELECT event_id, user_id,
+         epoch_us(ts) - CASE WHEN event_id % 7 = 0
+                             THEN {LATE_SHIFT_US} ELSE 0 END AS t_us
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, t_us,
+         max(t_us) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM shifted
+),
+kept AS (
+  SELECT user_id, t_us FROM w
+  WHERE wm IS NULL OR t_us >= wm - {LATE_US}
+)
+SELECT user_id, CAST(t_us // {24 * 3600 * 1_000_000} AS BIGINT) AS bucket,
+       count(*) AS n
+FROM kept GROUP BY 1, 2
+"""
+
+
+def q_late_tumbling(sf_dir: str):
+    """Composition: allowed-lateness filter -> tumbling 24h count per user —
+    the standard streaming ingest shape (drop late replays, then window).
+    The watermark exchange and the window aggregate share user_id as the
+    partition key, so at scale the second stage rides the first's
+    co-location instead of re-shuffling."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    kept = q_events_late_filter(sf_dir)
+    day_us = 24 * 3600 * 1_000_000
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        t = batch["t_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "bucket": pa.array(t // day_us, pa.int64()),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+
+    return grouped_aggregate(
+        kept.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["user_id", "bucket"], aggs={"n": ("n", "sum")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("bucket", pa.int64()),
+            ("n", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["stream_late_tumbling"] = q_late_tumbling
+DATA_ORACLES["stream_late_tumbling"] = SQL_LATE_TUMBLING
