@@ -1174,3 +1174,106 @@ def dedup_apply(corpus, drops, *, on: str = "doc_id",
 
     out = u.groupby("__part").map_groups(anti, batch_format="pyarrow")
     return out.union(_rd.from_arrow(cschema.empty_table()))
+
+
+def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = "\n", out_col: str = "clean_text",
+                    num_partitions: int | None = None):
+    """Corpus-wide paragraph-level exact dedup (the CCNet / web-pipeline
+    shape): split every document on ``sep``, keep only the FIRST global
+    occurrence of each distinct non-empty paragraph (first = smallest
+    (doc_id, paragraph_idx)), and reassemble each document from its kept
+    paragraphs in original order. Empty paragraphs are always kept (they
+    are document structure, not content).
+
+    Scale shape — two bounded exchanges, rows move once each:
+    1. map-side explode (vectorized polars split+explode with a zipped
+       in-doc index; no Python row loop);
+    2. hash exchange on the paragraph text for non-empty rows — empty
+       paragraphs are routed by hash(doc_id) instead, so the '' hot key
+       never concentrates on one partition (the kernel keeps ALL empty
+       rows, so their placement is free); partition-local sort by
+       (para, doc_id, idx) + adjacent-compare keeps the min occurrence —
+       true-text compare, collisions can never merge distinct paragraphs;
+    3. reassembly rides relational.grouped_string_agg's doc_id exchange
+       (sort by in-doc idx, one vectorized binary_join per partition).
+
+    A document whose EVERY paragraph was dropped (e.g. a single-paragraph
+    doc whose text already appeared) vanishes from the output — the same
+    removal semantics as doc-level dedup, and exactly what the SQL
+    ``GROUP BY doc_id`` over kept rows produces. Returns a Dataset of
+    (id_col, out_col)."""
+    import polars as pl
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_string_agg,
+    )
+
+    if num_partitions is None:
+        num_partitions = _default_partitions(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        df = pl.DataFrame({
+            "doc": pl.from_arrow(ids),
+            "paras": s.str.split(sep),
+        }).with_columns(
+            idx=pl.int_ranges(pl.col("paras").list.len(), dtype=pl.Int64)
+        ).explode(["paras", "idx"])
+        t = df.to_arrow()
+        para = t["paras"].combine_chunks().cast(pa.string())
+        did = t["doc"].combine_chunks().cast(pa.int64())
+        # route non-empty paras by content hash; empties by doc hash so the
+        # '' group never becomes a hot partition (kernel keeps all empties)
+        ph = pl.from_arrow(para).hash(seed=5).to_numpy().astype(np.uint64)
+        dh = (did.to_numpy(zero_copy_only=False).astype(np.uint64)
+              * np.uint64(0x9E3779B97F4A7C15))
+        empty = pc.equal(para, "").to_numpy(zero_copy_only=False)
+        route = np.where(empty, dh, ph) % np.uint64(num_partitions)
+        return pa.table({
+            id_col: did,
+            "idx": t["idx"].combine_chunks().cast(pa.int64()),
+            "para": para,
+            "__part": pa.array(route.astype(np.int32)),
+        })
+
+    def keep_first(part: pa.Table) -> pa.Table:
+        cols = [id_col, "idx", "para"]
+        if part.num_rows == 0:
+            return part.select(cols)
+        t = part.sort_by([
+            ("para", "ascending"), (id_col, "ascending"),
+            ("idx", "ascending"),
+        ])
+        para = t["para"]
+        if isinstance(para, pa.ChunkedArray):
+            para = para.combine_chunks()
+        n = len(para)
+        a, b = para.slice(1), para.slice(0, n - 1)
+        first = pa.concat_arrays([
+            pa.array([True]),
+            pc.cast(pc.not_equal(a, b), pa.bool_()),
+        ])
+        keep = pc.or_(first, pc.equal(para, ""))
+        return t.filter(keep).select(cols)
+
+    kept = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+    return grouped_string_agg(
+        kept, keys=[id_col], order_by=[("idx", "ascending")],
+        col="para", sep=sep, out_col=out_col,
+        num_partitions=num_partitions,
+        schema=pa.schema([
+            (id_col, pa.int64()), ("idx", pa.int64()),
+            ("para", pa.string()),
+        ]),
+    )

@@ -3993,3 +3993,202 @@ def q_late_tumbling(sf_dir: str):
 
 DATA_QUERIES["stream_late_tumbling"] = q_late_tumbling
 DATA_ORACLES["stream_late_tumbling"] = SQL_LATE_TUMBLING
+
+
+# SQL CUBE: every grouping-set combination folded from ONE distributed
+# exchange (relational.grouping_sets_aggregate). GROUPING(a, b) bitmask is
+# emitted as gid so subtotal NULLs stay distinguishable from real NULLs.
+SQL_LINEITEM_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(returnflag, linestatus): 4 grouping sets, one raw-data
+    exchange — the finest aggregate is computed distributed once and every
+    coarser set folds it locally (reference has no multi-level aggregate;
+    this extends the engine's SQL family alongside ROLLUP)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        cube_aggregate,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "q": pc.cast(b["l_quantity"], pa.int64()),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return cube_aggregate(
+        ds, keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_qty": ("q", "sum"), "n": ("q", "count_all")},
+        schema=pa.schema([
+            ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+            ("q", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["lineitem_cube"] = q_lineitem_cube
+DATA_ORACLES["lineitem_cube"] = SQL_LINEITEM_CUBE
+
+
+# Time-RANGE window frame: 1-hour trailing sum per user. Money is scaled to
+# exact cents with the identical floor(v*100+0.5) on both sides; the RANGE
+# frame includes ts-peers exactly like SQL (see grouped_rolling_range_sum).
+SQL_RANGE_ROLLING = """
+SELECT event_id, user_id, epoch_us(ts) AS t_us,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS rolling
+FROM events
+"""
+
+
+def q_events_range_rolling(sf_dir: str):
+    """SUM OVER (PARTITION BY user ORDER BY ts RANGE 1 HOUR PRECEDING):
+    the time-window rolling aggregate — one user_id exchange, then every
+    frame boundary from two vectorized searchsorted calls over a
+    segment-composed monotone surrogate (no per-row/per-group loops)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_range_sum,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "t_us": b["ts"].cast(pa.int64()),
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+            ),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return grouped_rolling_range_sum(
+        ds, keys=["user_id"], order_col="t_us", col="cents",
+        range_preceding=3_600_000_000,
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("t_us", pa.int64()), ("cents", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["events_range_rolling"] = q_events_range_rolling
+DATA_ORACLES["events_range_rolling"] = SQL_RANGE_ROLLING
+
+
+# Paragraph-level corpus dedup (the CCNet web-pipeline shape). Fixture text
+# is single-line, so paragraph breaks are synthesized with ONE regex shared
+# verbatim with the oracle: every 3rd space becomes a newline (leftmost
+# non-overlapping matching is identical in RE2-class engines).
+PARA_BREAK_RE = r"((\S+ ){2}\S+) "
+
+
+SQL_PARA_DEDUP = f"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '{PARA_BREAK_RE}',
+                        '\\1' || chr(10), 'g') AS t
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS para,
+         unnest(generate_series(1, len(string_split(t, chr(10))))) AS idx
+  FROM aug
+),
+k AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+)
+SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean_text
+FROM k WHERE para = '' OR rn = 1
+GROUP BY doc_id
+"""
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph dedup: keep the first global occurrence of
+    each distinct paragraph, reassemble docs in order (dedup.paragraph_dedup
+    — two bounded exchanges, no Python row loops, '' never a hot key)."""
+    import polars as pl
+
+    from debezium_connector_db2_ray.functions.dedup import paragraph_dedup
+
+    def add_breaks(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        aug = s.str.replace_all(PARA_BREAK_RE, "${1}\n")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.chunked_array([aug.to_arrow()]).combine_chunks()
+            .cast(pa.string()),
+        })
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        add_breaks, batch_format="pyarrow"
+    )
+    return paragraph_dedup(ds, text_col="text", id_col="doc_id")
+
+
+DATA_QUERIES["docs_paragraph_dedup"] = q_paragraph_dedup
+DATA_ORACLES["docs_paragraph_dedup"] = SQL_PARA_DEDUP
+
+
+# Bloom-prefiltered EXACT semi join: the probe (orders) is pruned map-side
+# by a Bloom bitmap over lineitem keys before the exact verify — the exact
+# EXISTS oracle proves the prefilter introduces no false accepts/drops.
+SQL_SEMI_BLOOM = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_quantity >= 45)
+"""
+
+
+def q_orders_semi_bloom(sf_dir: str):
+    """Semi join through sketch.bloom_semi_join: two-level OR-folded
+    bitmap build (driver holds <= fold_groups blobs), map-side bloom
+    prune, exact verify only on the surviving ~hit fraction."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.sketch import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    big = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+    ).filter(expr="l_quantity >= 45")
+    return bloom_semi_join(orders, big, on="o_orderkey",
+                           right_on="l_orderkey", m_bits=1 << 20)
+
+
+DATA_QUERIES["orders_semi_bloom"] = q_orders_semi_bloom
+DATA_ORACLES["orders_semi_bloom"] = SQL_SEMI_BLOOM

@@ -2342,3 +2342,171 @@ def prefix_sum(ds, *, order_col: str, val_col: str,
         .map_groups(kernel, batch_format="pyarrow")
     )
     return out
+
+
+def grouping_sets_aggregate(ds, *, keys: list[str],
+                            sets: list[list[str]],
+                            aggs: dict[str, tuple[str, str]],
+                            grouping_col: str = "gid",
+                            num_partitions: int | None = None,
+                            schema: "pa.Schema | None" = None) -> pa.Table:
+    """SQL ``GROUP BY GROUPING SETS (sets...)`` (and via helpers CUBE):
+    like rollup_aggregate, the finest level (all ``keys``) runs as ONE
+    distributed grouped_aggregate exchange; every requested set — any
+    subset of ``keys`` — folds that finest-level aggregate locally, so the
+    raw data is read and shuffled exactly once regardless of how many
+    grouping sets are requested. ``grouping_col`` carries the SQL
+    GROUPING(keys...) bitmask (bit i set <=> keys[i] aggregated away,
+    big-endian like DuckDB).
+
+    Supported fns: sum | count | count_all | min | max (re-foldable
+    partials). Each entry of ``sets`` must be a subset of ``keys`` (order
+    within a set is irrelevant); duplicates of the same set are emitted
+    once per occurrence, exactly like SQL. Returns a pa.Table."""
+    refold = {"sum": "sum", "count": "sum", "count_all": "sum",
+              "min": "min", "max": "max"}
+    for out, (_, fn) in aggs.items():
+        if fn not in refold:
+            raise ValueError(f"grouping_sets_aggregate: unfoldable {fn!r}")
+    for s in sets:
+        bad = set(s) - set(keys)
+        if bad:
+            raise ValueError(f"grouping set {s} not a subset of keys: {bad}")
+    finest = grouped_aggregate(
+        ds, keys=keys, aggs=aggs, num_partitions=num_partitions,
+        schema=schema,
+    )
+    import ray
+
+    parts = [t for t in ray.get(finest.to_arrow_refs()) if t.num_rows]
+    n = len(keys)
+    if not parts:
+        sch = schema if schema is not None else ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+        key_fields = [(k, sch.field(k).type) for k in keys]
+        agg_fields = []
+        for out, (col, fn) in aggs.items():
+            if fn in ("count", "count_all"):
+                agg_fields.append((out, pa.int64()))
+            else:
+                agg_fields.append((out, sch.field(col).type))
+        return pa.schema(
+            key_fields + [(grouping_col, pa.int64())] + agg_fields
+        ).empty_table()
+    base = pa.concat_tables(parts).combine_chunks()
+    spec = [(out, refold[fn]) for out, (_, fn) in aggs.items()]
+    levels = []
+    for s in sets:
+        kept = [k for k in keys if k in s]
+        if len(kept) == n:
+            g = base
+        else:
+            g = _table_group_agg(base.select(kept + list(aggs)), kept, spec)
+        gid = sum(1 << (n - 1 - i)
+                  for i, k in enumerate(keys) if k not in s)
+        cols = {}
+        for k in keys:
+            if k in s:
+                cols[k] = g[k]
+            else:
+                cols[k] = pa.nulls(g.num_rows, base.schema.field(k).type)
+        cols[grouping_col] = pa.array(np.full(g.num_rows, gid, np.int64))
+        for out in aggs:
+            cols[out] = g[out]
+        levels.append(pa.table(cols))
+    return pa.concat_tables(levels)
+
+
+def cube_aggregate(ds, *, keys: list[str],
+                   aggs: dict[str, tuple[str, str]],
+                   grouping_col: str = "gid",
+                   num_partitions: int | None = None,
+                   schema: "pa.Schema | None" = None) -> pa.Table:
+    """SQL ``GROUP BY CUBE(keys...)``: all 2^len(keys) grouping sets,
+    folded from ONE distributed exchange (see grouping_sets_aggregate)."""
+    n = len(keys)
+    sets = [[k for i, k in enumerate(keys) if mask & (1 << (n - 1 - i))]
+            for mask in range(2 ** n - 1, -1, -1)]
+    return grouping_sets_aggregate(
+        ds, keys=keys, sets=sets, aggs=aggs, grouping_col=grouping_col,
+        num_partitions=num_partitions, schema=schema,
+    )
+
+
+def grouped_rolling_range_sum(ds, *, keys: list[str], order_col: str,
+                              col: str, range_preceding: int,
+                              out_col: str = "rolling",
+                              num_partitions: int | None = None,
+                              schema: "pa.Schema | None" = None):
+    """SQL ``sum(col) OVER (PARTITION BY keys ORDER BY order_col RANGE
+    BETWEEN range_preceding PRECEDING AND CURRENT ROW)`` for an integer
+    ``order_col`` (e.g. epoch-microseconds): the time-window rolling
+    aggregate. One hash exchange + partition-local sort, then ALL frame
+    boundaries come from two vectorized searchsorted calls — no per-group
+    or per-row loop:
+
+    * segments are made globally monotone by composing a strictly
+      increasing surrogate ``g = seg_idx * M + (t - seg_min)`` with
+      ``M = max_segment_span + range_preceding + 2`` — window queries
+      ``g - range_preceding`` can never cross a segment boundary, so one
+      searchsorted over the whole partition resolves every frame start;
+    * frame END is ``searchsorted(right)`` of the row's own g, which
+      includes RANGE-frame PEERS (rows tied on order_col) exactly like
+      SQL — a rows-frame cumsum would not.
+
+    Overflow guard: if ``n_segments * M`` would exceed int64 the kernel
+    falls back to per-segment searchsorted (correct, rarely taken; at
+    cluster scale partitions bound segment count so the fast path holds).
+    ``col`` must be integer (pre-scale money); NULLs sum as 0."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = ds.schema()
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols] + [(out_col, pa.int64())]
+    )
+    w = int(range_preceding)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + [(order_col, "ascending")]
+        )
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, t.num_rows))
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        o = t[order_col]
+        if isinstance(o, pa.ChunkedArray):
+            o = o.combine_chunks()
+        tt = o.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        seg_min = np.repeat(tt[starts], sizes)
+        seg_span = np.zeros(len(starts), dtype=np.int64)
+        ends = np.append(starts[1:], t.num_rows) - 1
+        seg_span = tt[ends] - tt[starts]
+        M = int(seg_span.max()) + w + 2
+        v = pc.fill_null(t[col].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cum = np.cumsum(v, dtype=np.int64)
+        if len(starts) * M < 2 ** 62:
+            g = seg_idx * M + (tt - seg_min)
+            lo = np.searchsorted(g, g - w, side="left")
+            hi = np.searchsorted(g, g, side="right") - 1
+        else:  # per-segment fallback (astronomically wide segments)
+            lo = np.empty(t.num_rows, np.int64)
+            hi = np.empty(t.num_rows, np.int64)
+            for s, e in zip(starts, np.append(starts[1:], t.num_rows)):
+                lo[s:e] = s + np.searchsorted(tt[s:e], tt[s:e] - w, "left")
+                hi[s:e] = s + np.searchsorted(tt[s:e], tt[s:e], "right") - 1
+        roll = cum[hi] - np.where(lo > 0, cum[lo - 1], 0)
+        return t.append_column(out_col, pa.array(roll, pa.int64()))
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

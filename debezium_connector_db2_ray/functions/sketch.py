@@ -228,3 +228,136 @@ def heavy_hitters_exact(ds, *, list_tokens, phi: float, m: int = 4096,
         "term": pa.array(out["term"].to_numpy(), pa.string()),
         "n": pa.array(out["n"].to_numpy(), pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi join
+# ---------------------------------------------------------------------------
+
+def bloom_bitmap(ds, *, col: str, m_bits: int = 1 << 22,
+                 fold_groups: int = 32):
+    """Build a Bloom bitmap over ``ds[col]`` (k=2 probes from one 64-bit
+    hash, split-and-remix — Kirsch-Mitzenmacher double hashing). Returns
+    ``(bitmap_ref, m_bits)`` with the packed uint8 bitmap in the object
+    store via ray.put.
+
+    Scale shape: per-batch partials are m/8-byte packed bitmaps (NOT key
+    sets); they OR-fold in two levels — a hash exchange into
+    ``fold_groups`` groups (distributed ORs) and a driver OR of the
+    <= fold_groups survivors — so the driver never holds more than
+    fold_groups * m/8 bytes no matter how many input blocks exist. Size
+    m_bits to ~10x the expected distinct-key count for ~1% false
+    positives (k=2)."""
+    import ray
+
+    if m_bits & 7:
+        raise ValueError("m_bits must be a multiple of 8")
+    mb = np.uint64(m_bits)
+
+    def probes(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        from debezium_connector_db2_ray.functions.relational import mix64
+
+        h = mix64(v.astype(np.int64)).astype(np.uint64)
+        h1 = h % mb
+        h2 = (h >> np.uint64(32) | h << np.uint64(32)) % mb
+        return h1, h2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits >> 3, np.uint8)
+        v = pc.fill_null(batch[col].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        for h in probes(v):
+            np.bitwise_or.at(
+                bits, (h >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (h & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+        g = int(v[0]) % fold_groups if len(v) else 0
+        return pa.table({
+            "__g": pa.array([g], pa.int32()),
+            "bits": pa.array([bits.tobytes()], pa.binary()),
+        })
+
+    def or_group(part: pa.Table) -> pa.Table:
+        acc = np.zeros(m_bits >> 3, np.uint8)
+        for blob in part["bits"]:
+            acc |= np.frombuffer(blob.as_py(), np.uint8)
+        return pa.table({
+            "__g": part["__g"].slice(0, 1),
+            "bits": pa.array([acc.tobytes()], pa.binary()),
+        })
+
+    folded = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(or_group, batch_format="pyarrow")
+        .take_all()
+    )
+    acc = np.zeros(m_bits >> 3, np.uint8)
+    for row in folded:
+        acc |= np.frombuffer(row["bits"], np.uint8)
+    return ray.put(acc), m_bits
+
+
+def bloom_semi_join(left, right, *, on: str, right_on: str | None = None,
+                    m_bits: int = 1 << 22, anti: bool = False):
+    """EXACT semi (or anti) join with a Bloom prefilter: the bitmap prunes
+    the left side map-side (no false negatives, ~1% false positives at
+    k=2 / 10 bits-per-key), and only the tiny survivor fraction pays the
+    exact membership verify (sorted-distinct right keys, np.isin) — the
+    standard big-probe/small-build shape when the probe side is orders of
+    magnitude larger than the build side. Result is EXACT: the verify
+    removes every false positive.
+
+    anti=True inverts: bloom-MISSES pass immediately (a miss is proof of
+    absence), only bloom hits are checked against the exact key set."""
+    import ray
+
+    rk = right_on or on
+    bits_ref, mb_i = bloom_bitmap(right, col=rk, m_bits=m_bits)
+    mb = np.uint64(mb_i)
+    key_parts = ray.get(
+        right.map_batches(
+            lambda t: pa.table(
+                {rk: pc.unique(t[rk].cast(pa.int64()).drop_null())}
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    )
+    arrs = [t[rk].to_numpy(zero_copy_only=False) for t in key_parts
+            if t.num_rows]
+    exact = (
+        np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+    ).astype(np.int64)
+    exact_ref = ray.put(exact)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from debezium_connector_db2_ray.functions.relational import mix64
+
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(bits_ref)
+        v = pc.fill_null(batch[on].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        null = pc.is_null(batch[on]).to_numpy(zero_copy_only=False)
+        h = mix64(v.astype(np.int64)).astype(np.uint64)
+        hit = np.ones(len(v), bool)
+        for hh in (h % mb, (h >> np.uint64(32) | h << np.uint64(32)) % mb):
+            hit &= (
+                bits[(hh >> np.uint64(3)).astype(np.int64)]
+                >> (hh & np.uint64(7)).astype(np.uint8)
+            ) & 1 == 1
+        # EXISTS semantics (same convention as semi_join_filter): NULL
+        # left keys never match — dropped for semi, KEPT for anti
+        hit &= ~null
+        verified = np.zeros(len(v), bool)
+        if hit.any():
+            ex = ray.get(exact_ref)
+            verified[hit] = np.isin(v[hit], ex, assume_unique=False)
+        keep = ~verified if anti else verified
+        return batch.filter(pa.array(keep))
+
+    return left.map_batches(filt, batch_format="pyarrow")
