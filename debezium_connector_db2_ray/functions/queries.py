@@ -4192,3 +4192,178 @@ def q_orders_semi_bloom(sf_dir: str):
 
 DATA_QUERIES["orders_semi_bloom"] = q_orders_semi_bloom
 DATA_ORACLES["orders_semi_bloom"] = SQL_SEMI_BLOOM
+
+
+# Fixed-radius similarity search: all corpus vectors within cosine >= T of
+# each query vector (exact brute-force scan — the baseline the IVF/LSH
+# variants approximate). Same float predicate class as the hash-green
+# emb_near_dup_parity row.
+RADIUS_T = 0.35
+
+SQL_ANN_RADIUS = f"""
+SELECT q.vec_id AS query_id, c.vec_id AS vec_id
+FROM embeddings q
+JOIN embeddings c ON c.vec_id <> q.vec_id
+WHERE q.vec_id < {ANN_NQ}
+  AND list_cosine_similarity(q.embedding, c.embedding) >= {RADIUS_T}
+"""
+
+
+def q_ann_radius(sf_dir: str):
+    """Radius search via similarity.radius_search: broadcast query matrix,
+    per-batch float64 matmul, map-only pair emission (no shuffle)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import radius_search
+
+    ref = ray.put(_query_matrix(sf_dir))
+    return radius_search(_emb(sf_dir), ref, threshold=RADIUS_T)
+
+
+DATA_QUERIES["ann_radius"] = q_ann_radius
+DATA_ORACLES["ann_radius"] = SQL_ANN_RADIUS
+
+
+# Exact higher moments (population skewness / excess kurtosis) from int64
+# power sums s1..s4 — the same exact-integer-partials scheme as
+# lineitem_grouped_moments, extended to 3rd/4th powers. The double-precision
+# finish is the IDENTICAL expression tree on both sides (named
+# intermediates, same association order), so the floats are bit-equal.
+# int64 bound: q <= 50 -> q^4 <= 6.25e6; ~1.4e12 rows before overflow.
+SQL_SKEW_KURT = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS s1,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s2,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS s3,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+             * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS s4
+  FROM lineitem GROUP BY l_returnflag
+),
+d AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+         CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS p2,
+         CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS p3,
+         CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS p4
+  FROM s
+),
+c AS (
+  SELECT l_returnflag, n, m, p2, p3, p4,
+         p2 - m * m AS m2,
+         p3 - 3.0 * m * p2 + 2.0 * (m * m * m) AS m3,
+         p4 - 4.0 * m * p3 + 6.0 * (m * m) * p2
+            - 3.0 * (m * m * m * m) AS m4
+  FROM d
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       m3 / (m2 * sqrt(m2)) AS skew_pop,
+       m4 / (m2 * m2) - 3.0 AS kurt_pop
+FROM c
+"""
+
+
+def q_skew_kurt(sf_dir: str):
+    """Grouped population skewness + excess kurtosis from exact int64
+    power-sum partials: one tiny combiner exchange, one double finish
+    identical to the oracle's expression tree (bit-equal floats)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.cast(b["l_quantity"], pa.int64())
+        q2 = pc.multiply(q, q)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"], "q": q, "q2": q2,
+            "q3": pc.multiply(q2, q), "q4": pc.multiply(q2, q2),
+        })
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    ).map_batches(prep, batch_format="pyarrow")
+    agg = grouped_aggregate(
+        ds, keys=["l_returnflag"],
+        aggs={"n": ("q", "count"), "s1": ("q", "sum"), "s2": ("q2", "sum"),
+              "s3": ("q3", "sum"), "s4": ("q4", "sum")},
+        schema=pa.schema([
+            ("l_returnflag", pa.string()), ("q", pa.int64()),
+            ("q2", pa.int64()), ("q3", pa.int64()), ("q4", pa.int64()),
+        ]),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = b["s1"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+        p2 = b["s2"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+        p3 = b["s3"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+        p4 = b["s4"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+        m2 = p2 - m * m
+        m3 = p3 - 3.0 * m * p2 + 2.0 * (m * m * m)
+        m4 = p4 - 4.0 * m * p3 + 6.0 * (m * m) * p2 - 3.0 * (m * m * m * m)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"], "n": b["n"],
+            "skew_pop": pa.array(m3 / (m2 * np.sqrt(m2)), pa.float64()),
+            "kurt_pop": pa.array(m4 / (m2 * m2) - 3.0, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["lineitem_skew_kurt"] = q_skew_kurt
+DATA_ORACLES["lineitem_skew_kurt"] = SQL_SKEW_KURT
+
+
+# Persisted inverted index: build once (hash-bucketed partitioned parquet),
+# probe by reading ONLY the matching bucket dirs (functions/index.py). The
+# oracle recomputes postings from scratch — a pruning bug that skipped or
+# double-read a bucket turns this row red.
+INDEX_PROBE_TERMS = ["merge", "vector", "customer"]
+
+SQL_INDEX_LOOKUP = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+             string_split_regex(coalesce(lower(text), ''), '\\s+'),
+             x -> x <> ''))) AS term
+  FROM documents
+)
+SELECT term, doc_id FROM t
+WHERE term IN ('merge', 'vector', 'customer')
+"""
+
+
+def _inv_index_dir(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    p = f"{sf_dir}/documents.parquet"
+    st = os.stat(p)
+    return f"/tmp/db2ray_inv_index/{tag}_{st.st_size}_{int(st.st_mtime)}_b64"
+
+
+def q_index_lookup(sf_dir: str):
+    """Posting lookup over the persisted inverted index: probe terms hash
+    to bucket dirs, only those parquet files are read, exact term filter
+    map-side (index.inverted_index_lookup)."""
+    import os
+
+    from debezium_connector_db2_ray.functions.index import (
+        build_inverted_index,
+        inverted_index_lookup,
+    )
+
+    idx = _inv_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        build_inverted_index(
+            _docs(sf_dir, columns=["doc_id", "text"]), idx,
+            text_col="text", id_col="doc_id", num_buckets=64,
+        )
+    return inverted_index_lookup(idx, INDEX_PROBE_TERMS)
+
+
+DATA_QUERIES["text_index_lookup"] = q_index_lookup
+DATA_ORACLES["text_index_lookup"] = SQL_INDEX_LOOKUP

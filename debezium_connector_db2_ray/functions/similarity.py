@@ -530,3 +530,33 @@ def sqlparity_near_dup_pairs(ds, *, threshold: float, nbits: int = 8,
     return out.union(_rd.from_arrow(pa.table({
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
     })))
+
+
+def radius_search(ds, queries_ref, *, threshold: float,
+                  id_col: str = "vec_id", concurrency: int = 2):
+    """Range (radius) similarity search: every corpus vector within cosine
+    ``threshold`` of any query vector — the fixed-radius companion of
+    brute_force_topk. Map-only: the query matrix is broadcast ONCE
+    (ray.put), each batch does one float64 matmul and emits only the
+    (query_id, vec_id) pairs inside the radius; no shuffle, no top-k
+    merge, output size bounded by the radius selectivity. Self-matches
+    (vec_id == query_id) are excluded."""
+    import ray
+
+    def scan(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        qm = _normalize_rows(q["matrix"])
+        qids = np.asarray(q["qids"], np.int64)
+        m = _normalize_rows(_batch_matrix(batch))
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ qm.T  # (batch, nq)
+        hit = sims >= threshold
+        hit &= ids[:, None] != qids[None, :]
+        bi, qi = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(qids[qi], pa.int64()),
+            "vec_id": pa.array(ids[bi], pa.int64()),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow",
+                          concurrency=concurrency, num_cpus=0.5)

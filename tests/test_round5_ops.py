@@ -1,0 +1,231 @@
+"""Unit tests for the round-5 operator batch: grouping sets / CUBE,
+RANGE-frame rolling sums, paragraph dedup, bloom semi join, inverted
+index, radius search."""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grouping_sets_subset_and_gid(ray_session):
+    """An explicit grouping-set list (not full CUBE) emits exactly the
+    requested sets with DuckDB-convention GROUPING bitmasks."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouping_sets_aggregate,
+    )
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y", "y"]),
+        "b": pa.array(["p", "q", "p", "q"]),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    out = grouping_sets_aggregate(
+        rd.from_arrow(t), keys=["a", "b"], sets=[["a", "b"], ["b"], []],
+        aggs={"s": ("v", "sum")},
+        schema=t.schema,
+    )
+    rows = {(r["a"], r["b"], r["gid"], r["s"])
+            for r in out.to_pylist()}
+    assert ("x", "p", 0, 1) in rows and ("y", "q", 0, 4) in rows
+    assert (None, "p", 2, 4) in rows and (None, "q", 2, 6) in rows
+    assert (None, None, 3, 10) in rows
+    # set ["a"] was NOT requested -> no gid=1 rows
+    assert not any(g == 1 for _, _, g, _ in rows)
+
+
+def test_range_rolling_peers_and_window_edge(ray_session):
+    """RANGE frames include ts-peers (unlike ROWS) and the window bound is
+    inclusive at exactly range_preceding."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_range_sum,
+    )
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array([0, 10, 10, 21, 10], pa.int64()),
+        "v": pa.array([1, 2, 4, 8, 100], pa.int64()),
+    })
+    out = grouped_rolling_range_sum(
+        rd.from_arrow(t), keys=["k"], order_col="t", col="v",
+        range_preceding=10, schema=t.schema,
+    )
+    got = {(r["k"], r["t"], r["v"]): r["rolling"] for r in out.take_all()}
+    assert got[(1, 0, 1)] == 1
+    # both t=10 rows see each other (peers) AND t=0 (10 - 10 = 0 inclusive)
+    assert got[(1, 10, 2)] == 7 and got[(1, 10, 4)] == 7
+    # t=21: window [11, 21] -> only itself (t=10 is outside)
+    assert got[(1, 21, 8)] == 8
+    assert got[(2, 10, 100)] == 100  # separate key segment
+
+
+def test_paragraph_dedup_semantics(ray_session):
+    """First global occurrence wins, empties are structure (always kept),
+    docs reassemble in order; a fully-duplicate doc vanishes."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\n\nbeta",     # defines alpha, beta; middle empty kept
+            "beta\ngamma\n",     # beta dropped; trailing '' kept
+            "alpha",             # fully duplicate -> vanishes
+        ]),
+    })
+    out = {r["doc_id"]: r["clean_text"]
+           for r in paragraph_dedup(rd.from_arrow(docs)).take_all()}
+    assert out == {1: "alpha\n\nbeta", 2: "gamma\n"}
+
+
+def test_bloom_semi_join_exact_and_null_semantics(ray_session):
+    """bloom_semi_join is exact (bitmap false positives removed by the
+    verify) and anti keeps NULL left keys — NOT EXISTS, matching
+    semi_join_filter's convention."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.sketch import bloom_semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, None, 7, 8], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, 4, 8, 100], pa.int64()),
+    }))
+    semi = sorted(
+        r["k"]
+        for r in bloom_semi_join(left, right, on="k",
+                                 m_bits=1 << 10).take_all()
+    )
+    assert semi == [2, 4, 8]
+    anti = [
+        r["k"]
+        for r in bloom_semi_join(left, right, on="k", m_bits=1 << 10,
+                                 anti=True).take_all()
+    ]
+    assert sorted(x for x in anti if x is not None) == [1, 3, 5, 7]
+    assert None in anti
+
+
+def test_bloom_bitmap_prunes_disjoint_probe(ray_session):
+    """With disjoint key sets the bitmap alone rejects ~everything: the
+    exact verify then runs over a negligible survivor fraction."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import mix64
+    from debezium_connector_db2_ray.functions.sketch import bloom_bitmap
+
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, 8, 16, 32], pa.int64()),
+    }))
+    bits_ref, mb = bloom_bitmap(right, col="k", m_bits=1 << 16)
+    bits = ray.get(bits_ref)
+    probe = np.arange(10_000, 30_000, dtype=np.int64)
+    h = mix64(probe).astype(np.uint64)
+    m = np.uint64(mb)
+    hit = np.ones(len(probe), bool)
+    for hh in (h % m, (h >> np.uint64(32) | h << np.uint64(32)) % m):
+        hit &= (
+            bits[(hh >> np.uint64(3)).astype(np.int64)]
+            >> (hh & np.uint64(7)).astype(np.uint8)
+        ) & 1 == 1
+    assert hit.mean() < 0.01
+
+
+def test_inverted_index_lookup_and_bucket_pruning(ray_session, tmp_path):
+    """Persisted inverted index returns exactly the brute-force postings;
+    probing fewer terms reads strictly fewer bytes (dir-level pruning)."""
+    import os
+
+    import polars as pl
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.index import (
+        build_inverted_index,
+        inverted_index_lookup,
+        inverted_index_paths,
+    )
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    idx = str(tmp_path / "inv")
+    build_inverted_index(ds, idx, num_buckets=16)
+
+    got = {
+        (r["term"], r["doc_id"])
+        for r in inverted_index_lookup(idx, ["merge", "vector"]).take_all()
+    }
+    df = pl.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    toks = df.with_columns(
+        pl.col("text").fill_null("").str.to_lowercase()
+        .str.extract_all(TOKEN_PATTERN).list.unique().alias("t")
+    ).explode("t")
+    ref = {
+        (t, d) for d, t in zip(toks["doc_id"], toks["t"])
+        if t in ("merge", "vector")
+    }
+    assert got == ref and len(got) > 0
+
+    one = sum(os.path.getsize(f)
+              for f in inverted_index_paths(idx, ["merge"]))
+    many = sum(
+        os.path.getsize(f)
+        for f in inverted_index_paths(
+            idx, ["merge", "vector", "customer", "join", "sort", "table"]
+        )
+    )
+    assert 0 < one < many
+    assert inverted_index_lookup(idx, ["zzz_not_a_word"]).count() == 0
+
+
+def test_radius_search_matches_bruteforce(ray_session):
+    """radius_search == brute-force cosine filter (excluding self)."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        _batch_matrix,
+        _normalize_rows,
+        radius_search,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 8
+    mat = rng.standard_normal((n, d))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in mat],
+            pa.list_(pa.float32()),
+        ),
+    })
+    q = {"qids": np.arange(3, dtype=np.int64),
+         "matrix": _batch_matrix(tbl.slice(0, 3))}
+    out = {
+        (r["query_id"], r["vec_id"])
+        for r in radius_search(
+            rd.from_arrow(tbl), ray.put(q), threshold=0.5
+        ).take_all()
+    }
+    m = _normalize_rows(_batch_matrix(tbl))
+    sims = m[:3] @ m.T
+    ref = {
+        (qi, vi)
+        for qi in range(3)
+        for vi in range(n)
+        if sims[qi, vi] >= 0.5 and vi != qi
+    }
+    assert out == ref and len(ref) > 3
