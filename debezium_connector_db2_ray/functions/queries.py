@@ -4367,3 +4367,75 @@ def q_index_lookup(sf_dir: str):
 
 DATA_QUERIES["text_index_lookup"] = q_index_lookup
 DATA_ORACLES["text_index_lookup"] = SQL_INDEX_LOOKUP
+
+
+# Gopher-style repetition quality signals (Rae et al. 2021 heuristics):
+# integer-quantized ratios with shared floor() arithmetic, map-only.
+SQL_GOPHER = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(lower(text), ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+words AS (
+  SELECT doc_id, word,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM (
+    SELECT doc_id, unnest(w) AS word,
+           unnest(generate_series(1, len(w))) AS i
+    FROM base
+  )
+),
+wc AS (
+  SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2
+),
+wstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_n
+  FROM wc GROUP BY 1
+),
+chars AS (
+  SELECT doc_id, CAST(sum(len(word)) AS BIGINT) AS n_chars
+  FROM words GROUP BY 1
+),
+g2 AS (
+  SELECT doc_id, count(*) AS n2, count(DISTINCT word || ' ' || nxt) AS d2
+  FROM words WHERE nxt IS NOT NULL GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(s.n_words, 0) AS n_words,
+       coalesce(s.distinct_words, 0) AS distinct_words,
+       coalesce(s.top_word_n, 0) AS top_word_n,
+       CAST(floor(100.0 * coalesce(c.n_chars, 0)
+                  / greatest(coalesce(s.n_words, 0), 1)) AS BIGINT)
+           AS mean_word_len_x100,
+       CAST(floor(1000.0 * (coalesce(g.n2, 0) - coalesce(g.d2, 0))
+                  / greatest(coalesce(g.n2, 0), 1)) AS BIGINT)
+           AS dup_2gram_permille,
+       (coalesce(s.n_words, 0) >= 20
+        AND coalesce(s.top_word_n, 0) * 10 <= coalesce(s.n_words, 0)
+        AND floor(1000.0 * (coalesce(g.n2, 0) - coalesce(g.d2, 0))
+                  / greatest(coalesce(g.n2, 0), 1)) < 150) AS keep
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN wstats s USING (doc_id)
+LEFT JOIN chars c USING (doc_id)
+LEFT JOIN g2 g USING (doc_id)
+"""
+
+
+def q_gopher_quality(sf_dir: str):
+    """Map-only per-doc Gopher repetition metrics + the composed keep bit
+    (text.gopher_repetition_batch: one polars pass per batch)."""
+    from debezium_connector_db2_ray.functions.text import (
+        gopher_repetition_batch,
+    )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        gopher_repetition_batch, batch_format="pyarrow"
+    )
+
+
+DATA_QUERIES["docs_gopher_quality"] = q_gopher_quality
+DATA_ORACLES["docs_gopher_quality"] = SQL_GOPHER

@@ -383,3 +383,86 @@ def vocab_coverage(ds, *, vocab_k: int = 200, text_col: str = "text",
         ]))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def gopher_repetition_batch(batch: pa.Table, *, text_col: str = "text",
+                            id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition/quality signals per document (Rae et al.
+    2021, 'Scaling Language Models' quality heuristics — reimplemented
+    from the published descriptions): word count, distinct words, the top
+    word's frequency, mean word length, and the duplicated-2-gram
+    fraction. All ratios are emitted as INTEGER permille/x100 values with
+    floor() arithmetic shared verbatim with the SQL oracle, so the gate
+    hash is float-free. One polars pass per batch: explode words with an
+    in-doc order index, shift(-1).over(doc) builds 2-grams, two group_bys
+    produce every per-doc stat — no Python row loops.
+
+    ``keep`` is the composed filter bit (enough words, no single dominant
+    word, low 2-gram repetition) — integer comparisons only."""
+    import polars as pl
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+    base = pl.DataFrame({
+        "doc": pl.from_arrow(ids),
+        "w": s.str.to_lowercase().str.extract_all(TOKEN_PATTERN),
+    })
+    words = (
+        base.explode("w")
+        .with_columns(nxt=pl.col("w").shift(-1).over("doc"))
+    )
+    wc = (
+        words.drop_nulls("w").group_by("doc", "w").agg(c=pl.len())
+    )
+    wstats = wc.group_by("doc").agg(
+        n_words=pl.col("c").sum(),
+        distinct_words=pl.len(),
+        top_word_n=pl.col("c").max(),
+    )
+    chars = (
+        words.drop_nulls("w").group_by("doc")
+        .agg(n_chars=pl.col("w").str.len_chars().sum())
+    )
+    g2 = (
+        words.drop_nulls("nxt").drop_nulls("w")
+        .with_columns(g=pl.col("w") + " " + pl.col("nxt"))
+        .group_by("doc")
+        .agg(n2=pl.len(), d2=pl.col("g").n_unique())
+    )
+    out = (
+        base.select("doc").unique()
+        .join(wstats, on="doc", how="left")
+        .join(chars, on="doc", how="left")
+        .join(g2, on="doc", how="left")
+        .fill_null(0)
+        .sort("doc")
+    )
+    nw = out["n_words"].to_numpy().astype(np.int64)
+    nc = out["n_chars"].to_numpy().astype(np.int64)
+    top = out["top_word_n"].to_numpy().astype(np.int64)
+    n2 = out["n2"].to_numpy().astype(np.int64)
+    d2 = out["d2"].to_numpy().astype(np.int64)
+    mean_wl = np.floor(
+        100.0 * nc.astype(np.float64) / np.maximum(nw, 1).astype(np.float64)
+    ).astype(np.int64)
+    dup2 = np.floor(
+        1000.0 * (n2 - d2).astype(np.float64)
+        / np.maximum(n2, 1).astype(np.float64)
+    ).astype(np.int64)
+    keep = (nw >= 20) & (top * 10 <= nw) & (dup2 < 150)
+    return pa.table({
+        id_col: pa.array(out["doc"].to_numpy().astype(np.int64), pa.int64()),
+        "n_words": pa.array(nw, pa.int64()),
+        "distinct_words": pa.array(
+            out["distinct_words"].to_numpy().astype(np.int64), pa.int64()
+        ),
+        "top_word_n": pa.array(top, pa.int64()),
+        "mean_word_len_x100": pa.array(mean_wl, pa.int64()),
+        "dup_2gram_permille": pa.array(dup2, pa.int64()),
+        "keep": pa.array(keep),
+    })

@@ -229,3 +229,44 @@ def test_radius_search_matches_bruteforce(ray_session):
         if sims[qi, vi] >= 0.5 and vi != qi
     }
     assert out == ref and len(ref) > 3
+
+
+def test_gopher_repetition_signals():
+    """gopher_repetition_batch: hand-computed stats on crafted docs."""
+    from debezium_connector_db2_ray.functions.text import (
+        gopher_repetition_batch,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            # 21 distinct-ish words, no repetition -> keep
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi",
+            # dominant word: "spam" 10/12 occurrences -> top*10 > n
+            "spam spam spam spam spam spam spam spam spam spam ham egg",
+            # heavy 2-gram repetition: "go go" repeated
+            " ".join(["go"] * 30),
+            None,  # NULL text -> all zeros, keep=False
+        ]),
+    })
+    out = gopher_repetition_batch(docs).to_pydict()
+    i = {d: j for j, d in enumerate(out["doc_id"])}
+    # doc 1: 21 words, all distinct, keep
+    assert out["n_words"][i[1]] == 21
+    assert out["distinct_words"][i[1]] == 21
+    assert out["top_word_n"][i[1]] == 1
+    assert out["dup_2gram_permille"][i[1]] == 0
+    assert out["keep"][i[1]] is True
+    # doc 2: 12 words, top word 10 -> fails dominance test
+    assert out["n_words"][i[2]] == 12
+    assert out["top_word_n"][i[2]] == 10
+    assert out["keep"][i[2]] is False
+    # doc 3: 30 words, 29 bigrams all "go go" -> dup fraction 28/29
+    assert out["n_words"][i[3]] == 30
+    assert out["dup_2gram_permille"][i[3]] == int(1000 * 28 / 29)
+    assert out["keep"][i[3]] is False
+    # doc 4: NULL text -> zeros, mean_word_len floor(0/1)=0
+    assert out["n_words"][i[4]] == 0
+    assert out["mean_word_len_x100"][i[4]] == 0
+    assert out["keep"][i[4]] is False
