@@ -4439,3 +4439,431 @@ def q_gopher_quality(sf_dir: str):
 
 DATA_QUERIES["docs_gopher_quality"] = q_gopher_quality
 DATA_ORACLES["docs_gopher_quality"] = SQL_GOPHER
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped batch 2: Q4 / Q6 / Q10 / Q14 / Q18 adaptations
+# (columns limited to the driver's synthetic schema; money / discounts in
+# scaled integers so every aggregate is cross-engine exact)
+# ---------------------------------------------------------------------------
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_e4,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H-Q6-shaped forecast-revenue scan: the shipdate range is pushed
+    into the parquet read (row-group pruning), the discount/quantity
+    predicates and the money products are one vectorized pass, and each
+    batch collapses to a single partial row — only O(batches) rows reach
+    the final one-block sum. The canonical map-only scan-aggregate: at
+    100 TB nothing but 16-byte partials crosses the wire."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    lo = _dt.datetime(1997, 1, 1)
+    hi = _dt.datetime(1998, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = pc.round(pc.multiply(batch["l_discount"], 100.0)).cast(
+            pa.int64()
+        )
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(disc, 5), pc.less_equal(disc, 7)),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        t = batch.filter(pc.fill_null(keep, False))
+        price = pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(
+            pa.int64()
+        )
+        d = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        rev = pc.sum(pc.multiply(price, d)).as_py() or 0
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "revenue_e4": pa.array([rev], pa.int64()),
+            "n_items": pa.array([t.num_rows], pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"revenue_e4": ("revenue_e4", "sum"),
+              "n_items": ("n_items", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("g", pa.int64()),
+            ("revenue_e4", pa.int64()),
+            ("n_items", pa.int64()),
+        ]),
+    )
+    return agg.map_batches(
+        lambda t: t.select(["revenue_e4", "n_items"]),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q6_forecast"] = q_tpch_q6
+DATA_ORACLES["tpch_q6_forecast"] = SQL_TPCH_Q6
+
+
+SQL_TPCH_Q4 = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H-Q4-shaped correlated EXISTS (late-shipped orders per
+    priority; the synthetic schema has no commit/receipt dates, so the
+    lateness predicate is l_shipdate > o_orderdate). The correlated
+    subquery decorrelates into: per-order max(l_shipdate) via the
+    grouped_aggregate combiner (lineitem collapses map-side before its
+    single exchange), one repartition_join to orders, a map-side lateness
+    filter, and a tiny per-priority count. No row of lineitem crosses the
+    wire more than once, and only one partial row per (batch, order)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    max_ship = grouped_aggregate(
+        li.map_batches(
+            lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                                "max_ship": t["l_shipdate"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["o_orderkey"],
+        aggs={"max_ship": ("max_ship", "max")},
+        schema=pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("max_ship", pa.timestamp("us")),
+        ]),
+    )
+    j = repartition_join(max_ship, orders, on="o_orderkey")
+
+    def late(batch: pa.Table) -> pa.Table:
+        m = pc.greater(batch["max_ship"], batch["o_orderdate"])
+        return batch.filter(pc.fill_null(m, False))
+
+    return grouped_aggregate(
+        j.map_batches(late, batch_format="pyarrow"),
+        keys=["o_orderpriority"],
+        aggs={"order_count": ("o_orderkey", "count")},
+        num_partitions=1,
+        # input schema (grouped_aggregate's `schema` describes the ds
+        # feeding the aggregate, not its output)
+        schema=pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("max_ship", pa.timestamp("us")),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]),
+    )
+
+
+DATA_QUERIES["tpch_q4_late_orders"] = q_tpch_q4
+DATA_ORACLES["tpch_q4_late_orders"] = SQL_TPCH_Q4
+
+
+SQL_TPCH_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS BIGINT) AS revenue_e4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_e4 DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: the returnflag predicate is
+    pushed into the parquet read; lineitem collapses to (orderkey, rev)
+    partials; ONE repartition_join against orders routes revenue to
+    custkeys; the per-customer aggregate runs on the combiner path; the
+    small result enriches via two broadcast_joins (customer, nation — the
+    dimension sides ship to the data, the fact side never reshuffles);
+    global_top_k keeps O(k) per batch instead of a full sort."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        global_top_k,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(batch["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(batch["l_discount"], 100.0)).cast(
+            pa.int64()
+        )
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "rev_e4": pc.multiply(
+                price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+            ),
+        })
+
+    j = repartition_join(
+        orders, li.map_batches(rev, batch_format="pyarrow"),
+        on="l_orderkey",
+    )
+    per_cust = grouped_aggregate(
+        j.select_columns(["c_custkey", "rev_e4"]),
+        keys=["c_custkey"],
+        aggs={"revenue_e4": ("rev_e4", "sum")},
+        # input schema, not output
+        schema=pa.schema([
+            ("c_custkey", pa.int64()),
+            ("rev_e4", pa.int64()),
+        ]),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"],
+    )
+    enriched = broadcast_join(
+        broadcast_join(per_cust, cust, on="c_custkey"),
+        nat, on="c_nationkey", right_on="n_nationkey",
+    )
+    top = global_top_k(
+        enriched.select_columns(
+            ["c_custkey", "c_name", "n_name", "revenue_e4"]
+        ),
+        order_by=[("revenue_e4", "descending"),
+                  ("c_custkey", "ascending")],
+        k=20,
+    )
+    return top
+
+
+DATA_QUERIES["tpch_q10_returns"] = q_tpch_q10
+DATA_ORACLES["tpch_q10_returns"] = SQL_TPCH_Q10
+
+
+SQL_TPCH_Q14 = """
+SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                     ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS BIGINT) AS total_rev_e4
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+"""
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H-Q14-shaped promo-revenue share: one month of lineitem (range
+    pushed to the read) broadcast-joined against part (the dimension ships
+    to the data), then per-batch conditional partial sums — the promo/total
+    pair stays integer so the gate hash is float-free (the percentage is a
+    trivial driver-side division the caller can do)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    lo = _dt.datetime(1997, 9, 1)
+    hi = _dt.datetime(1997, 10, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+    )
+    j = broadcast_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(batch["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(batch["l_discount"], 100.0)).cast(
+            pa.int64()
+        )
+        rev = pc.multiply(
+            price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        ).to_numpy(zero_copy_only=False)
+        promo = pc.equal(batch["p_type"], "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "promo_rev_e4": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_rev_e4": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"promo_rev_e4": ("promo_rev_e4", "sum"),
+              "total_rev_e4": ("total_rev_e4", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("g", pa.int64()),
+            ("promo_rev_e4", pa.int64()),
+            ("total_rev_e4", pa.int64()),
+        ]),
+    )
+    return agg.map_batches(
+        lambda t: t.select(["promo_rev_e4", "total_rev_e4"]),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q14_promo"] = q_tpch_q14
+DATA_ORACLES["tpch_q14_promo"] = SQL_TPCH_Q14
+
+
+Q18_MIN_QTY = 150
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_MIN_QTY}
+)
+SELECT o.o_custkey, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+"""
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-order report: per-order quantity sums
+    run on the grouped_aggregate combiner path, the HAVING filter prunes
+    map-side BEFORE the join (only qualifying orders — a small fraction —
+    enter the exchange), then one repartition_join attaches the order
+    header. The aggregate-then-semi-join-back shape from the reference's
+    transaction-boundary grouping (BEGIN/END counts per tx, A3), lifted to
+    the relational family."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+    qty = grouped_aggregate(
+        li.map_batches(
+            lambda t: pa.table({
+                "o_orderkey": t["l_orderkey"],
+                "sum_qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["o_orderkey"],
+        aggs={"sum_qty": ("sum_qty", "sum")},
+        schema=pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("sum_qty", pa.int64()),
+        ]),
+    ).filter(expr=f"sum_qty > {Q18_MIN_QTY}")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "total_cents": pc.round(
+                pc.multiply(t["o_totalprice"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    j = repartition_join(qty, orders, on="o_orderkey")
+    return j.map_batches(
+        lambda t: t.select(
+            ["o_custkey", "o_orderkey", "total_cents", "sum_qty"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q18_big_orders"] = q_tpch_q18
+DATA_ORACLES["tpch_q18_big_orders"] = SQL_TPCH_Q18
