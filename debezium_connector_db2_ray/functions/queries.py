@@ -4867,3 +4867,60 @@ def q_tpch_q18(sf_dir: str):
 
 DATA_QUERIES["tpch_q18_big_orders"] = q_tpch_q18
 DATA_ORACLES["tpch_q18_big_orders"] = SQL_TPCH_Q18
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (exact-substring dedup, Lee et al. 2021 shape)
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 8
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + {DUP_SPAN_N - 1}), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(w) - {DUP_SPAN_N - 1})) AS t(i)
+  WHERE len(w) >= {DUP_SPAN_N}
+)
+SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM grams
+GROUP BY gram
+HAVING count(*) >= 2
+"""
+
+
+def q_dup_spans(sf_dir: str):
+    """Duplicated 8-token spans across documents: per-batch distinct
+    (gram, doc) pairs (text.dup_span_grams — a doc lives in one batch, so
+    pairs are globally distinct), ONE string-keyed grouped_aggregate
+    exchange counting docs + min doc per gram, then a map-side >= 2
+    filter. The exact-substring-dedup discovery stage: its output feeds
+    span removal the way dedup_apply consumes drop lists. Shuffle volume
+    is bounded by distinct (gram, doc) pairs — at 100 TB, shard the gram
+    space further via the same hash partitioner (P self-sizes)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import dup_span_grams
+
+    pairs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        dup_span_grams, batch_format="pyarrow"
+    )
+    agg = grouped_aggregate(
+        pairs,
+        keys=["gram"],
+        aggs={"n_docs": ("doc_id", "count"),
+              "first_doc": ("doc_id", "min")},
+        schema=pa.schema([("gram", pa.string()), ("doc_id", pa.int64())]),
+    )
+    return agg.filter(expr="n_docs >= 2")
+
+
+DATA_QUERIES["docs_dup_spans"] = q_dup_spans
+DATA_ORACLES["docs_dup_spans"] = SQL_DUP_SPANS

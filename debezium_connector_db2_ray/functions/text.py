@@ -466,3 +466,45 @@ def gopher_repetition_batch(batch: pa.Table, *, text_col: str = "text",
         "dup_2gram_permille": pa.array(dup2, pa.int64()),
         "keep": pa.array(keep),
     })
+
+
+def dup_span_grams(batch: pa.Table, *, n: int = 8, text_col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Per-batch stage of duplicated-span detection (the exact-substring
+    dedup of Lee et al. 2021, 'Deduplicating Training Data Makes Language
+    Models Better' — reimplemented from the published description over
+    token n-grams instead of suffix arrays): emit each document's DISTINCT
+    lowercase n-token spans as (gram, doc_id) pairs. One polars pass:
+    explode tokens, build the n-gram with n-1 shift()s over the doc
+    segment, per-batch unique. Because a document occupies exactly one row
+    (and so one batch), the pairs are globally distinct — a downstream
+    grouped_aggregate count per gram IS the distinct-document count, with
+    no count-distinct machinery."""
+    import polars as pl
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+    base = pl.DataFrame({
+        "doc_id": pl.from_arrow(ids),
+        "w": s.str.to_lowercase().str.extract_all(TOKEN_PATTERN),
+    }).explode("w")
+    parts = [pl.col("w")] + [
+        pl.col("w").shift(-i).over("doc_id") for i in range(1, n)
+    ]
+    grams = (
+        base.with_columns(
+            gram=pl.concat_str(parts, separator=" ", ignore_nulls=False)
+        )
+        .drop_nulls("gram")       # trailing windows shorter than n
+        .select("doc_id", "gram")
+        .unique()
+    )
+    return pa.table({
+        "gram": grams["gram"].to_arrow().cast(pa.string()),
+        "doc_id": grams["doc_id"].to_arrow().cast(pa.int64()),
+    })

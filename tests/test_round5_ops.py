@@ -270,3 +270,33 @@ def test_gopher_repetition_signals():
     assert out["n_words"][i[4]] == 0
     assert out["mean_word_len_x100"][i[4]] == 0
     assert out["keep"][i[4]] is False
+
+
+def test_dup_span_grams_pairs_and_count():
+    """dup_span_grams: distinct per-doc 8-gram pairs; repeated in-doc
+    spans collapse; shared spans across docs surface exactly once each."""
+    from debezium_connector_db2_ray.functions.text import dup_span_grams
+
+    span = "one two three four five six seven eight"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"A {span} tail",
+            f"prefix {span}",
+            f"{span} {span}",          # in-doc repeat -> still one pair
+        ]),
+    })
+    out = dup_span_grams(docs).to_pydict()
+    pairs = set(zip(out["gram"], out["doc_id"]))
+    key = span.lower()
+    shared = {d for g, d in pairs if g == key}
+    assert shared == {1, 2, 3}
+    # doc 3 (16 tokens, all windows) contributes 9 windows but the
+    # repeated central span dedupes: 9 distinct grams at most
+    assert len({g for g, d in pairs if d == 3}) <= 9
+    # short doc: no grams at all
+    short = pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array(["too few tokens"]),
+    })
+    assert dup_span_grams(short).num_rows == 0
