@@ -4924,3 +4924,135 @@ def q_dup_spans(sf_dir: str):
 
 DATA_QUERIES["docs_dup_spans"] = q_dup_spans
 DATA_ORACLES["docs_dup_spans"] = SQL_DUP_SPANS
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup semantic dedup (Abbas et al. 2023 shape)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+SEMDEDUP_TAU = 0.40
+
+
+def _kmeans_sql_chain(k: int, iters: int) -> str:
+    """Unrolled Lloyd iterations as a DuckDB CTE chain ending in
+    ``a{iters}`` (vec_id, cl). Init = k lowest-vec_id vectors; argmin
+    ties break to the lowest cluster id (ORDER BY distance, cl — the
+    numpy first-hit convention); empty clusters keep the previous
+    centroid (coalesce in c{i+1}). Same float64 arithmetic as
+    similarity.kmeans_fit."""
+
+    def assign(c: str, a: str) -> str:
+        return (
+            f"{a} AS (\n"
+            f"  SELECT vec_id, cl FROM (\n"
+            f"    SELECT e.vec_id, {c}.cl,\n"
+            f"           row_number() OVER (PARTITION BY e.vec_id\n"
+            f"               ORDER BY list_distance("
+            f"CAST(e.embedding AS DOUBLE[]), {c}.c), {c}.cl) AS rn\n"
+            f"    FROM embeddings e CROSS JOIN {c}\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+
+    def update(a: str, c: str, i: int) -> str:
+        return (
+            f"s{i} AS (\n"
+            f"  SELECT {a}.cl, unnest(CAST(e.embedding AS DOUBLE[])) AS x,\n"
+            f"         unnest(generate_series(1, len(e.embedding))) AS idx\n"
+            f"  FROM {a} JOIN embeddings e USING (vec_id)\n"
+            f"),\n"
+            f"m{i} AS (SELECT cl, idx, avg(x) AS v FROM s{i} "
+            f"GROUP BY cl, idx),\n"
+            f"n{i} AS (SELECT cl, list(v ORDER BY idx) AS c FROM m{i} "
+            f"GROUP BY cl),\n"
+            f"c{i + 1} AS (SELECT {c}.cl, coalesce(n{i}.c, {c}.c) AS c\n"
+            f"        FROM {c} LEFT JOIN n{i} USING (cl))"
+        )
+
+    parts = [
+        f"c0 AS (\n"
+        f"  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+        f" AS cl,\n"
+        f"         CAST(embedding AS DOUBLE[]) AS c\n"
+        f"  FROM (SELECT vec_id, embedding FROM embeddings "
+        f"ORDER BY vec_id LIMIT {k})\n"
+        f")"
+    ]
+    for i in range(iters):
+        parts.append(assign(f"c{i}", f"a{i}"))
+        parts.append(update(f"a{i}", f"c{i}", i))
+    parts.append(assign(f"c{iters}", f"a{iters}"))
+    return "WITH " + ",\n".join(parts)
+
+
+SQL_KMEANS = (
+    _kmeans_sql_chain(KMEANS_K, KMEANS_ITERS)
+    + f"\nSELECT vec_id, cl AS cluster FROM a{KMEANS_ITERS}"
+)
+
+SQL_SEMDEDUP = (
+    _kmeans_sql_chain(KMEANS_K, KMEANS_ITERS)
+    + f"""
+SELECT DISTINCT a.vec_id, a.cl AS cluster
+FROM a{KMEANS_ITERS} a
+JOIN a{KMEANS_ITERS} b ON a.cl = b.cl AND b.vec_id < a.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+      >= {SEMDEDUP_TAU}"""
+)
+
+
+def _emb_cols(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+    )
+
+
+def q_emb_kmeans(sf_dir: str):
+    """Distributed k-means assignments: full-corpus Lloyd iterations where
+    each batch ships only k partial (sum, count) rows per pass
+    (similarity.kmeans_fit), then one map-only assignment pass against the
+    broadcast centroids. Oracle = the same iterations unrolled as SQL."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    ds = _emb_cols(sf_dir)
+    cent = kmeans_fit(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+    return kmeans_assign(ds, ray.put(cent))
+
+
+DATA_QUERIES["emb_kmeans"] = q_emb_kmeans
+DATA_ORACLES["emb_kmeans"] = SQL_KMEANS
+
+
+def q_emb_semantic_dedup(sf_dir: str):
+    """SemDeDup drop list: k-means cluster (broadcast centroids), ONE
+    exchange on cluster id, per-cluster normalized matmul, drop every
+    vector with a lower-id neighbor at cosine >= tau. The paper's
+    cluster-then-pairwise shape: k scales with the corpus so clusters
+    stay pairwise-sized (hard cap enforced)."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        kmeans_fit,
+        semantic_dedup_drops,
+    )
+
+    ds = _emb_cols(sf_dir)
+    cent = kmeans_fit(ds, k=KMEANS_K, iters=KMEANS_ITERS)
+    return semantic_dedup_drops(
+        ds, ray.put(cent), threshold=SEMDEDUP_TAU,
+    )
+
+
+DATA_QUERIES["emb_semantic_dedup"] = q_emb_semantic_dedup
+DATA_ORACLES["emb_semantic_dedup"] = SQL_SEMDEDUP

@@ -560,3 +560,162 @@ def radius_search(ds, queries_ref, *, threshold: float,
 
     return ds.map_batches(scan, batch_format="pyarrow",
                           concurrency=concurrency, num_cpus=0.5)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+def kmeans_init_centroids(ds, *, k: int, id_col: str = "vec_id",
+                          col: str = "embedding") -> np.ndarray:
+    """Deterministic init: the k lowest-id vectors, fetched via the
+    global_top_k combiner (each batch forwards at most k rows — no sort,
+    no full materialization). Returns a (k, d) float64 matrix."""
+    from debezium_connector_db2_ray.functions.relational import global_top_k
+
+    first = global_top_k(
+        ds, order_by=[(id_col, "ascending")], k=k,
+    )
+    parts = [t for t in first.to_arrow_refs()]
+    import ray as _ray
+
+    tbl = pa.concat_tables([t for t in _ray.get(parts) if t.num_rows])
+    tbl = tbl.sort_by([(id_col, "ascending")])
+    return _batch_matrix(tbl, col)
+
+
+def kmeans_fit(ds, *, k: int = 8, iters: int = 2,
+               init: "np.ndarray | None" = None,
+               id_col: str = "vec_id", col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd iterations over the FULL corpus (unlike
+    train_ivf_centroids, which fits a driver-side sample): each iteration
+    is one map-only pass where every batch computes its argmin-L2
+    assignment in a float64 matmul and collapses to AT MOST k partial rows
+    (per-cluster vector sum + count) — the k x d partials are the only
+    bytes that leave a worker, so an iteration's driver traffic is
+    O(k * d * n_batches) regardless of corpus size. Empty clusters keep
+    their previous centroid. Ties in the argmin break to the LOWEST
+    cluster id (np.argmin first-hit), matching the SQL oracle's
+    ORDER BY distance, cl.
+
+    SemDeDup's clustering stage (Abbas et al. 2023, 'SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication' —
+    reimplemented from the published description)."""
+    import ray as _ray
+
+    cent = (kmeans_init_centroids(ds, k=k, id_col=id_col, col=col)
+            if init is None else init.astype(np.float64))
+    k = len(cent)
+
+    for _ in range(iters):
+        ref = _ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = _ray.get(ref)
+            m = _batch_matrix(batch, col)
+            # argmin ||x-c||^2 == argmin (-2 x.c + |c|^2); first-hit tie
+            d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            sums = np.zeros((len(c), m.shape[1]), np.float64)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            live = np.nonzero(cnt)[0]
+            return pa.table({
+                "cl": pa.array(live, pa.int64()),
+                "cnt": pa.array(cnt[live], pa.int64()),
+                "vsum": pa.array(list(sums[live]),
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = pa.concat_tables(
+            _ray.get(ds.map_batches(
+                partial, batch_format="pyarrow"
+            ).to_arrow_refs())
+        )
+        if parts.num_rows:
+            cl = parts["cl"].to_numpy(zero_copy_only=False)
+            cnt = parts["cnt"].to_numpy(zero_copy_only=False)
+            d = cent.shape[1]
+            vs = (parts["vsum"].combine_chunks().flatten()
+                  .to_numpy(zero_copy_only=False).reshape(-1, d))
+            sums = np.zeros((k, d), np.float64)
+            np.add.at(sums, cl, vs)
+            total = np.bincount(cl, weights=cnt, minlength=k)
+            live = total > 0
+            cent = cent.copy()
+            cent[live] = sums[live] / total[live, None]
+    return cent
+
+
+def kmeans_assign(ds, centroids_ref, *, id_col: str = "vec_id",
+                  col: str = "embedding", keep_embedding: bool = False):
+    """Map-only assignment pass against broadcast centroids: returns
+    (id, cluster) — plus the embedding column when the caller feeds a
+    per-cluster stage next (saves a re-read)."""
+    import ray as _ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(centroids_ref)
+        m = _batch_matrix(batch, col)
+        d2 = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1).astype(np.int64)
+        cols = {
+            id_col: batch[id_col],
+            "cluster": pa.array(a, pa.int64()),
+        }
+        if keep_embedding:
+            cols[col] = batch[col]
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup_drops(ds, centroids_ref, *, threshold: float,
+                         id_col: str = "vec_id", col: str = "embedding",
+                         max_cluster_rows: int = 200_000):
+    """SemDeDup drop list: assign every vector to its nearest centroid
+    map-side, ONE exchange on cluster id, then each cluster runs a
+    partition-local normalized matmul and drops any vector with a
+    LOWER-id neighbor at cosine >= threshold (the deterministic min-id
+    keeper rule — same convention as the near-dup family). Output:
+    (vec_id, cluster) of dropped vectors.
+
+    Partitioning assumption (documented contract, like the paper's):
+    clusters are sized for pairwise work — k must grow with the corpus so
+    n/k stays bounded; ``max_cluster_rows`` hard-fails instead of letting
+    one mega-cluster go quadratic. At 100 TB the exchange moves each
+    embedding once; the k x d centroid matrix is broadcast, never
+    reshipped per batch."""
+    tagged = kmeans_assign(ds, centroids_ref, id_col=id_col, col=col,
+                           keep_embedding=True)
+
+    def drops(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0:
+            return empty
+        if group.num_rows > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: cluster of {group.num_rows} rows "
+                f"(> {max_cluster_rows}); raise k"
+            )
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        g = group.take(pa.array(order))
+        ids = ids[order]
+        m = _normalize_rows(_batch_matrix(g, col))
+        sims = m @ m.T
+        hit = sims >= threshold
+        # strictly-lower-id neighbor exists <=> any hit below the diagonal
+        dropped = np.tril(hit, -1).any(axis=1)
+        return pa.table({
+            id_col: pa.array(ids[dropped], pa.int64()),
+            "cluster": pa.array(
+                g["cluster"].to_numpy(zero_copy_only=False)[dropped],
+                pa.int64()),
+        })
+
+    return (tagged.groupby("cluster")
+            .map_groups(drops, batch_format="pyarrow"))

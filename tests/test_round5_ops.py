@@ -300,3 +300,87 @@ def test_dup_span_grams_pairs_and_count():
         "text": pa.array(["too few tokens"]),
     })
     assert dup_span_grams(short).num_rows == 0
+
+
+def _emb_table(n=120, d=6, seed=11):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    return pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(
+            [r.astype(np.float32) for r in m], pa.list_(pa.float32())
+        ),
+    }), m.astype(np.float32).astype(np.float64)
+
+
+def test_kmeans_fit_matches_numpy_lloyd(ray_session):
+    """Distributed kmeans_fit == single-process Lloyd with the same
+    init / tie / empty-cluster rules, regardless of batching."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import kmeans_fit
+
+    tbl, m = _emb_table()
+    k, iters = 5, 3
+    cent = m[:k].copy()
+    for _ in range(iters):
+        d2 = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = m[a == c].mean(axis=0)
+    got = kmeans_fit(
+        rd.from_arrow(tbl).repartition(7), k=k, iters=iters,
+    )
+    assert np.allclose(got, cent, atol=1e-9)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(ray_session):
+    """An init centroid that captures nothing survives unchanged."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import kmeans_fit
+
+    m = np.array([[0.0, 0.0], [0.1, 0.0], [10.0, 10.0], [10.1, 10.0]])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(4), pa.int64()),
+        "embedding": pa.array(
+            [r.astype(np.float32) for r in m], pa.list_(pa.float32())
+        ),
+    })
+    far = np.array([[100.0, 100.0]])
+    init = np.vstack([m[0], m[2], far[0]])
+    got = kmeans_fit(rd.from_arrow(tbl), iters=2, init=init)
+    assert np.allclose(got[2], far[0])  # never assigned -> unchanged
+    assert np.allclose(got[0], m[:2].mean(axis=0))
+    assert np.allclose(got[1], m[2:].mean(axis=0))
+
+
+def test_semantic_dedup_min_id_keeper(ray_session):
+    """Within a cluster every vector with a lower-id neighbor above tau
+    drops; the lowest id of each near-dup group survives."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        semantic_dedup_drops,
+    )
+
+    base = np.array([1.0, 0.0, 0.0])
+    rot = np.array([0.0, 1.0, 0.0])
+    vecs = np.stack([
+        base, base * 2.0,          # same direction -> cosine 1
+        rot, rot + 1e-3 * base,    # near-identical pair
+        np.array([0.0, 0.0, 1.0]),  # lone vector
+    ])
+    tbl = pa.table({
+        "vec_id": pa.array([10, 11, 20, 21, 30], pa.int64()),
+        "embedding": pa.array(
+            [r.astype(np.float32) for r in vecs], pa.list_(pa.float32())
+        ),
+    })
+    cent = np.zeros((1, 3))  # single cluster: pure pairwise semantics
+    out = semantic_dedup_drops(
+        rd.from_arrow(tbl).repartition(3), ray.put(cent), threshold=0.99,
+    ).take_all()
+    assert sorted(r["vec_id"] for r in out) == [11, 21]
