@@ -257,6 +257,10 @@ def run_gate_queries(timings: dict) -> None:
         ("text_heavy_terms", DATA_QUERIES),
         ("events_late_filter", DATA_QUERIES),
         ("ann_lsh_parity", DATA_QUERIES),
+        ("tpch_q10_returns", DATA_QUERIES),
+        ("docs_dup_spans", DATA_QUERIES),
+        ("emb_kmeans", DATA_QUERIES),
+        ("docs_gopher_quality", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

@@ -5056,3 +5056,83 @@ def q_emb_semantic_dedup(sf_dir: str):
 
 DATA_QUERIES["emb_semantic_dedup"] = q_emb_semantic_dedup
 DATA_ORACLES["emb_semantic_dedup"] = SQL_SEMDEDUP
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (
+  SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         unnest(generate_series(1, len(embedding))) AS idx
+  FROM embeddings
+)
+SELECT label, idx,
+       CAST(floor(1000000.0 * sum(x) / count(*)) AS BIGINT) AS c_x1e6,
+       count(*) AS n
+FROM u GROUP BY label, idx
+"""
+
+
+def q_emb_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregate: per-label embedding centroid, emitted as
+    (label, dim-idx, quantized component, count) rows. Each batch collapses
+    to labels x d partial-sum rows via one np.add.at (no per-row work), one
+    small exchange on (label, idx) finalizes, and the mean quantizes to
+    floor(1e6 x) so the gate hash is float-free. The label-conditional
+    statistics stage of curation pipelines (class prototypes, per-domain
+    embedding drift) — at 100 TB only labels x d x n_batches rows move."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.similarity import (
+        _batch_matrix,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq, codes = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+        np.add.at(sums, codes, m)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        d = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "idx": pa.array(np.tile(np.arange(1, d + 1), len(uniq)),
+                            pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["label", "idx"],
+        aggs={"s": ("s", "sum"), "n": ("n", "sum")},
+        schema=pa.schema([
+            ("label", pa.int64()), ("idx", pa.int64()),
+            ("s", pa.float64()), ("n", pa.int64()),
+        ]),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.floor(1e6 * s / n).astype(np.int64)
+        return pa.table({
+            "label": t["label"],
+            "idx": t["idx"],
+            "c_x1e6": pa.array(c, pa.int64()),
+            "n": t["n"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+DATA_QUERIES["emb_label_centroids"] = q_emb_label_centroids
+DATA_ORACLES["emb_label_centroids"] = SQL_LABEL_CENTROIDS

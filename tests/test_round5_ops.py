@@ -384,3 +384,31 @@ def test_semantic_dedup_min_id_keeper(ray_session):
         rd.from_arrow(tbl).repartition(3), ray.put(cent), threshold=0.99,
     ).take_all()
     assert sorted(r["vec_id"] for r in out) == [11, 21]
+
+
+def test_label_centroids_quantized(ray_session, tmp_path):
+    """Per-label centroid rows: quantized means match numpy per label."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_emb_label_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 4
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    labels = (np.arange(n) % 3).astype(np.int32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([r for r in m], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_emb_label_centroids(str(tmp_path)).to_pandas()
+    assert len(out) == 3 * d
+    for lb in range(3):
+        sel = m.astype(np.float64)[labels == lb]
+        for idx in range(d):
+            row = out[(out.label == lb) & (out.idx == idx + 1)].iloc[0]
+            assert row.n == len(sel)
+            want = int(np.floor(1e6 * sel[:, idx].sum() / len(sel)))
+            assert row.c_x1e6 == want
