@@ -5136,3 +5136,52 @@ def q_emb_label_centroids(sf_dir: str):
 
 DATA_QUERIES["emb_label_centroids"] = q_emb_label_centroids
 DATA_ORACLES["emb_label_centroids"] = SQL_LABEL_CENTROIDS
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id < {ANN_NQ}
+),
+sims AS (
+  SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+),
+votes AS (
+  SELECT query_id, label, count(*) AS votes
+  FROM ranked WHERE rn <= {ANN_K} GROUP BY query_id, label
+),
+best AS (
+  SELECT query_id, label AS pred_label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rb
+  FROM votes
+)
+SELECT query_id, pred_label, votes FROM best WHERE rb = 1
+"""
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN majority-vote label prediction over the embeddings corpus
+    (similarity.knn_classify): label-carrying brute-force partials, one
+    per-query merge + vote; self-matches excluded."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        knn_classify,
+    )
+
+    ref = ray.put(_query_matrix(sf_dir))
+    return knn_classify(_emb(sf_dir), ref, k=ANN_K)
+
+
+DATA_QUERIES["knn_classify"] = q_knn_classify
+DATA_ORACLES["knn_classify"] = SQL_KNN_CLASSIFY

@@ -719,3 +719,83 @@ def semantic_dedup_drops(ds, centroids_ref, *, threshold: float,
 
     return (tagged.groupby("cluster")
             .map_groups(drops, batch_format="pyarrow"))
+
+
+class KnnLabelPartial:
+    """Actor-pool stage for k-NN classification: per-batch cosine top-k
+    against the broadcast query matrix, carrying each candidate's LABEL.
+    Self-matches (vec_id == query_id) are excluded so a vector never votes
+    for itself. Emits (query_id, vec_id, label, sim) partials — at most
+    k rows per (query, batch) leave the worker."""
+
+    def __init__(self, queries_ref, k: int = 10,
+                 label_col: str = "label"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, dict) \
+            else queries_ref
+        self.qids = np.asarray(q["qids"], np.int64)
+        self.qm = _normalize_rows(np.asarray(q["matrix"], np.float64))
+        self.k = k
+        self.label_col = label_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize_rows(_batch_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        labels = batch[self.label_col].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sims = self.qm @ m.T  # (Q, B)
+        sims[self.qids[:, None] == ids[None, :]] = -np.inf
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        qi = np.repeat(self.qids, k)
+        flat = part.reshape(-1)
+        sv = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = np.isfinite(sv)
+        return pa.table({
+            "query_id": pa.array(qi[keep], pa.int64()),
+            "vec_id": pa.array(ids[flat][keep], pa.int64()),
+            "label": pa.array(labels[flat][keep], pa.int64()),
+            "sim": pa.array(sv[keep], pa.float64()),
+        })
+
+
+def knn_classify(ds, queries_ref, *, k: int = 10,
+                 label_col: str = "label", concurrency: int = 2):
+    """k-NN majority-vote label prediction: brute-force partial top-k per
+    batch (labels attached at the scan — no post-hoc label join), one
+    per-query merge re-ranks the <= k * n_batches survivors by
+    (-sim, vec_id) and votes: most votes wins, ties break to the LOWEST
+    label. Output (query_id, pred_label, votes). The nearest-neighbor
+    quality/label-transfer stage of curation pipelines, exact by
+    construction and oracle-checkable in SQL."""
+    partials = ds.map_batches(
+        KnnLabelPartial,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k,
+                               "label_col": label_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )
+
+    def vote(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["sim"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        labels = group["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        lab = labels[order]
+        uniq, cnt = np.unique(lab, return_counts=True)
+        best = np.lexsort((uniq, -cnt))[0]  # max votes, min label on tie
+        return pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "pred_label": pa.array([uniq[best]], pa.int64()),
+            "votes": pa.array([int(cnt[best])], pa.int64()),
+        })
+
+    return partials.groupby("query_id").map_groups(
+        vote, batch_format="pyarrow"
+    )

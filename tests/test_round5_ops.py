@@ -412,3 +412,35 @@ def test_label_centroids_quantized(ray_session, tmp_path):
             assert row.n == len(sel)
             want = int(np.floor(1e6 * sel[:, idx].sum() / len(sel)))
             assert row.c_x1e6 == want
+
+
+def test_knn_classify_vote_and_self_exclusion(ray_session):
+    """knn_classify: majority vote with min-label tiebreak; a query
+    vector never votes for itself."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        knn_classify,
+    )
+
+    # two tight direction groups: queries 0 (group A) and 3 (group B)
+    a = np.array([1.0, 0.0]); b = np.array([0.0, 1.0])
+    vecs = np.stack([a, a * 2, a * 3, b, b * 2, b * 3])
+    labels = np.array([7, 7, 7, 2, 2, 2])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6), pa.int64()),
+        "embedding": pa.array(
+            [r.astype(np.float32) for r in vecs], pa.list_(pa.float32())
+        ),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    q = {"qids": np.array([0, 3], dtype=np.int64),
+         "matrix": vecs[[0, 3]].astype(np.float64)}
+    out = {r["query_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(
+               rd.from_arrow(tbl).repartition(3), ray.put(q), k=2
+           ).take_all()}
+    # query 0's own row is excluded; its 2 nearest are the other two A's
+    assert out[0] == (7, 2)
+    assert out[3] == (2, 2)
