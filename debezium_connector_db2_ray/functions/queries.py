@@ -5185,3 +5185,96 @@ def q_knn_classify(sf_dir: str):
 
 DATA_QUERIES["knn_classify"] = q_knn_classify
 DATA_ORACLES["knn_classify"] = SQL_KNN_CLASSIFY
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part<->supplier co-occurrence graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 2
+
+SQL_PAGERANK = f"""
+WITH e0 AS (
+  SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+  FROM lineitem
+),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS r FROM deg),
+i1 AS (
+  SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+  FROM edges e
+  JOIN r0 ON r0.node = e.src
+  JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+r1 AS (SELECT node,
+              {1.0 - PAGERANK_D} / (SELECT n FROM n) + {PAGERANK_D} * s AS r
+       FROM i1),
+i2 AS (
+  SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+  FROM edges e
+  JOIN r1 ON r1.node = e.src
+  JOIN deg ON deg.node = e.src
+  GROUP BY e.dst
+),
+r2 AS (SELECT node,
+              {1.0 - PAGERANK_D} / (SELECT n FROM n) + {PAGERANK_D} * s AS r
+       FROM i2)
+SELECT node, CAST(floor(r * 1000000000) AS BIGINT) AS pr_x1e9 FROM r2
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank on the undirected part<->supplier co-purchase graph
+    (distinct lineitem pairs, both directions, disjoint node encoding
+    2k / 2k+1): relational.pagerank runs the two-exchange-per-iteration
+    dataflow; output quantized to floor(r * 1e9) for a float-free hash."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        pagerank,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"],
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        p = pc.add(pc.multiply(t["l_partkey"], 2), 0).cast(pa.int64())
+        s = pc.add(
+            pc.multiply(t["l_suppkey"].cast(pa.int64()), 2), 1
+        )
+        return pa.table({
+            "src": pa.concat_arrays(
+                [p.combine_chunks(), s.combine_chunks()]
+            ),
+            "dst": pa.concat_arrays(
+                [s.combine_chunks(), p.combine_chunks()]
+            ),
+        })
+
+    edges = grouped_aggregate(
+        li.map_batches(both_dirs, batch_format="pyarrow"),
+        keys=["src", "dst"],
+        aggs={"n": ("src", "count")},
+        schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    ).select_columns(["src", "dst"])
+
+    pr = pagerank(edges, damping=PAGERANK_D, iters=PAGERANK_ITERS)
+    return pr.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "pr_x1e9": pc.floor(
+                pc.multiply(t["r"], 1e9)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["graph_pagerank"] = q_pagerank
+DATA_ORACLES["graph_pagerank"] = SQL_PAGERANK

@@ -2510,3 +2510,89 @@ def grouped_rolling_range_sum(ds, *, keys: list[str], order_col: str,
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
+             num_partitions: int | None = None):
+    """Distributed PageRank over an UNDIRECTED edge list (columns
+    ``src, dst`` — callers pass both directions of each edge, so every
+    node has out-degree > 0 and no dangling-mass correction is needed).
+    Each iteration is the classic two-exchange dataflow: join the rank
+    vector to the edge list on ``src`` (repartition_join), emit
+    r(src)/deg(src) contributions map-side, then one grouped sum on
+    ``dst`` and the damping affine map. Ranks and edges stay Datasets
+    end-to-end; the only driver-side scalar is N (node count). Same
+    iterative-partials family as similarity.kmeans_fit and the hash-min
+    label propagation in duplicate_components (reference analog: none —
+    the reference's graph-shaped work stops at transaction lineage,
+    SURVEY §2 A3).
+
+    Returns (node, r) with float64 ranks after ``iters`` iterations from
+    the uniform start; callers quantize for hashing."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(edges)
+
+    deg = grouped_aggregate(
+        edges.map_batches(
+            lambda t: pa.table({"node": t["src"]}),
+            batch_format="pyarrow",
+        ),
+        keys=["node"],
+        aggs={"deg": ("node", "count")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("node", pa.int64())]),
+    )
+    n_nodes = deg.count()
+    base = (1.0 - damping) / n_nodes
+
+    # static per-edge state: (src, dst, deg_src) — joined ONCE, reused
+    # every iteration
+    ej = repartition_join(
+        edges,
+        deg.map_batches(
+            lambda t: pa.table({"src": t["node"], "deg": t["deg"]}),
+            batch_format="pyarrow",
+        ),
+        on="src", num_partitions=num_partitions,
+    )
+
+    ranks = deg.map_batches(
+        lambda t, _n=n_nodes: pa.table({
+            "src": t["node"],
+            "r": pa.array(np.full(t.num_rows, 1.0 / _n), pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+    for _ in range(iters):
+        contrib = repartition_join(
+            ej, ranks, on="src", num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({
+                "node": t["dst"],
+                "c": pc.divide(
+                    t["r"], pc.cast(t["deg"], pa.float64())
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+        summed = grouped_aggregate(
+            contrib,
+            keys=["node"],
+            aggs={"s": ("c", "sum")},
+            num_partitions=num_partitions,
+            schema=pa.schema([("node", pa.int64()), ("c", pa.float64())]),
+        )
+        ranks = summed.map_batches(
+            lambda t, _b=base, _d=damping: pa.table({
+                "src": t["node"],
+                "r": pc.add(
+                    pa.scalar(_b, pa.float64()),
+                    pc.multiply(t["s"], pa.scalar(_d, pa.float64())),
+                ),
+            }),
+            batch_format="pyarrow",
+        )
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["src"], "r": t["r"]}),
+        batch_format="pyarrow",
+    )

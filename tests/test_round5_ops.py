@@ -444,3 +444,33 @@ def test_knn_classify_vote_and_self_exclusion(ray_session):
     # query 0's own row is excluded; its 2 nearest are the other two A's
     assert out[0] == (7, 2)
     assert out[3] == (2, 2)
+
+
+def test_pagerank_star_graph(ray_session):
+    """pagerank on a 4-node star (undirected): hand-computed ranks after
+    2 iterations; total mass stays 1 on a dangling-free graph."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import pagerank
+
+    # center 0, leaves 1..3; both directions
+    src = [0, 0, 0, 1, 2, 3]
+    dst = [1, 2, 3, 0, 0, 0]
+    edges = pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+    })
+    out = {r["node"]: r["r"]
+           for r in pagerank(
+               rd.from_arrow(edges).repartition(2), iters=2
+           ).take_all()}
+    # iteration 1: center = 0.0375 + 0.85*(3*0.25) = 0.675
+    #              leaf   = 0.0375 + 0.85*(0.25/3)
+    # iteration 2: center = 0.0375 + 0.85*(3*leaf1)
+    leaf1 = 0.0375 + 0.85 * (0.25 / 3)
+    center2 = 0.0375 + 0.85 * (3 * leaf1)
+    leaf2 = 0.0375 + 0.85 * (0.675 / 3)
+    assert abs(out[0] - center2) < 1e-12
+    for v in (1, 2, 3):
+        assert abs(out[v] - leaf2) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
