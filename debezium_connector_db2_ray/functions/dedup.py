@@ -1277,3 +1277,155 @@ def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             ("para", pa.string()),
         ]),
     )
+
+
+def _within_edit1(s: str, t: str) -> bool:
+    """Exact ed(s, t) <= 1 for the candidate-verify step: equal lengths
+    reduce to hamming <= 1; off-by-one lengths to the classic two-pointer
+    single-skip subsequence check."""
+    if s == t:
+        return True
+    ls, lt = len(s), len(t)
+    if ls == lt:
+        return sum(a != b for a, b in zip(s, t)) <= 1
+    if abs(ls - lt) != 1:
+        return False
+    if ls > lt:
+        s, t, ls, lt = t, s, lt, ls
+    i = j = 0
+    skipped = False
+    while i < ls and j < lt:
+        if s[i] == t[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            j += 1
+    return True
+
+
+def edit_distance_pairs(ds, *, col: str = "c_name",
+                        id_col: str = "c_custkey",
+                        max_len: int = 64,
+                        num_partitions: int | None = None):
+    """Fuzzy-match self-join: all id pairs whose strings are within
+    Levenshtein distance 1, via FastSS deletion-neighborhood blocking
+    (Bocek et al. 2007, 'Fast Similarity Search in Large Dictionaries' —
+    reimplemented from the published scheme): every string keys on itself
+    plus each single-character deletion, so ed <= 1 implies a shared key.
+    Variant generation is max_len VECTORIZED polars slice passes (one per
+    deletion position), not a per-row loop; one hash exchange on the
+    variant key co-locates candidates; per-partition candidates dedupe
+    (np.unique on id pairs) before the exact-verify step (the only
+    per-candidate work — bounded by bucket collisions, the same contract
+    as the minhash verify); a final grouped exchange emits each surviving
+    pair once. Strings longer than max_len hard-fail rather than silently
+    missing pairs.
+
+    Reference analog: none — the reference matches table names exactly;
+    this is the approximate-matching member of the dedup family."""
+    import polars as pl
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _partition_codes,
+        derive_num_partitions,
+        grouped_aggregate,
+    )
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+
+    def variants(batch: pa.Table) -> pa.Table:
+        sc = batch[col]
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(sc, pa.scalar("", pa.string())))
+        ids = pl.from_arrow(batch[id_col])
+        lens = s.str.len_chars()
+        if int(lens.max() or 0) > max_len:
+            raise ValueError(
+                f"edit_distance_pairs: string longer than {max_len}"
+            )
+        frames = [pl.DataFrame({"v": s, "id": ids, "s": s})]
+        longest = int(lens.max() or 0)
+        for k in range(longest):
+            m = lens > k
+            if not m.any():
+                break
+            sub = pl.DataFrame({"s0": s, "id": ids}).filter(m)
+            frames.append(sub.select(
+                v=sub["s0"].str.slice(0, k)
+                + sub["s0"].str.slice(k + 1),
+                id=sub["id"],
+                s=sub["s0"],
+            ))
+        out = pl.concat(frames)
+        t = pa.table({
+            "v": out["v"].to_arrow().cast(pa.string()),
+            "id": out["id"].to_arrow().cast(pa.int64()),
+            "s": out["s"].to_arrow().cast(pa.string()),
+        })
+        part = _partition_codes(t, ["v"], num_partitions)
+        return t.append_column("__part", pa.array(part))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+        })
+        if group.num_rows == 0 or "v" not in group.column_names:
+            return empty
+        order = pc.sort_indices(group, sort_keys=[("v", "ascending")])
+        g = group.take(order)
+        v = np.asarray(g["v"].to_pylist(), dtype=object)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        ss = g["s"].to_pylist()
+        starts = np.flatnonzero(
+            np.concatenate(([True], v[1:] != v[:-1]))
+        )
+        bounds = np.append(starts, len(v))
+        cand_a, cand_b = [], []
+        str_of = {}
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi - lo < 2:
+                continue
+            seg_ids = ids[lo:hi]
+            for x in range(lo, hi):
+                str_of[ids[x]] = ss[x]
+            ii, jj = np.triu_indices(hi - lo, k=1)
+            cand_a.append(seg_ids[ii])
+            cand_b.append(seg_ids[jj])
+        if not cand_a:
+            return empty
+        a = np.concatenate(cand_a)
+        b = np.concatenate(cand_b)
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        pairs = np.unique(np.stack([a2, b2], axis=1), axis=0)
+        keep = np.fromiter(
+            (a != b and _within_edit1(str_of[a], str_of[b])
+             for a, b in pairs),
+            dtype=bool, count=len(pairs),
+        )
+        pairs = pairs[keep]
+        return pa.table({
+            "a": pa.array(pairs[:, 0], pa.int64()),
+            "b": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    cands = (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # a pair can share variants hashed to different partitions: one small
+    # exchange on the pair id makes the output globally distinct
+    return grouped_aggregate(
+        cands, keys=["a", "b"], aggs={"n": ("a", "count")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    ).select_columns(["a", "b"])

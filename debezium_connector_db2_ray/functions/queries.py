@@ -5278,3 +5278,32 @@ def q_pagerank(sf_dir: str):
 
 DATA_QUERIES["graph_pagerank"] = q_pagerank
 DATA_ORACLES["graph_pagerank"] = SQL_PAGERANK
+
+
+SQL_EDIT_DISTANCE_PAIRS = """
+SELECT c1.c_custkey AS a, c2.c_custkey AS b
+FROM customer c1, customer c2
+WHERE c1.c_custkey < c2.c_custkey
+  AND abs(length(c1.c_name) - length(c2.c_name)) <= 1
+  AND levenshtein(c1.c_name, c2.c_name) <= 1
+"""
+
+
+def q_edit_distance_pairs(sf_dir: str):
+    """Fuzzy-match self-join (Levenshtein <= 1) over customer names via
+    FastSS deletion-neighborhood blocking — no quadratic cross join at any
+    scale; the DuckDB oracle brute-forces the same predicate with its
+    levenshtein() kernel (length-diff prefilter is semantics-preserving:
+    ed <= 1 implies |len diff| <= 1)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"],
+    )
+    return edit_distance_pairs(ds, col="c_name", id_col="c_custkey")
+
+
+DATA_QUERIES["fuzzy_edit1_pairs"] = q_edit_distance_pairs
+DATA_ORACLES["fuzzy_edit1_pairs"] = SQL_EDIT_DISTANCE_PAIRS

@@ -474,3 +474,72 @@ def test_pagerank_star_graph(ray_session):
     for v in (1, 2, 3):
         assert abs(out[v] - leaf2) < 1e-12
     assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_within_edit1_kernel():
+    """Exact ed<=1 predicate: substitution, insert, delete yes;
+    transposition and distance-2 no."""
+    from debezium_connector_db2_ray.functions.dedup import _within_edit1
+
+    assert _within_edit1("abc", "abc")
+    assert _within_edit1("abc", "abd")          # substitution
+    assert _within_edit1("abc", "abxc")         # insertion
+    assert _within_edit1("abc", "ac")           # deletion
+    assert not _within_edit1("abc", "acb")      # transposition = ed 2
+    assert not _within_edit1("abc", "xyc")      # two substitutions
+    assert not _within_edit1("abc", "abcde")    # length diff 2
+    assert _within_edit1("", "a")
+    assert not _within_edit1("", "ab")
+
+
+def test_edit_distance_pairs_bruteforce(ray_session):
+    """FastSS blocking + verify equals the brute-force Levenshtein<=1
+    self-join on a fixture with dup ids across partitions, NULLs and
+    empty strings."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        _within_edit1,
+        edit_distance_pairs,
+    )
+
+    names = ["kitten", "sitten", "sittin", "kitte", "kittens",
+             "", "a", None, "zebra", "zebr", "kit ten"]
+    ids = list(range(len(names)))
+    tbl = pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "name": pa.array(names, pa.string()),
+    })
+    got = sorted(
+        (r["a"], r["b"])
+        for r in edit_distance_pairs(
+            rd.from_arrow(tbl).repartition(4), col="name", id_col="id",
+        ).take_all()
+    )
+    norm = ["" if n is None else n for n in names]
+    want = sorted(
+        (i, j)
+        for i in ids for j in ids
+        if i < j and _within_edit1(norm[i], norm[j])
+    )
+    assert got == want
+    assert (5, 7) in got  # NULL coalesces to "" and pairs with ""
+    assert (0, 1) in got and (1, 2) in got and (0, 2) not in got
+
+
+def test_edit_distance_pairs_max_len_guard(ray_session):
+    """Strings longer than max_len hard-fail (no silent missed pairs)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        edit_distance_pairs,
+    )
+
+    tbl = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["x" * 80, "y"], pa.string()),
+    })
+    with pytest.raises(Exception):
+        edit_distance_pairs(
+            rd.from_arrow(tbl), col="name", id_col="id", max_len=64,
+        ).take_all()
