@@ -5307,3 +5307,643 @@ def q_edit_distance_pairs(sf_dir: str):
 
 DATA_QUERIES["fuzzy_edit1_pairs"] = q_edit_distance_pairs
 DATA_ORACLES["fuzzy_edit1_pairs"] = SQL_EDIT_DISTANCE_PAIRS
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H-Q7-shaped volume shipping between two nations: the shipdate
+    window is pushed into the parquet read; supplier (1e-4 of lineitem)
+    broadcasts its nationkey onto the fact map-side and the non-matching
+    rows die before any exchange; customer pre-filters to the two nations
+    before its join; TWO repartition joins (orders, customer) are the only
+    exchanges on the fact path; the nation-name enrichment broadcasts onto
+    the tiny per-(pair, year) aggregate.
+
+    Reference analog: none (relational family) — scaled-int money keeps
+    the oracle hash float-free."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(
+            (pads.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+            & (pads.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+        ),
+    )
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet")
+    keys = {
+        r["n_name"]: int(r["n_nationkey"])
+        for r in nat.take_all()
+        if r["n_name"] in ("NATION_12", "NATION_10")
+    }
+    k1, k2 = keys["NATION_12"], keys["NATION_10"]
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "supp_nk": t["s_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"supp_nk == {k1} or supp_nk == {k2}")
+
+    def rev(t: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "l_year": pc.year(t["l_shipdate"]).cast(pa.int64()),
+            "rev_e4": pc.multiply(
+                price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+            ),
+        })
+
+    fact = broadcast_join(
+        li.map_batches(rev, batch_format="pyarrow"), sup, on="l_suppkey",
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "cust_nk": t["c_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"cust_nk == {k1} or cust_nk == {k2}")
+
+    j = repartition_join(
+        repartition_join(fact, orders, on="l_orderkey"),
+        cust, on="c_custkey",
+    ).filter(
+        expr=f"(supp_nk == {k1} and cust_nk == {k2}) "
+             f"or (supp_nk == {k2} and cust_nk == {k1})"
+    )
+    agg = grouped_aggregate(
+        j.select_columns(["supp_nk", "cust_nk", "l_year", "rev_e4"]),
+        keys=["supp_nk", "cust_nk", "l_year"],
+        aggs={"revenue_e4": ("rev_e4", "sum")},
+        schema=pa.schema([
+            ("supp_nk", pa.int64()), ("cust_nk", pa.int64()),
+            ("l_year", pa.int64()), ("rev_e4", pa.int64()),
+        ]),
+    )
+    names = nat.map_batches(
+        lambda t: pa.table({
+            "nk": t["n_nationkey"].cast(pa.int64()),
+            "n_name": t["n_name"],
+        }),
+        batch_format="pyarrow",
+    )
+    out = broadcast_join(
+        broadcast_join(agg, names, on="supp_nk", right_on="nk"),
+        names.map_batches(
+            lambda t: t.rename_columns(["nk2", "n_name2"]),
+            batch_format="pyarrow",
+        ),
+        on="cust_nk", right_on="nk2",
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "supp_nation": t["n_name"],
+            "cust_nation": t["n_name2"],
+            "l_year": t["l_year"],
+            "revenue_e4": t["revenue_e4"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q7_volume"] = q_tpch_q7
+DATA_ORACLES["tpch_q7_volume"] = SQL_TPCH_Q7
+
+
+SQL_TPCH_Q8 = """
+SELECT o_year,
+       CAST((CAST(nation_rev AS HUGEINT) * 1000000)
+            // CAST(total_rev AS HUGEINT) AS BIGINT) AS mkt_share_x1e6
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         coalesce(sum(
+           CASE WHEN n1.n_name = 'NATION_12'
+                THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           END), 0) AS nation_rev,
+         sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS total_rev
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  WHERE r.r_name = 'MIDDLE EAST'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY o_year
+) shares
+"""
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H-Q8-shaped national market share: NATION_12's share of PROMO
+    revenue sold into MIDDLE-EAST customers per order year. The part
+    dimension pre-filters to PROMO and broadcasts (inner probe doubles as
+    the filter); supplier broadcasts a boolean is-target flag; orders
+    prunes its date window at the read; the customer side pre-filters to
+    the region's nationkeys (25-row nation/region lookup resolved on the
+    driver) so only region-local customers enter the ONE exchange pair
+    (repartition joins on orderkey, then custkey). The share division runs
+    on the driver over per-year int pairs with Python arbitrary-precision
+    ints; the oracle mirrors it with HUGEINT integer division — float-free
+    hash."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    }
+    region_nks = sorted(
+        int(n["n_nationkey"]) for n in nat
+        if reg[n["n_regionkey"]] == "MIDDLE EAST"
+    )
+    target_nk = next(
+        int(n["n_nationkey"]) for n in nat if n["n_name"] == "NATION_12"
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"],
+    )
+    promo = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filter=pads.field("p_type") == "PROMO",
+    ).map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+        batch_format="pyarrow",
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "is_target": pc.equal(
+                t["s_nationkey"].cast(pa.int64()), target_nk
+            ).cast(pa.int8()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "is_target": t["is_target"],
+            "rev_e4": pc.multiply(
+                price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+            ),
+        })
+
+    fact = broadcast_join(
+        broadcast_join(li, promo, on="l_partkey"), sup, on="l_suppkey",
+    ).map_batches(rev, batch_format="pyarrow")
+
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1998, 1, 1)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "c_custkey": t["o_custkey"],
+            "o_year": pc.year(t["o_orderdate"]).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    in_region = ", ".join(str(k) for k in region_nks)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nk": t["c_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"c_nk in [{in_region}]")
+
+    j = repartition_join(
+        repartition_join(fact, orders, on="l_orderkey"),
+        cust, on="c_custkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t["rev_e4"].to_numpy(zero_copy_only=False)
+        tgt = pc.equal(t["is_target"], 1).to_numpy(zero_copy_only=False)
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        uy, inv = np.unique(yr, return_inverse=True)
+        return pa.table({
+            "o_year": pa.array(uy, pa.int64()),
+            "nation_rev": pa.array(
+                np.bincount(inv, weights=r * tgt).astype(np.int64)
+            ),
+            "total_rev": pa.array(
+                np.bincount(inv, weights=r).astype(np.int64)
+            ),
+        })
+
+    agg = grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["o_year"],
+        aggs={"nation_rev": ("nation_rev", "sum"),
+              "total_rev": ("total_rev", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("o_year", pa.int64()), ("nation_rev", pa.int64()),
+            ("total_rev", pa.int64()),
+        ]),
+    )
+    rows = agg.take_all()  # <= one row per year: driver-side is O(years)
+    return pa.table({
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "mkt_share_x1e6": pa.array(
+            [int(r["nation_rev"]) * 1_000_000 // int(r["total_rev"])
+             for r in rows],
+            pa.int64(),
+        ),
+    })
+
+
+DATA_QUERIES["tpch_q8_mktshare"] = q_tpch_q8
+DATA_ORACLES["tpch_q8_mktshare"] = SQL_TPCH_Q8
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+             AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev_e4
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+"""
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: one quarter of lineitem (window at
+    the read) collapses to per-batch (suppkey, rev) partials, ONE exchange
+    produces the per-supplier totals, which are MATERIALIZED once (bounded
+    by supplier cardinality, never by fact rows) so the global-max probe
+    and the ties-included filter reuse the same blocks instead of
+    recomputing the fact scan; names enrich via the supplier broadcast."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1997, 4, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        rev = pc.multiply(
+            price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        ).to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(sk, return_inverse=True)
+        return pa.table({
+            "l_suppkey": pa.array(uk, pa.int64()),
+            "rev": pa.array(
+                np.bincount(inv, weights=rev).astype(np.int64)
+            ),
+        })
+
+    per_supp = grouped_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_suppkey"],
+        aggs={"total_rev_e4": ("rev", "sum")},
+        schema=pa.schema([
+            ("l_suppkey", pa.int64()), ("rev", pa.int64()),
+        ]),
+    ).materialize()
+    best = per_supp.max("total_rev_e4")
+    top = per_supp.filter(expr=f"total_rev_e4 == {int(best)}")
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+    )
+    return broadcast_join(
+        top, sup, on="l_suppkey", right_on="s_suppkey",
+    ).map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "s_name": t["s_name"],
+            "total_rev_e4": t["total_rev_e4"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q15_top_supplier"] = q_tpch_q15
+DATA_ORACLES["tpch_q15_top_supplier"] = SQL_TPCH_Q15
+
+
+SQL_TPCH_Q17 = """
+WITH f AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_quantity * 100) AS BIGINT) AS q_e2,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS p_e2
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+   AND p.p_brand = 'Brand#11' AND p.p_size < 10
+), s AS (
+  SELECT l_partkey, sum(q_e2) AS sq, count(*) AS c
+  FROM f GROUP BY l_partkey
+)
+SELECT CAST(sum(f.p_e2) AS BIGINT) AS small_qty_rev_e2
+FROM f JOIN s ON f.l_partkey = s.l_partkey
+WHERE f.q_e2 * 5 * s.c < s.sq
+"""
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H-Q17-shaped small-quantity-order revenue: the correlated
+    'quantity < 0.2 * per-part average' subquery is DECORRELATED into a
+    per-part (sum, count) aggregate joined back to the filtered fact —
+    both sides already keyed by l_partkey, so the exchange key is reused;
+    the fractional-average compare runs integer-exact (q*5*count <
+    sum_of_q-cents, no float division on either side); the brand/size
+    part filter broadcasts and the probe doubles as the filter."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    dim = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pads.field("p_brand") == "Brand#11")
+        & (pads.field("p_size") < 10),
+    ).map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+        batch_format="pyarrow",
+    )
+
+    def quantize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "q_e2": pc.round(
+                pc.multiply(t["l_quantity"], 100.0)
+            ).cast(pa.int64()),
+            "p_e2": pc.round(
+                pc.multiply(t["l_extendedprice"], 100.0)
+            ).cast(pa.int64()),
+        })
+
+    f = broadcast_join(li, dim, on="l_partkey").map_batches(
+        quantize, batch_format="pyarrow"
+    )
+    stats = grouped_aggregate(
+        f.select_columns(["l_partkey", "q_e2"]).map_batches(
+            lambda t: pa.table({
+                "l_partkey": t["l_partkey"],
+                "q_e2": t["q_e2"],
+                "one": pa.array(
+                    np.ones(t.num_rows, np.int64)
+                ),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["l_partkey"],
+        aggs={"sq": ("q_e2", "sum"), "c": ("one", "sum")},
+        schema=pa.schema([
+            ("l_partkey", pa.int64()), ("q_e2", pa.int64()),
+            ("one", pa.int64()),
+        ]),
+    )
+    j = repartition_join(f, stats, on="l_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pc.multiply(t["q_e2"], 5), t["c"]), t["sq"]
+        ).to_numpy(zero_copy_only=False)
+        p = t["p_e2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "rev": pa.array([int(p[keep].sum())], pa.int64()),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"small_qty_rev_e2": ("rev", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("g", pa.int64()), ("rev", pa.int64())]),
+    ).select_columns(["small_qty_rev_e2"])
+
+
+DATA_QUERIES["tpch_q17_small_qty"] = q_tpch_q17
+DATA_ORACLES["tpch_q17_small_qty"] = SQL_TPCH_Q17
+
+
+SQL_TPCH_Q22 = """
+WITH bal AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_e2
+  FROM customer
+), pos AS (
+  SELECT CAST(sum(bal_e2) AS BIGINT) AS s, count(*) AS n
+  FROM bal WHERE bal_e2 > 0
+)
+SELECT n.n_name, count(*) AS numcust,
+       CAST(sum(b.bal_e2) AS BIGINT) AS totacctbal_e2
+FROM bal b
+JOIN nation n ON n.n_nationkey = b.c_nationkey
+WHERE b.bal_e2 * (SELECT n FROM pos) > (SELECT s FROM pos)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = b.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY n.n_name
+"""
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H-Q22-shaped sales opportunity: customers richer than the
+    positive-balance average with NO orders since 2000 (the churn window
+    keeps the NOT-EXISTS non-vacuous: this lake's customers all ordered
+    at least once), counted per nation. The
+    global average is a two-int scalar (sum, count of positive cent
+    balances) folded map-side and compared integer-exact (bal * n > sum —
+    no float division); the NOT-EXISTS is the semi_join_filter anti path
+    (orders collapses to per-batch distinct custkeys before the collect,
+    the customer side never shuffles); the nation name broadcasts onto
+    the tiny per-nation aggregate."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+        semi_join_filter,
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_nk": t["c_nationkey"].cast(pa.int64()),
+            "bal_e2": pc.round(
+                pc.multiply(t["c_acctbal"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # bounded by customer cardinality; reused 2x below
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        b = t["bal_e2"].to_numpy(zero_copy_only=False)
+        p = b[b > 0]
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "s": pa.array([int(p.sum())], pa.int64()),
+            "n": pa.array([int(p.size)], pa.int64()),
+        })
+
+    pos = grouped_aggregate(
+        cust.map_batches(pos_partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"s": ("s", "sum"), "n": ("n", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("g", pa.int64()), ("s", pa.int64()), ("n", pa.int64()),
+        ]),
+    ).take_all()[0]
+    s, n = int(pos["s"]), int(pos["n"])
+    # bal*n > s over ints == bal >= floor(s/n)+1 (exact for either sign of
+    # the remainder); n == 0 means no positive balances, nothing qualifies
+    thresh = (s // n + 1) if n else (1 << 62)
+    rich = cust.filter(expr=f"bal_e2 >= {thresh}")
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") >= _dt.datetime(2000, 1, 1),
+    )
+    no_orders = semi_join_filter(
+        rich, orders, on="c_custkey", right_on="o_custkey", anti=True,
+    )
+    agg = grouped_aggregate(
+        no_orders.select_columns(["c_nk", "bal_e2"]),
+        keys=["c_nk"],
+        aggs={"numcust": ("bal_e2", "count"),
+              "totacctbal_e2": ("bal_e2", "sum")},
+        schema=pa.schema([("c_nk", pa.int64()), ("bal_e2", pa.int64())]),
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"],
+    ).map_batches(
+        lambda t: pa.table({
+            "c_nk": t["n_nationkey"].cast(pa.int64()),
+            "n_name": t["n_name"],
+        }),
+        batch_format="pyarrow",
+    )
+    return broadcast_join(agg, nat, on="c_nk").select_columns(
+        ["n_name", "numcust", "totacctbal_e2"]
+    )
+
+
+DATA_QUERIES["tpch_q22_opportunity"] = q_tpch_q22
+DATA_ORACLES["tpch_q22_opportunity"] = SQL_TPCH_Q22

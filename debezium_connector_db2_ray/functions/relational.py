@@ -1726,7 +1726,9 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
     lschema = left.schema()
     if hasattr(lschema, "base_schema"):
         lschema = lschema.base_schema
-    lnames = set(lschema.names)
+    # an all-empty left (legitimate: a selective filter killed every row)
+    # has no schema; no batch will reach the probe, so collisions are moot
+    lnames = set(lschema.names) if lschema is not None else set()
     rcols = [c for c in rt.column_names if c != on]
     rename = {c: (c + right_suffix if c in lnames else c) for c in rcols}
     r_types = {c: rt.schema.field(c).type for c in rcols}
