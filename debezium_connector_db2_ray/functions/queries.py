@@ -5947,3 +5947,411 @@ def q_tpch_q22(sf_dir: str):
 
 DATA_QUERIES["tpch_q22_opportunity"] = q_tpch_q22
 DATA_ORACLES["tpch_q22_opportunity"] = SQL_TPCH_Q22
+
+
+SQL_TPCH_Q12 = """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.l_linestatus
+"""
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H-Q12-shaped late-shipment priority counts: lines shipped 30+
+    days after their order date, split urgent/other per linestatus. ONE
+    repartition join on orderkey (the row-vs-row date compare cannot be
+    pushed to either read); the predicate and the two conditional counts
+    fold per batch into (linestatus, high, low) partials so the final
+    exchange moves O(distinct linestatus) rows."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t["o_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "high": pc.is_in(
+                t["o_orderpriority"],
+                value_set=pa.array(["1-URGENT", "2-HIGH"]),
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    j = repartition_join(li, orders, on="l_orderkey")
+    thirty_days_us = 30 * 86_400 * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        late = pc.greater_equal(
+            pc.subtract(t["l_shipdate"].cast(pa.int64()),
+                        t["o_orderdate"].cast(pa.int64())),
+            thirty_days_us,
+        ).to_numpy(zero_copy_only=False)
+        hi = t["high"].to_numpy(zero_copy_only=False).astype(bool)
+        ls = t["l_linestatus"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ls[late], return_inverse=True)
+        if uk.size == 0:
+            return pa.table({
+                "l_linestatus": pa.array([], pa.string()),
+                "h": pa.array([], pa.int64()),
+                "lo": pa.array([], pa.int64()),
+            })
+        hl = hi[late]
+        return pa.table({
+            "l_linestatus": pa.array(uk.astype(object), pa.string()),
+            "h": pa.array(np.bincount(inv, weights=hl).astype(np.int64)),
+            "lo": pa.array(np.bincount(inv, weights=~hl).astype(np.int64)),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["l_linestatus"],
+        aggs={"high_line_count": ("h", "sum"),
+              "low_line_count": ("lo", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("l_linestatus", pa.string()), ("h", pa.int64()),
+            ("lo", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["tpch_q12_late_priority"] = q_tpch_q12
+DATA_ORACLES["tpch_q12_late_priority"] = SQL_TPCH_Q12
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+           AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: three brand /
+    size / quantity clauses OR-ed together. The part dimension pre-filters
+    to the UNION of the brand-size envelopes before broadcasting (rows
+    matching no clause never enter the probe), the full disjunction
+    evaluates vectorized per batch, and the query is exchange-free: one
+    broadcast, one 1-row aggregate."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"],
+    )
+    env = (
+        ((pads.field("p_brand") == "Brand#11")
+         & (pads.field("p_size") >= 1) & (pads.field("p_size") <= 5))
+        | ((pads.field("p_brand") == "Brand#12")
+           & (pads.field("p_size") >= 1) & (pads.field("p_size") <= 10))
+        | ((pads.field("p_brand") == "Brand#13")
+           & (pads.field("p_size") >= 1) & (pads.field("p_size") <= 15))
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size"],
+        filter=env,
+    )
+    j = broadcast_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        brand = t["p_brand"].to_numpy(zero_copy_only=False)
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            ((brand == "Brand#11") & (size >= 1) & (size <= 5)
+             & (qty >= 1) & (qty <= 11))
+            | ((brand == "Brand#12") & (size >= 1) & (size <= 10)
+               & (qty >= 10) & (qty <= 20))
+            | ((brand == "Brand#13") & (size >= 1) & (size <= 15)
+               & (qty >= 20) & (qty <= 30))
+        )
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        rev = price * (100 - disc)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "rev": pa.array([int(rev[m].sum())], pa.int64()),
+        })
+
+    return grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"revenue_e4": ("rev", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("g", pa.int64()), ("rev", pa.int64())]),
+    ).select_columns(["revenue_e4"])
+
+
+DATA_QUERIES["tpch_q19_disjunctive"] = q_tpch_q19
+DATA_ORACLES["tpch_q19_disjunctive"] = SQL_TPCH_Q19
+
+
+SQL_TPCH_Q21 = """
+WITH f AS (
+  SELECT l.l_orderkey, l.l_suppkey, l.l_returnflag
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+   AND o.o_orderstatus = 'F'
+), g AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS nr,
+         max(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS rsupp
+  FROM f GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM g JOIN supplier s ON s.s_suppkey = g.rsupp
+WHERE g.ns >= 2 AND g.nr = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H-Q21-shaped waiting-supplier report: on finished orders, the
+    supplier who is the ONLY one with a returned ('R') line while the
+    order has at least one other supplier — the reference query's
+    EXISTS / NOT-EXISTS pair decorrelated into per-order distinct counts.
+    TWO exchanges, both keyed by orderkey (key reuse): the lineitem-orders
+    repartition join, then the per-order groupby whose distinct counts run
+    vectorized (np.unique over (order, supplier) pairs per partition, no
+    per-order Python); the per-supplier count is a third exchange over
+    O(qualifying orders) rows; names broadcast; global_top_k avoids a full
+    sort."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        global_top_k,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'").map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"]}),
+        batch_format="pyarrow",
+    )
+    f = repartition_join(li, orders, on="l_orderkey")
+
+    def per_order(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        r = pc.equal(t["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False
+        )
+        empty = pa.table({"rsupp": pa.array([], pa.int64())})
+        if ok.size == 0:
+            return empty
+        # distinct (order, supplier) pairs -> per-order supplier count
+        pairs = np.unique(np.stack([ok, sk], axis=1), axis=0)
+        uo, ns = np.unique(pairs[:, 0], return_counts=True)
+        # distinct (order, supplier) pairs among R lines
+        if not r.any():
+            return empty
+        rp = np.unique(np.stack([ok[r], sk[r]], axis=1), axis=0)
+        uor, nr = np.unique(rp[:, 0], return_counts=True)
+        # orders with exactly one R supplier and >= 2 suppliers overall
+        one_r = uor[nr == 1]
+        multi = uo[ns >= 2]
+        qual = np.intersect1d(one_r, multi)
+        if qual.size == 0:
+            return empty
+        # the single R supplier of each qualifying order
+        sel = rp[np.isin(rp[:, 0], qual)]
+        return pa.table({"rsupp": pa.array(sel[:, 1], pa.int64())})
+
+    per_ord = f.groupby("l_orderkey").map_groups(
+        per_order, batch_format="pyarrow",
+    )
+    counts = grouped_aggregate(
+        per_ord.map_batches(
+            lambda t: pa.table({
+                "rsupp": t["rsupp"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["rsupp"],
+        aggs={"numwait": ("one", "sum")},
+        schema=pa.schema([("rsupp", pa.int64()), ("one", pa.int64())]),
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+    )
+    named = broadcast_join(
+        counts, sup, on="rsupp", right_on="s_suppkey",
+    ).select_columns(["s_name", "numwait"])
+    return global_top_k(
+        named,
+        order_by=[("numwait", "descending"), ("s_name", "ascending")],
+        k=20,
+    )
+
+
+DATA_QUERIES["tpch_q21_waiting_supp"] = q_tpch_q21
+DATA_ORACLES["tpch_q21_waiting_supp"] = SQL_TPCH_Q21
+
+
+SQL_TPCH_Q9 = """
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                - CAST(round(l.l_quantity * 100) AS BIGINT)
+                  * CAST(round(p.p_retailprice * 100) AS BIGINT) // 10)
+           AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+ AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY nation, o_year
+"""
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H-Q9-shaped product profit (cost modeled as retailprice/10 per
+    unit in lieu of the absent ps_supplycost): profit per supplier nation
+    per ship year over '%widget%' parts. EXCHANGE-FREE fact path: both
+    dimensions broadcast (part pre-filtered by the LIKE at the read,
+    supplier ships its nationkey), profit folds per batch into
+    (nation, year) partials, and the only exchange is the final
+    O(nations x years) aggregate; names broadcast onto that."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    ).map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], "widget")),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t["p_partkey"],
+            "retail_e2": pc.round(
+                pc.multiply(t["p_retailprice"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "s_nk": t["s_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(
+        broadcast_join(li, part, on="l_partkey"), sup, on="l_suppkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        qty = pc.round(pc.multiply(t["l_quantity"], 100.0)).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        retail = t["retail_e2"].to_numpy(zero_copy_only=False)
+        profit = price * (100 - disc) - (qty * retail) // 10
+        yr = pc.year(t["l_shipdate"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        nk = t["s_nk"].to_numpy(zero_copy_only=False)
+        key = nk * 10_000 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "s_nk": pa.array(uk // 10_000, pa.int64()),
+            "o_year": pa.array(uk % 10_000, pa.int64()),
+            "p": pa.array(
+                np.bincount(inv, weights=profit).astype(np.int64)
+            ),
+        })
+
+    agg = grouped_aggregate(
+        j.map_batches(partial, batch_format="pyarrow"),
+        keys=["s_nk", "o_year"],
+        aggs={"profit_e4": ("p", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("s_nk", pa.int64()), ("o_year", pa.int64()),
+            ("p", pa.int64()),
+        ]),
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"],
+    ).map_batches(
+        lambda t: pa.table({
+            "s_nk": t["n_nationkey"].cast(pa.int64()),
+            "nation": t["n_name"],
+        }),
+        batch_format="pyarrow",
+    )
+    return broadcast_join(agg, nat, on="s_nk").select_columns(
+        ["nation", "o_year", "profit_e4"]
+    )
+
+
+DATA_QUERIES["tpch_q9_profit"] = q_tpch_q9
+DATA_ORACLES["tpch_q9_profit"] = SQL_TPCH_Q9
