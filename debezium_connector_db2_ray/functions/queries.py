@@ -6355,3 +6355,283 @@ def q_tpch_q9(sf_dir: str):
 
 DATA_QUERIES["tpch_q9_profit"] = q_tpch_q9
 DATA_ORACLES["tpch_q9_profit"] = SQL_TPCH_Q9
+
+
+SQL_TPCH_Q2 = """
+WITH f AS (
+  SELECT l.l_partkey,
+         l.l_suppkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cost_e2
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+   AND r.r_name = 'EUROPE'
+), m AS (
+  SELECT l_partkey, min(cost_e2) AS mc FROM f GROUP BY l_partkey
+)
+SELECT f.l_partkey AS p_partkey,
+       CAST(min(f.l_suppkey) AS BIGINT) AS s_suppkey,
+       m.mc AS cost_e2
+FROM f JOIN m ON f.l_partkey = m.l_partkey AND f.cost_e2 = m.mc
+GROUP BY f.l_partkey, m.mc
+ORDER BY cost_e2 ASC, p_partkey LIMIT 100
+"""
+
+
+def q_tpch_q2(sf_dir: str):
+    """TPC-H-Q2-shaped cheapest-supplier-per-part (ps_supplycost absent:
+    cost = a part's min observed line price from EUROPE suppliers): the
+    correlated MIN subquery decorrelates into a per-part min aggregate
+    joined back to the fact, then a second grouped MIN breaks supplier
+    ties deterministically (lowest suppkey) — a distributed ARGMIN in two
+    grouped passes, every exchange keyed by l_partkey (key reuse); both
+    dimension filters broadcast; top-100 via the O(k) heap, no full
+    sort."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        global_top_k,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    reg = {
+        r["r_regionkey"]: r["r_name"]
+        for r in rd.read_parquet(f"{sf_dir}/region.parquet").take_all()
+    }
+    region_nks = [
+        int(n["n_nationkey"]) for n in nat
+        if reg[n["n_regionkey"]] == "EUROPE"
+    ]
+    in_region = ", ".join(str(k) for k in region_nks)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    dim = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+        filter=pads.field("p_type") == "LARGE",
+    ).map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"]}),
+        batch_format="pyarrow",
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "s_nk": t["s_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"s_nk in [{in_region}]")
+
+    f = broadcast_join(
+        broadcast_join(li, dim, on="l_partkey"), sup, on="l_suppkey",
+    ).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t["l_partkey"],
+            "l_suppkey": t["l_suppkey"],
+            "cost_e2": pc.round(
+                pc.multiply(t["l_extendedprice"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    mins = grouped_aggregate(
+        f, keys=["l_partkey"],
+        aggs={"mc": ("cost_e2", "min")},
+        schema=pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("cost_e2", pa.int64()),
+        ]),
+    )
+    j = repartition_join(f, mins, on="l_partkey").map_batches(
+        lambda t: t.filter(pc.equal(t["cost_e2"], t["mc"])),
+        batch_format="pyarrow",
+    )
+    arg = grouped_aggregate(
+        j.select_columns(["l_partkey", "l_suppkey", "mc"]),
+        keys=["l_partkey", "mc"],
+        aggs={"s_suppkey": ("l_suppkey", "min")},
+        schema=pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("mc", pa.int64()),
+        ]),
+    ).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["l_partkey"],
+            "s_suppkey": t["s_suppkey"],
+            "cost_e2": t["mc"],
+        }),
+        batch_format="pyarrow",
+    )
+    return global_top_k(
+        arg,
+        order_by=[("cost_e2", "ascending"), ("p_partkey", "ascending")],
+        k=100,
+    )
+
+
+DATA_QUERIES["tpch_q2_min_cost_supp"] = q_tpch_q2
+DATA_ORACLES["tpch_q2_min_cost_supp"] = SQL_TPCH_Q2
+
+
+SQL_TPCH_Q11 = """
+WITH f AS (
+  SELECT l.l_partkey,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+   AND n.n_name = 'NATION_12'
+), v AS (
+  SELECT l_partkey, CAST(sum(rev_e4) AS BIGINT) AS value_e4
+  FROM f GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, value_e4
+FROM v
+WHERE value_e4 * 200 > (SELECT sum(value_e4) FROM v)
+"""
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H-Q11-shaped important-stock scan: parts whose NATION_12
+    supplier revenue exceeds 1/200 of that nation's total. The supplier
+    filter broadcasts; one exchange builds the per-part values, which
+    MATERIALIZE (bounded by part cardinality) so the global total and the
+    threshold filter reuse the same blocks; the fraction compare is
+    integer-exact (value >= total//200 + 1 == value*200 > total)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    target_nk = next(
+        int(n["n_nationkey"])
+        for n in rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+        if n["n_name"] == "NATION_12"
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "s_nk": t["s_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"s_nk == {target_nk}")
+
+    def rev(t: pa.Table) -> pa.Table:
+        price = pc.round(
+            pc.multiply(t["l_extendedprice"], 100.0)
+        ).cast(pa.int64())
+        disc = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "rev_e4": pc.multiply(
+                price, pc.subtract(pa.scalar(100, pa.int64()), disc)
+            ),
+        })
+
+    vals = grouped_aggregate(
+        broadcast_join(li, sup, on="l_suppkey").map_batches(
+            rev, batch_format="pyarrow"
+        ),
+        keys=["l_partkey"],
+        aggs={"value_e4": ("rev_e4", "sum")},
+        schema=pa.schema([
+            ("l_partkey", pa.int64()), ("rev_e4", pa.int64()),
+        ]),
+    ).materialize()
+    total = int(vals.sum("value_e4"))
+    thresh = total // 200 + 1
+    return vals.filter(expr=f"value_e4 >= {thresh}").map_batches(
+        lambda t: pa.table({
+            "p_partkey": t["l_partkey"],
+            "value_e4": t["value_e4"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q11_important_stock"] = q_tpch_q11
+DATA_ORACLES["tpch_q11_important_stock"] = SQL_TPCH_Q11
+
+
+SQL_TPCH_Q16 = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+ AND p.p_brand <> 'Brand#13'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_acctbal >= 0
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H-Q16-shaped supplier diversity per part attribute (the
+    complaints NOT-IN becomes the negative-acctbal exclusion): part
+    attributes and the supplier keep-flag both broadcast, then
+    grouped_count_distinct's two stacked exchanges (distinct tuples, then
+    null-excluding count) produce exact COUNT(DISTINCT) per (brand, type,
+    size) — per-batch combiners bound both exchanges by touched-tuple
+    counts, never raw rows."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_count_distinct,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"],
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=pads.field("p_brand") != "Brand#13",
+    ).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t["p_partkey"],
+            "p_brand": t["p_brand"],
+            "p_type": t["p_type"],
+            "p_size": t["p_size"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"],
+        filter=pads.field("s_acctbal") >= 0,
+    ).map_batches(
+        lambda t: pa.table({"l_suppkey": t["s_suppkey"]}),
+        batch_format="pyarrow",
+    )
+    j = broadcast_join(
+        broadcast_join(li, part, on="l_partkey"), sup, on="l_suppkey",
+    )
+    return grouped_count_distinct(
+        j.select_columns(["p_brand", "p_type", "p_size", "l_suppkey"]),
+        keys=["p_brand", "p_type", "p_size"],
+        col="l_suppkey",
+        out_col="supplier_cnt",
+    )
+
+
+DATA_QUERIES["tpch_q16_supplier_cnt"] = q_tpch_q16
+DATA_ORACLES["tpch_q16_supplier_cnt"] = SQL_TPCH_Q16
