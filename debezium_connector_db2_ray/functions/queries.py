@@ -6635,3 +6635,108 @@ def q_tpch_q16(sf_dir: str):
 
 DATA_QUERIES["tpch_q16_supplier_cnt"] = q_tpch_q16
 DATA_ORACLES["tpch_q16_supplier_cnt"] = SQL_TPCH_Q16
+
+
+SQL_TPCH_Q20 = """
+WITH q AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty_e2
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+   AND p.p_name LIKE '%widget%'
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, q.qty_e2
+FROM q
+JOIN supplier s ON s.s_suppkey = q.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ AND n.n_name LIKE 'NATION_1%'
+WHERE q.qty_e2 * 2 > (SELECT max(qty_e2) FROM q)
+"""
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H-Q20-shaped excess-volume suppliers (availqty absent: the
+    'more than half the max' threshold replaces the 50%-of-shipped rule):
+    1997 widget-part quantity per supplier via the broadcast part filter +
+    ONE exchange, MATERIALIZED (bounded by supplier cardinality) so the
+    global max probe and the threshold filter reuse the blocks; the
+    nation-prefix supplier dimension broadcasts onto the small surviving
+    set. Threshold compare integer-exact (q*2 > max == q >= max//2 + 1)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    lo, hi = _dt.datetime(1997, 1, 1), _dt.datetime(1998, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi),
+    )
+    dim = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"],
+    ).map_batches(
+        lambda t: pa.table({
+            "l_partkey": t.filter(
+                pc.match_substring(t["p_name"], "widget")
+            )["p_partkey"],
+        }),
+        batch_format="pyarrow",
+    )
+    per_supp = grouped_aggregate(
+        broadcast_join(li, dim, on="l_partkey").map_batches(
+            lambda t: pa.table({
+                "l_suppkey": t["l_suppkey"],
+                "q_e2": pc.round(
+                    pc.multiply(t["l_quantity"], 100.0)
+                ).cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["l_suppkey"],
+        aggs={"qty_e2": ("q_e2", "sum")},
+        schema=pa.schema([
+            ("l_suppkey", pa.int64()), ("q_e2", pa.int64()),
+        ]),
+    ).materialize()
+    mx = int(per_supp.max("qty_e2"))
+    big = per_supp.filter(expr=f"qty_e2 >= {mx // 2 + 1}")
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    keep_nks = ", ".join(
+        str(int(n["n_nationkey"])) for n in nat
+        if n["n_name"].startswith("NATION_1")
+    )
+    sup = sup.map_batches(
+        lambda t: pa.table({
+            "l_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "s_nk": t["s_nationkey"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).filter(expr=f"s_nk in [{keep_nks}]")
+    return broadcast_join(big, sup, on="l_suppkey").map_batches(
+        lambda t: pa.table({
+            "s_suppkey": t["l_suppkey"],
+            "s_name": t["s_name"],
+            "qty_e2": t["qty_e2"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["tpch_q20_excess_volume"] = q_tpch_q20
+DATA_ORACLES["tpch_q20_excess_volume"] = SQL_TPCH_Q20
