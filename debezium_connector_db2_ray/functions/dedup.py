@@ -1429,3 +1429,63 @@ def edit_distance_pairs(ds, *, col: str = "c_name",
         num_partitions=num_partitions,
         schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
     ).select_columns(["a", "b"])
+
+
+def simhash32_md5(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """32-bit SimHash with md5-derived token hashes — the SQL-mirrorable
+    twin of the production xxhash ``SimHasher`` (same sign-of-weighted-sums
+    kernel, hash function swapped for one DuckDB can reproduce:
+    ``('0x' || substr(md5(tok), 1, 16))::UBIGINT``). Tokens are RE2-``\\S+``
+    runs (the repo-wide WS_CLASS convention) with multiplicity; a doc with
+    zero tokens emits no row (the SQL side's unnest drops it the same way).
+    Bit b of the signature is 1 iff the sum over tokens of
+    (2 * bit_b(md5_64(tok)) - 1) is > 0 — ties round DOWN on both sides.
+
+    Exchange-free: each doc's signature is a per-batch computation; the
+    per-UNIQUE-token md5 loop is bounded by batch vocabulary (repeats map
+    through np.unique's inverse), the bit sums are 32 vectorized
+    bincounts."""
+    import hashlib
+    import re
+
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    token_re = re.compile(TOKEN_PATTERN)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "simhash32": pa.array([], pa.int64()),
+    })
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        toks = s.str.findall(token_re)
+        lens = toks.str.len().to_numpy()
+        if int(lens.sum()) == 0:
+            return empty
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = lens > 0
+        doc_idx = np.repeat(np.arange(len(ids))[keep], lens[keep])
+        flat = np.concatenate([np.asarray(t, object) for t in toks[keep]])
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hv = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(u.encode("utf-8")).digest()[:8], "big"
+            ) for u in uniq),
+            dtype=np.uint64, count=len(uniq),
+        )
+        tok_h = hv[inv]
+        n_docs = len(ids)
+        sig = np.zeros(n_docs, np.int64)
+        for b in range(32):
+            pm = (((tok_h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                  * 2 - 1)
+            s_b = np.bincount(doc_idx, weights=pm, minlength=n_docs)
+            sig |= (s_b > 0).astype(np.int64) << b
+        kd = np.zeros(n_docs, bool)
+        kd[doc_idx] = True
+        return pa.table({
+            "doc_id": pa.array(ids[kd], pa.int64()),
+            "simhash32": pa.array(sig[kd], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

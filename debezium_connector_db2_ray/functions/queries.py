@@ -6740,3 +6740,76 @@ def q_tpch_q20(sf_dir: str):
 
 DATA_QUERIES["tpch_q20_excess_volume"] = q_tpch_q20
 DATA_ORACLES["tpch_q20_excess_volume"] = SQL_TPCH_Q20
+
+
+SQL_SIMHASH_PARITY = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(coalesce(text, ''), '\s+'),
+           x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv
+  FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END)
+            AS BIGINT) AS simhash32
+FROM bits
+GROUP BY doc_id
+"""
+
+
+def q_simhash_parity(sf_dir: str):
+    """Hash-checked SimHash companion row: the production SimHasher's
+    sign-of-sums kernel with the hash swapped to md5-64 so DuckDB mirrors
+    the FULL signature computation bit for bit (tokenize, per-token hash,
+    per-bit weighted sum, sign) — the parity anchor for the banding-based
+    `dedup_simhash` row, which stays rows-only (its xxhash signature has
+    no SQL twin)."""
+    from debezium_connector_db2_ray.functions.dedup import simhash32_md5
+
+    return simhash32_md5(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+DATA_QUERIES["dedup_simhash_parity"] = q_simhash_parity
+DATA_ORACLES["dedup_simhash_parity"] = SQL_SIMHASH_PARITY
+
+
+def q_ann_ivf_parity(sf_dir: str):
+    """Hash-checked IVF companion row: the FULL IVF machinery (quantizer
+    training, per-batch list assignment, probe-list union, in-list exact
+    re-rank) run with n_probe == n_lists. Probing every list makes the
+    prefilter pass-through by construction, so the output must equal the
+    exact brute-force top-k — anchored to the same SQL oracle as
+    `ann_bruteforce`. The production n_probe < n_lists rows (`ann_ivf`,
+    `ann_ivf_indexed`) keep their pytest recall + byte-pruning checks."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        _batch_matrix,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    qm = _query_matrix(sf_dir)
+    ref = ray.put(qm)
+    sample = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", filters=[("vec_id", "<", 2000)]
+    )
+    cent = train_ivf_centroids(_batch_matrix(sample), n_lists=16)
+    out = ivf_topk(_emb(sf_dir), ref, centroids=cent, k=ANN_K, n_probe=16)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "rank", "vec_id"]),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["ann_ivf_parity"] = q_ann_ivf_parity
+DATA_ORACLES["ann_ivf_parity"] = SQL_ANN

@@ -543,3 +543,36 @@ def test_edit_distance_pairs_max_len_guard(ray_session):
         edit_distance_pairs(
             rd.from_arrow(tbl), col="name", id_col="id", max_len=64,
         ).take_all()
+
+
+def test_simhash32_md5_hand_check(ray_session):
+    """simhash32_md5 equals a hand-rolled reference on a tiny batch;
+    empty/NULL docs emit no row; repeated tokens weight by multiplicity."""
+    import hashlib
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import simhash32_md5
+
+    def ref_sig(text):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return None
+        sums = [0] * 32
+        for t in toks:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for b in range(32):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(32) if sums[b] > 0)
+
+    texts = ["the quick fox", "the the the", "", None, "quick"]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = {r["doc_id"]: r["simhash32"]
+           for r in simhash32_md5(rd.from_arrow(tbl).repartition(2))
+           .take_all()}
+    assert set(got) == {0, 1, 4}
+    for i in (0, 1, 4):
+        assert got[i] == ref_sig(texts[i])
