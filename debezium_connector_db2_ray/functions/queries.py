@@ -6813,3 +6813,133 @@ def q_ann_ivf_parity(sf_dir: str):
 
 DATA_QUERIES["ann_ivf_parity"] = q_ann_ivf_parity
 DATA_ORACLES["ann_ivf_parity"] = SQL_ANN
+
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), b AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN a ON a.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t1
+  GROUP BY e.user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN b ON b.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.t2
+  GROUP BY e.user_id
+)
+SELECT a.user_id,
+       CAST(1 + CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS stages_reached,
+       CAST(epoch_us(coalesce(c.t3, b.t2, a.t1)) AS BIGINT) AS last_ts_us
+FROM a
+LEFT JOIN b ON b.user_id = a.user_id
+LEFT JOIN c ON c.user_id = a.user_id
+"""
+
+
+def q_funnel(sf_dir: str):
+    """view -> click -> purchase funnel depth per user (strictly-ordered
+    min-ts semantics): relational.funnel_stages runs it in ONE hash
+    exchange with a reduceat-vectorized kernel; the oracle decorrelates
+    the same funnel into chained min CTEs."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        funnel_stages,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_stages(
+        ds, key="user_id", ts_col="ts", type_col="event_type",
+        stages=["view", "click", "purchase"],
+    )
+
+
+DATA_QUERIES["events_funnel"] = q_funnel
+DATA_ORACLES["events_funnel"] = SQL_FUNNEL
+
+
+SQL_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                  greatest(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+   AND l1.l_partkey <> l2.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM pairs p1
+JOIN pairs p2 ON p2.a = p1.a AND p2.b > p1.b
+JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
+"""
+
+
+def q_triangles(sf_dir: str):
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order are adjacent): per-order pair enumeration is bounded by order
+    width, then relational.triangle_count runs the degree-ordered
+    node-iterator — wedges only out of low-degree endpoints (O(m^1.5)
+    total), closing edges checked in one pair-keyed exchange. The oracle
+    is the canonical x<y<z three-way self-join."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        triangle_count,
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"],
+    )
+    pair_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def order_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # distinct (order, part) then per-order triu pairs (orders are
+        # narrow: pair count is bounded by order width squared)
+        first = np.concatenate(([True], (ok[1:] != ok[:-1])
+                                | (pk[1:] != pk[:-1])))
+        ok, pk = ok[first], pk[first]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1]))
+        )
+        bounds = np.append(starts, len(ok))
+        xs, ys = [], []
+        cache: dict[int, tuple] = {}
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ii, jj = cache.setdefault(m, np.triu_indices(m, k=1))
+            xs.append(pk[lo:hi][ii])
+            ys.append(pk[lo:hi][jj])
+        if not xs:
+            return pair_schema.empty_table()
+        return pa.table({
+            "src": pa.array(np.concatenate(xs), pa.int64()),
+            "dst": pa.array(np.concatenate(ys), pa.int64()),
+        })
+
+    pairs = _window_exchange(
+        li, keys=["l_orderkey"], cols=["l_orderkey", "l_partkey"],
+        num_partitions=None, kernel=order_pairs, out_schema=pair_schema,
+    )
+    return triangle_count(pairs)
+
+
+DATA_QUERIES["graph_triangles"] = q_triangles
+DATA_ORACLES["graph_triangles"] = SQL_TRIANGLES

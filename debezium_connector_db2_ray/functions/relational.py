@@ -2598,3 +2598,224 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
         lambda t: pa.table({"node": t["src"], "r": t["r"]}),
         batch_format="pyarrow",
     )
+
+
+def funnel_stages(ds, *, key: str, ts_col: str, type_col: str,
+                  stages: list[str], num_partitions: int | None = None):
+    """Ordered-funnel depth per key: stage i+1 counts only STRICTLY after
+    the earliest completion of stage i (the classic product-analytics
+    funnel, min-ts semantics). ONE hash exchange on ``key``; the
+    partition-local kernel is fully vectorized — per-segment mins via
+    np.minimum.reduceat, one masked pass per stage, never a per-user
+    loop. Keys that never reach stage 0 emit no row (SQL mirror: the
+    stage-0 CTE is the FROM anchor). Output: (key, stages_reached,
+    last_ts_us) with the timestamp of the deepest stage reached.
+
+    Reference analog: none — the event-sequence family member (SURVEY
+    §2.5 extension), same exchange shape as grouped_lag_delta."""
+    sch = ds.schema()
+    if hasattr(sch, "base_schema"):
+        sch = sch.base_schema
+    key_type = sch.field(key).type
+    out_schema = pa.schema([
+        (key, key_type),
+        ("stages_reached", pa.int64()),
+        ("last_ts_us", pa.int64()),
+    ])
+    stage_list = list(stages)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[(key, "ascending")])
+        t = t.take(order)
+        starts = _segment_starts(t, [key])
+        n_seg = len(starts)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ty = t[type_col].to_numpy(zero_copy_only=False)
+        seg_id = np.zeros(len(ts), np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        INF = np.iinfo(np.int64).max
+        t_prev = np.full(n_seg, -1, np.int64)  # strictly-after anchor
+        depth = np.zeros(n_seg, np.int64)
+        last = np.full(n_seg, INF, np.int64)
+        for si, stage in enumerate(stage_list):
+            mask = (ty == stage) & (ts > t_prev[seg_id]) \
+                & (t_prev[seg_id] != INF)
+            vals = np.where(mask, ts, INF)
+            m = np.minimum.reduceat(vals, starts)
+            reached = m != INF
+            depth += reached
+            last = np.where(reached, m, last)
+            t_prev = m
+        keep = depth > 0
+        keys_col = t[key].take(pa.array(starts[keep]))
+        return pa.table({
+            key: keys_col,
+            "stages_reached": pa.array(depth[keep], pa.int64()),
+            "last_ts_us": pa.array(last[keep], pa.int64()),
+        })
+
+    return _window_exchange(
+        ds, keys=[key], cols=[key, ts_col, type_col],
+        num_partitions=num_partitions, kernel=kernel,
+        out_schema=out_schema,
+    )
+
+
+def triangle_count(edges, *, num_partitions: int | None = None):
+    """Exact triangle count of an undirected simple graph given as an edge
+    Dataset (src, dst) — duplicates, reversed copies and self-loops are
+    cleaned first. Degree-ordered node-iterator (the MapReduce-classic
+    Cohen / Suri-Vassilvitskii shape, reimplemented on the repo's
+    exchanges): orient every edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate wedges only OUT of each node (sum of
+    out-degree^2 is O(m^1.5) under this orientation — a star graph makes
+    zero wedges at its hub), then one pair-keyed exchange counts wedges
+    whose closing edge exists. No driver-side graph state at any scale.
+
+    Exchanges: edge dedup, degree count, two degree joins, wedge groupby,
+    and the final wedge+edge membership aggregate — each bounded by edges
+    or wedges, all vectorized kernels."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(edges)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d = t["dst"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({
+            "a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+        })
+
+    dedup = grouped_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        keys=["a", "b"], aggs={"n": ("a", "count")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+    ).select_columns(["a", "b"]).materialize()  # edge list reused 3x
+
+    deg = grouped_aggregate(
+        dedup.map_batches(
+            lambda t: pa.table({
+                "node": pa.concat_arrays([
+                    t["a"].combine_chunks() if isinstance(
+                        t["a"], pa.ChunkedArray) else t["a"],
+                    t["b"].combine_chunks() if isinstance(
+                        t["b"], pa.ChunkedArray) else t["b"],
+                ]),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["node"], aggs={"d": ("node", "count_all")},
+        num_partitions=num_partitions,
+        schema=pa.schema([("node", pa.int64())]),
+    )
+
+    ea = repartition_join(
+        dedup.map_batches(
+            lambda t: pa.table({"node": t["a"], "b": t["b"]}),
+            batch_format="pyarrow",
+        ),
+        deg, on="node", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({"node": t["b"], "a": t["node"], "da": t["d"]}),
+        batch_format="pyarrow",
+    )
+    eab = repartition_join(
+        ea, deg, on="node", num_partitions=num_partitions,
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["node"].to_numpy(zero_copy_only=False)
+        da = t["da"].to_numpy(zero_copy_only=False)
+        db = t["d"].to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        dv = np.where(a_first, db, da)
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "dv": pa.array(dv, pa.int64()),
+        })
+
+    oriented = eab.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([
+        ("x", pa.int64()), ("y", pa.int64()),
+        ("n_wedge", pa.int64()), ("is_edge", pa.int64()),
+    ])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return wedge_schema.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        dv = t["dv"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, dv, u))
+        u, v, dv = u[order], v[order], dv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1]))
+        )
+        bounds = np.append(starts, len(u))
+        xs, ys = [], []
+        tri_cache: dict[int, tuple] = {}
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            m = hi - lo
+            if m < 2:
+                continue
+            ii, jj = tri_cache.setdefault(m, np.triu_indices(m, k=1))
+            # rows are (dv, v)-sorted, so pair (ii, jj) is orientation-
+            # ordered: the closing edge, if present, is exactly ii -> jj
+            xs.append(v[lo:hi][ii])
+            ys.append(v[lo:hi][jj])
+        if not xs:
+            return wedge_schema.empty_table()
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        return pa.table({
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+            "n_wedge": pa.array(np.ones(len(x), np.int64)),
+            "is_edge": pa.array(np.zeros(len(x), np.int64)),
+        })
+
+    wedge_ds = _window_exchange(
+        oriented, keys=["u"], cols=["u", "v", "dv"],
+        num_partitions=num_partitions, kernel=wedges,
+        out_schema=wedge_schema,
+    )
+    edge_marks = oriented.map_batches(
+        lambda t: pa.table({
+            "x": t["u"], "y": t["v"],
+            "n_wedge": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_edge": pa.array(np.ones(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    closed = grouped_aggregate(
+        wedge_ds.union(edge_marks),
+        keys=["x", "y"],
+        aggs={"w": ("n_wedge", "sum"), "e": ("is_edge", "max")},
+        num_partitions=num_partitions,
+        schema=wedge_schema,
+    )
+    return grouped_aggregate(
+        closed.map_batches(
+            lambda t: pa.table({
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "tri": pc.multiply(t["w"], t["e"]),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["g"], aggs={"n_triangles": ("tri", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("g", pa.int64()), ("tri", pa.int64())]),
+    ).select_columns(["n_triangles"])

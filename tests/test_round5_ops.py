@@ -576,3 +576,67 @@ def test_simhash32_md5_hand_check(ray_session):
     assert set(got) == {0, 1, 4}
     for i in (0, 1, 4):
         assert got[i] == ref_sig(texts[i])
+
+
+def test_funnel_stages_strict_order(ray_session):
+    """Funnel depth uses the EARLIEST stage-0 ts and strictly-after
+    matching: a click before the first view doesn't count; ties on ts
+    don't advance the funnel."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        funnel_stages,
+    )
+
+    rows = [
+        # user 1: full funnel
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE view -> depth 1
+        (2, 10, "click"), (2, 20, "view"),
+        # user 3: click at the SAME ts as view (not strictly after) -> 1
+        (3, 10, "view"), (3, 10, "click"),
+        # user 4: no view at all -> no row
+        (4, 10, "click"), (4, 20, "purchase"),
+        # user 5: view then purchase (skipping click) -> depth 1
+        (5, 10, "view"), (5, 20, "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    got = {r["user_id"]: (r["stages_reached"], r["last_ts_us"])
+           for r in funnel_stages(
+               rd.from_arrow(tbl).repartition(3),
+               key="user_id", ts_col="ts", type_col="event_type",
+               stages=["view", "click", "purchase"],
+           ).take_all()}
+    assert got == {1: (3, 30), 2: (1, 20), 3: (1, 10), 5: (1, 10)}
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 has 4 triangles; a star has 0; duplicate/reversed/self-loop
+    edges don't change the count."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        triangle_count,
+    )
+
+    def count(edges):
+        t = pa.table({
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        })
+        out = triangle_count(rd.from_arrow(t).repartition(2)).take_all()
+        return out[0]["n_triangles"]
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert count(k4) == 4
+    # noise: duplicates, reversed copies, self loops
+    assert count(k4 + [(1, 0), (2, 2), (0, 1), (3, 2)]) == 4
+    star = [(0, i) for i in range(1, 6)]
+    assert count(star) == 0
+    # two triangles sharing an edge
+    assert count([(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]) == 2
