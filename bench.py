@@ -261,6 +261,14 @@ def run_gate_queries(timings: dict) -> None:
         ("docs_dup_spans", DATA_QUERIES),
         ("emb_kmeans", DATA_QUERIES),
         ("docs_gopher_quality", DATA_QUERIES),
+        ("graph_pagerank", DATA_QUERIES),
+        ("graph_triangles", DATA_QUERIES),
+        ("fuzzy_edit1_pairs", DATA_QUERIES),
+        ("events_funnel", DATA_QUERIES),
+        ("tpch_q7_volume", DATA_QUERIES),
+        ("tpch_q9_profit", DATA_QUERIES),
+        ("tpch_q21_waiting_supp", DATA_QUERIES),
+        ("dedup_simhash_parity", DATA_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

@@ -6943,3 +6943,49 @@ def q_triangles(sf_dir: str):
 
 DATA_QUERIES["graph_triangles"] = q_triangles
 DATA_ORACLES["graph_triangles"] = SQL_TRIANGLES
+
+
+SQL_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+), pairs AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (
+    SELECT unnest(list_zip(arr[1:len(arr) - 1], arr[2:len(arr)])) AS z
+    FROM toks WHERE len(arr) >= 2
+  )
+), ucnt AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest(arr) AS w FROM toks)
+  GROUP BY w
+), bcnt AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM pairs GROUP BY w1, w2 HAVING count(*) >= 3
+)
+SELECT b.w1, b.w2, b.n_xy,
+       CAST(u1.n AS BIGINT) AS n_x, CAST(u2.n AS BIGINT) AS n_y
+FROM bcnt b
+JOIN ucnt u1 ON u1.w = b.w1
+JOIN ucnt u2 ON u2.w = b.w2
+"""
+
+
+def q_collocations(sf_dir: str):
+    """Bigram collocation table over the corpus (bigram count >= 3 with
+    both unigram counts attached — the integer-exact input to PMI /
+    log-likelihood collocation scoring): text.collocation_counts runs it
+    as two count exchanges plus two vocabulary-scale hash-exchange
+    attaches (no unigram broadcast)."""
+    from debezium_connector_db2_ray.functions.text import (
+        collocation_counts,
+    )
+
+    return collocation_counts(
+        _docs(sf_dir, columns=["doc_id", "text"]), min_count=3,
+    )
+
+
+DATA_QUERIES["text_collocations"] = q_collocations
+DATA_ORACLES["text_collocations"] = SQL_COLLOCATIONS

@@ -508,3 +508,235 @@ def dup_span_grams(batch: pa.Table, *, n: int = 8, text_col: str = "text",
         "gram": grams["gram"].to_arrow().cast(pa.string()),
         "doc_id": grams["doc_id"].to_arrow().cast(pa.int64()),
     })
+
+
+def attach_grouped_count(rows, counts, *, key_col: str, count_col: str,
+                         out_col: str,
+                         num_partitions: int | None = None):
+    """Attach a (key -> count) table to a row stream on a possibly-STRING
+    key without a broadcast: both sides hash-exchange on the key, and a
+    partition-local vectorized kernel sorts by key and np.repeats each
+    segment's count row across its payload rows — the join-by-another-name
+    for keys too wide (a full vocabulary) to ship to every task. Rows
+    whose key has no count row are dropped (inner semantics)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _partition_codes,
+        _segment_starts,
+        derive_num_partitions,
+    )
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(rows)
+    sch = rows.schema()
+    if hasattr(sch, "base_schema"):
+        sch = sch.base_schema
+    payload = [c for c in sch.names if c != key_col]
+    types = dict(zip(sch.names, sch.types))
+    out_schema = pa.schema(
+        [(key_col, types[key_col])]
+        + [(c, types[c]) for c in payload]
+        + [(out_col, pa.int64())]
+    )
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {key_col: t[key_col]}
+            for c in payload:
+                cols[c] = (
+                    t[c] if side == 0 else pa.nulls(t.num_rows, types[c])
+                )
+            cols["__cnt"] = (
+                pa.nulls(t.num_rows, pa.int64()) if side == 0
+                else t[count_col].cast(pa.int64())
+            )
+            cols["__side"] = pa.array(
+                np.full(t.num_rows, side, np.int8)
+            )
+            out = pa.table(cols)
+            return out.append_column(
+                "__part",
+                pa.array(_partition_codes(out, [key_col], num_partitions)),
+            )
+
+        return fn
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "__side" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.drop_columns(["__part"]) if "__part" in g.column_names else g
+        order = pc.sort_indices(
+            g, sort_keys=[(key_col, "ascending"), ("__side", "descending")]
+        )
+        g = g.take(order)
+        starts = _segment_starts(g, [key_col])
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        cnt = pc.fill_null(g["__cnt"], 0).to_numpy(zero_copy_only=False)
+        n = g.num_rows
+        seg_id = np.zeros(n, np.int64)
+        seg_id[starts[1:]] = 1
+        seg_id = np.cumsum(seg_id)
+        # count row (side 1) sorts FIRST in its segment; a segment whose
+        # first row is a payload row has no count -> drop (inner join)
+        has_cnt = side[starts] == 1
+        seg_cnt = cnt[starts]
+        keep = (side == 0) & has_cnt[seg_id]
+        out = g.filter(pa.array(keep)).select([key_col] + payload)
+        return out.append_column(
+            out_col, pa.array(seg_cnt[seg_id][keep], pa.int64())
+        )
+
+    u = rows.map_batches(tag(0), batch_format="pyarrow").union(
+        counts.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out = u.groupby("__part").map_groups(kernel, batch_format="pyarrow")
+    import ray.data as _rd
+
+    return out.union(_rd.from_arrow(out_schema.empty_table()))
+
+
+def collocation_counts(ds, *, text_col: str = "text", min_count: int = 3,
+                       num_partitions: int | None = None):
+    """PMI-ready bigram collocations: every adjacent token pair (RE2-\\S+
+    tokens, document-local adjacency) with its bigram count and BOTH
+    unigram counts attached — the downstream PMI / log-likelihood score is
+    then a driver-trivial division, kept off this operator so the output
+    stays integer-exact. Per-batch np.unique combiners bound the two count
+    exchanges by batch-distinct grams; the vocabulary-wide unigram table
+    attaches via the hash-exchange attach (never broadcast — a 100 TB
+    corpus's vocabulary doesn't fit a task heap); min_count prunes the
+    bigram tail BEFORE the attach exchanges.
+
+    Reference analog: none — text-analysis family (SURVEY §2.5 extension),
+    the collocation stage of a training-data n-gram pipeline."""
+    import re
+
+    from debezium_connector_db2_ray.functions.relational import (
+        derive_num_partitions,
+        grouped_aggregate,
+    )
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    token_re = re.compile(TOKEN_PATTERN)
+
+    def grams(batch: pa.Table) -> pa.Table:
+        s = batch[text_col].to_pandas().fillna("")
+        toks = s.str.findall(token_re)
+        lens = toks.str.len().to_numpy()
+        out_w1, out_w2, out_n = [], [], []
+        uw, un = [], []
+        if int(lens.sum()) > 0:
+            flat = np.concatenate(
+                [np.asarray(t, object) for t in toks[lens > 0]]
+            )
+            u, c = np.unique(flat, return_counts=True)
+            uw.append(u)
+            un.append(c)
+            # bigrams: adjacent within doc — drop each doc's last token
+            # from the left side and first from the right side
+            starts = np.cumsum(np.concatenate(([0], lens[lens > 0])))[:-1]
+            last = starts + lens[lens > 0] - 1
+            keep_left = np.ones(len(flat), bool)
+            keep_left[last] = False
+            w1 = flat[keep_left]
+            keep_right = np.ones(len(flat), bool)
+            keep_right[starts] = False
+            w2 = flat[keep_right]
+            if len(w1):
+                # integer pairing over the batch-local token codes (no
+                # string concatenation — tokens may contain any byte)
+                c1 = np.searchsorted(u, w1)
+                c2 = np.searchsorted(u, w2)
+                V = np.int64(len(u))
+                up, cp = np.unique(c1 * V + c2, return_counts=True)
+                out_w1.append(u[(up // V).astype(np.intp)])
+                out_w2.append(u[(up % V).astype(np.intp)])
+                out_n.append(cp)
+        t1 = pa.table({
+            "w1": pa.array(
+                np.concatenate(out_w1) if out_w1 else np.array([], object),
+                pa.string()),
+            "w2": pa.array(
+                np.concatenate(out_w2) if out_w2 else np.array([], object),
+                pa.string()),
+            "n": pa.array(
+                np.concatenate(out_n).astype(np.int64) if out_n
+                else np.array([], np.int64)),
+            "kind": pa.array(
+                np.zeros(sum(len(a) for a in out_w1), np.int8)
+                if out_w1 else np.array([], np.int8)),
+        })
+        t2 = pa.table({
+            "w1": pa.array(
+                np.concatenate(uw) if uw else np.array([], object),
+                pa.string()),
+            "w2": pa.array(
+                np.full(sum(len(a) for a in uw), "", object)
+                if uw else np.array([], object), pa.string()),
+            "n": pa.array(
+                np.concatenate(un).astype(np.int64) if un
+                else np.array([], np.int64)),
+            "kind": pa.array(
+                np.ones(sum(len(a) for a in uw), np.int8)
+                if uw else np.array([], np.int8)),
+        })
+        return pa.concat_tables([t1, t2])
+
+    counted = grouped_aggregate(
+        ds.map_batches(grams, batch_format="pyarrow"),
+        keys=["kind", "w1", "w2"],
+        aggs={"cnt": ("n", "sum")},
+        num_partitions=num_partitions,
+        schema=pa.schema([
+            ("kind", pa.int8()), ("w1", pa.string()),
+            ("w2", pa.string()), ("n", pa.int64()),
+        ]),
+    )
+    bigrams = counted.filter(expr="kind == 0").filter(
+        expr=f"cnt >= {int(min_count)}"
+    ).map_batches(
+        lambda t: pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "n_xy": t["cnt"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    unigrams = counted.filter(expr="kind == 1").map_batches(
+        lambda t: pa.table({
+            "w": t["w1"], "n_w": t["cnt"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).materialize()  # vocabulary-bounded; consumed by two attaches
+
+    a1 = attach_grouped_count(
+        bigrams.map_batches(
+            lambda t: t.rename_columns(["w", "w2", "n_xy"]),
+            batch_format="pyarrow",
+        ),
+        unigrams, key_col="w", count_col="n_w", out_col="n_x",
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({
+            "w1": t["w"], "w2": t["w2"], "n_xy": t["n_xy"],
+            "n_x": t["n_x"],
+        }),
+        batch_format="pyarrow",
+    )
+    a2 = attach_grouped_count(
+        a1.map_batches(
+            lambda t: pa.table({
+                "w": t["w2"], "w1": t["w1"], "n_xy": t["n_xy"],
+                "n_x": t["n_x"],
+            }),
+            batch_format="pyarrow",
+        ),
+        unigrams, key_col="w", count_col="n_w", out_col="n_y",
+        num_partitions=num_partitions,
+    )
+    return a2.map_batches(
+        lambda t: pa.table({
+            "w1": t["w1"], "w2": t["w"], "n_xy": t["n_xy"],
+            "n_x": t["n_x"], "n_y": t["n_y"],
+        }),
+        batch_format="pyarrow",
+    )

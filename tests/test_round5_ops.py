@@ -640,3 +640,23 @@ def test_triangle_count_known_graphs(ray_session):
     assert count(star) == 0
     # two triangles sharing an edge
     assert count([(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]) == 2
+
+
+def test_collocation_counts_hand_check(ray_session):
+    """Bigram + unigram counts on a tiny corpus; min_count prunes; NULL
+    and empty docs contribute nothing; adjacency never crosses docs."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.text import (
+        collocation_counts,
+    )
+
+    tbl = pa.table({"text": pa.array([
+        "the cat sat on the mat", "the cat ran", "a cat sat here",
+        "the cat sat", None, "", "cat sat mats the cat sat",
+    ])})
+    out = {(r["w1"], r["w2"]): (r["n_xy"], r["n_x"], r["n_y"])
+           for r in collocation_counts(
+               rd.from_arrow(tbl).repartition(3), min_count=2
+           ).take_all()}
+    assert out == {("cat", "sat"): (5, 6, 5), ("the", "cat"): (4, 5, 6)}
