@@ -6152,14 +6152,16 @@ def q_tpch_q21(sf_dir: str):
     order has at least one other supplier — the reference query's
     EXISTS / NOT-EXISTS pair decorrelated into per-order distinct counts.
     TWO exchanges, both keyed by orderkey (key reuse): the lineitem-orders
-    repartition join, then the per-order groupby whose distinct counts run
-    vectorized (np.unique over (order, supplier) pairs per partition, no
-    per-order Python); the per-supplier count is a third exchange over
+    repartition join, then a hash _window_exchange whose kernel computes
+    ALL of a partition's per-order distinct counts in one np.unique pass
+    (one kernel call per PARTITION — a per-order map_groups was measured
+    ~25x slower here); the per-supplier count is a third exchange over
     O(qualifying orders) rows; names broadcast; global_top_k avoids a full
     sort."""
     import ray.data as rd
 
     from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
         broadcast_join,
         global_top_k,
         grouped_aggregate,
@@ -6178,6 +6180,7 @@ def q_tpch_q21(sf_dir: str):
         batch_format="pyarrow",
     )
     f = repartition_join(li, orders, on="l_orderkey")
+    RSUPP_SCHEMA = pa.schema([("rsupp", pa.int64())])
 
     def per_order(t: pa.Table) -> pa.Table:
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -6185,7 +6188,7 @@ def q_tpch_q21(sf_dir: str):
         r = pc.equal(t["l_returnflag"], "R").to_numpy(
             zero_copy_only=False
         )
-        empty = pa.table({"rsupp": pa.array([], pa.int64())})
+        empty = RSUPP_SCHEMA.empty_table()
         if ok.size == 0:
             return empty
         # distinct (order, supplier) pairs -> per-order supplier count
@@ -6206,8 +6209,11 @@ def q_tpch_q21(sf_dir: str):
         sel = rp[np.isin(rp[:, 0], qual)]
         return pa.table({"rsupp": pa.array(sel[:, 1], pa.int64())})
 
-    per_ord = f.groupby("l_orderkey").map_groups(
-        per_order, batch_format="pyarrow",
+    per_ord = _window_exchange(
+        f, keys=["l_orderkey"],
+        cols=["l_orderkey", "l_suppkey", "l_returnflag"],
+        num_partitions=None, kernel=per_order,
+        out_schema=RSUPP_SCHEMA,
     )
     counts = grouped_aggregate(
         per_ord.map_batches(
@@ -6868,11 +6874,13 @@ DATA_ORACLES["events_funnel"] = SQL_FUNNEL
 
 SQL_TRIANGLES = """
 WITH pairs AS (
-  SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
-                  greatest(l1.l_partkey, l2.l_partkey) AS b
+  SELECT least(l1.l_partkey, l2.l_partkey) AS a,
+         greatest(l1.l_partkey, l2.l_partkey) AS b
   FROM lineitem l1
   JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
    AND l1.l_partkey <> l2.l_partkey
+  GROUP BY a, b
+  HAVING count(DISTINCT l1.l_orderkey) >= 2
 )
 SELECT CAST(count(*) AS BIGINT) AS n_triangles
 FROM pairs p1
@@ -6882,9 +6890,11 @@ JOIN pairs p3 ON p3.a = p1.b AND p3.b = p2.b
 
 
 def q_triangles(sf_dir: str):
-    """Triangle count of the part co-purchase graph (parts sharing an
-    order are adjacent): per-order pair enumeration is bounded by order
-    width, then relational.triangle_count runs the degree-ordered
+    """Triangle count of the REPEAT co-purchase graph (parts adjacent
+    when they share >= 2 orders — the single-order threshold makes a
+    near-clique soup whose wedge volume swamps the signal): per-order
+    pair enumeration is bounded by order width, a count exchange applies
+    the threshold, then relational.triangle_count runs the degree-ordered
     node-iterator — wedges only out of low-degree endpoints (O(m^1.5)
     total), closing edges checked in one pair-keyed exchange. The oracle
     is the canonical x<y<z three-way self-join."""
@@ -6938,7 +6948,17 @@ def q_triangles(sf_dir: str):
         li, keys=["l_orderkey"], cols=["l_orderkey", "l_partkey"],
         num_partitions=None, kernel=order_pairs, out_schema=pair_schema,
     )
-    return triangle_count(pairs)
+    # pairs are distinct WITHIN an order, so the per-(a,b) count is the
+    # distinct-order co-purchase count; threshold before the graph work
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    repeat = grouped_aggregate(
+        pairs, keys=["src", "dst"], aggs={"n": ("src", "count")},
+        schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    ).filter(expr="n >= 2").select_columns(["src", "dst"])
+    return triangle_count(repeat)
 
 
 DATA_QUERIES["graph_triangles"] = q_triangles
@@ -6989,3 +7009,50 @@ def q_collocations(sf_dir: str):
 
 DATA_QUERIES["text_collocations"] = q_collocations
 DATA_ORACLES["text_collocations"] = SQL_COLLOCATIONS
+
+
+SQL_SKYLINE = """
+WITH d AS (
+  SELECT DISTINCT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS qty_e2
+  FROM lineitem
+), w AS (
+  SELECT price_e2, qty_e2,
+         max(qty_e2) OVER (
+           ORDER BY price_e2 ASC, qty_e2 DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS my
+  FROM d
+)
+SELECT price_e2, qty_e2 FROM w WHERE my IS NULL OR qty_e2 > my
+"""
+
+
+def q_skyline(sf_dir: str):
+    """Pareto frontier of (min price, max quantity) over lineitem:
+    relational.skyline_2d's two-phase scan — per-batch local-skyline
+    prefilter, range partition on price, <= P carry-in maxima on the
+    driver, one exchange; the oracle is the single-node window-cummax
+    formulation of the same strict-dominance scan."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import skyline_2d
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table({
+            "price_e2": pc.round(
+                pc.multiply(t["l_extendedprice"], 100.0)
+            ).cast(pa.int64()),
+            "qty_e2": pc.round(
+                pc.multiply(t["l_quantity"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    return skyline_2d(li, x_col="price_e2", y_col="qty_e2")
+
+
+DATA_QUERIES["lineitem_skyline"] = q_skyline
+DATA_ORACLES["lineitem_skyline"] = SQL_SKYLINE

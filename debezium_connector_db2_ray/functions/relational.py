@@ -2819,3 +2819,115 @@ def triangle_count(edges, *, num_partitions: int | None = None):
         num_partitions=1,
         schema=pa.schema([("g", pa.int64()), ("tri", pa.int64())]),
     ).select_columns(["n_triangles"])
+
+
+def skyline_2d(ds, *, x_col: str, y_col: str,
+               num_partitions: int | None = None):
+    """2-D Pareto frontier (minimize ``x_col``, maximize ``y_col``,
+    strict dominance): the scan formulation — sort by (x asc, y desc) and
+    keep points whose y strictly exceeds every earlier y — distributed
+    with the same two-phase pattern as prefix_sum:
+
+    1. per-batch LOCAL skyline prefilter (vectorized sort + running max)
+       kills the overwhelmingly-dominated bulk before anything moves;
+    2. survivors RANGE-partition on x (equal x co-locates, ranges stay
+       globally ordered); per-range y-maxima fold to <= P driver values,
+       exclusive-scanned into each range's carry-in;
+    3. one exchange, then a partition-local scan against
+       max(local running max, carry-in).
+
+    Output: the frontier as (x_col, y_col), exact-distinct. Rows move at
+    most once and only local-skyline survivors move at all; the driver
+    holds P numbers. Integer columns only (the strictness compare must be
+    exact)."""
+    import ray
+    import ray.data as _rd
+    from ray.data.aggregate import Max as _RayMax
+    from ray.data.aggregate import Min as _RayMin
+
+    out_schema = pa.schema([(x_col, pa.int64()), (y_col, pa.int64())])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        x = t[x_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = t[y_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, x))
+        x, y = x[order], y[order]
+        cm = np.maximum.accumulate(y)
+        keep = np.concatenate(([True], y[1:] > cm[:-1]))
+        return pa.table({
+            x_col: pa.array(x[keep], pa.int64()),
+            y_col: pa.array(y[keep], pa.int64()),
+        })
+
+    cand = ds.map_batches(
+        local_skyline, batch_format="pyarrow"
+    ).materialize()  # bounded by the per-batch frontier union, reused 3x
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(cand)
+    stats = cand.aggregate(
+        _RayMin(x_col, alias_name="lo"), _RayMax(x_col, alias_name="hi")
+    )
+    lo, hi = stats["lo"], stats["hi"]
+    if lo is None:
+        return _rd.from_arrow(out_schema.empty_table())
+    width = max(1, (int(hi) - int(lo) + num_partitions) // num_partitions)
+
+    def part_of(t: pa.Table) -> np.ndarray:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ((x - int(lo)) // width).astype(np.int32)
+
+    def partials(t: pa.Table) -> pa.Table:
+        p = part_of(t)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(p, kind="stable")
+        ps, ys = p[order], y[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(ps)) + 1))
+        mx = (np.maximum.reduceat(ys, starts) if len(ys)
+              else np.zeros(0, np.int64))
+        return pa.table({
+            "p": pa.array(ps[starts], pa.int32()),
+            "m": pa.array(mx, pa.int64()),
+        })
+
+    rows = (
+        cand.map_batches(partials, batch_format="pyarrow")
+        .groupby("p").max("m").to_pandas()
+    )
+    NEG = np.iinfo(np.int64).min
+    maxima = np.full(num_partitions, NEG, np.int64)
+    for p, m in zip(rows["p"], rows["max(m)"]):
+        maxima[int(p)] = int(m)
+    # carry-in for range i = max y over every range j < i
+    carry = np.concatenate((
+        [NEG], np.maximum.accumulate(maxima)[:-1],
+    ))
+    carry_ref = ray.put(carry)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("__part", pa.array(part_of(t)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or x_col not in g.column_names:
+            return out_schema.empty_table()
+        pcode = int(g["__part"][0].as_py())
+        cin = int(ray.get(carry_ref)[pcode])
+        x = g[x_col].to_numpy(zero_copy_only=False)
+        y = g[y_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-y, x))
+        x, y = x[order], y[order]
+        cm = np.maximum.accumulate(y)
+        prev = np.concatenate(([NEG], cm[:-1]))
+        keep = y > np.maximum(prev, cin)
+        return pa.table({
+            x_col: pa.array(x[keep], pa.int64()),
+            y_col: pa.array(y[keep], pa.int64()),
+        })
+
+    out = (
+        cand.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+    return out.union(_rd.from_arrow(out_schema.empty_table()))

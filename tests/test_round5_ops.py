@@ -660,3 +660,33 @@ def test_collocation_counts_hand_check(ray_session):
                rd.from_arrow(tbl).repartition(3), min_count=2
            ).take_all()}
     assert out == {("cat", "sat"): (5, 6, 5), ("the", "cat"): (4, 5, 6)}
+
+
+def test_skyline_2d_bruteforce(ray_session):
+    """skyline_2d equals the O(n^2) strict-dominance filter on a fixture
+    with duplicate points, dominance ties on each axis, and a clear
+    frontier."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import skyline_2d
+
+    pts = [(1, 5), (1, 5), (2, 9), (2, 7), (3, 9), (4, 12), (4, 3),
+           (5, 12), (0, 1), (6, 13), (6, 13), (7, 2)]
+    tbl = pa.table({
+        "x": pa.array([p[0] for p in pts], pa.int64()),
+        "y": pa.array([p[1] for p in pts], pa.int64()),
+    })
+    got = sorted(
+        (r["x"], r["y"])
+        for r in skyline_2d(
+            rd.from_arrow(tbl).repartition(4), x_col="x", y_col="y"
+        ).take_all()
+    )
+    uniq = set(pts)
+    want = sorted(
+        p for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in uniq
+        )
+    )
+    assert got == want
