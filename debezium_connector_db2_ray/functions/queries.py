@@ -7056,3 +7056,107 @@ def q_skyline(sf_dir: str):
 
 DATA_QUERIES["lineitem_skyline"] = q_skyline
 DATA_ORACLES["lineitem_skyline"] = SQL_SKYLINE
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+def q_json_props(sf_dir: str):
+    """Semi-structured extraction + aggregate: pull props.$.k out of the
+    JSON string column with the vectorized Rust path matcher (NULL-safe,
+    no per-row json.loads), then a tiny per-type (count, sum) exchange —
+    COUNT(col) null-exclusion semantics verified against DuckDB's
+    json_extract_string."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import json_extract_int
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"],
+    )
+    ext = json_extract_int(ds, col="props", path="$.k", out_col="k")
+    return grouped_aggregate(
+        ext, keys=["event_type"],
+        aggs={"n_with_k": ("k", "count"), "sum_k": ("k", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("event_type", pa.string()), ("k", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["events_json_props"] = q_json_props
+DATA_ORACLES["events_json_props"] = SQL_JSON_PROPS
+
+
+SQL_ABOVE_P90 = """
+WITH v AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_e2
+  FROM events
+), p AS (
+  SELECT user_id, quantile_disc(v_e2, 0.9) AS p90_e2
+  FROM v GROUP BY user_id
+)
+SELECT v.event_id, v.user_id, v.v_e2, p.p90_e2
+FROM v JOIN p ON p.user_id = v.user_id
+WHERE v.v_e2 > p.p90_e2
+"""
+
+
+def q_above_p90(sf_dir: str):
+    """Per-group percentile filter (each user's events STRICTLY above
+    their own discrete p90): grouped_percentiles' one-exchange segment
+    kernel produces the per-user cut, a repartition join on the SAME key
+    routes it back, and the filter runs map-side — the outlier-mining
+    composite (anomalous spans per conversation, over-long turns per
+    user) built entirely from existing operators."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_percentiles,
+        repartition_join,
+    )
+
+    v = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "v_e2": pc.round(
+                pc.multiply(t["value"], 100.0)
+            ).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    cuts = grouped_percentiles(
+        v.select_columns(["user_id", "v_e2"]),
+        keys=["user_id"], col="v_e2", qs={"p90_e2": 0.9},
+        schema=pa.schema([("user_id", pa.int64()), ("v_e2", pa.int64())]),
+    )
+    j = repartition_join(v, cuts, on="user_id")
+    return j.map_batches(
+        lambda t: t.filter(pc.greater(t["v_e2"], t["p90_e2"])).select(
+            ["event_id", "user_id", "v_e2", "p90_e2"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["events_above_p90"] = q_above_p90
+DATA_ORACLES["events_above_p90"] = SQL_ABOVE_P90

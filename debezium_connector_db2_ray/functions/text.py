@@ -740,3 +740,35 @@ def collocation_counts(ds, *, text_col: str = "text", min_count: int = 3,
         }),
         batch_format="pyarrow",
     )
+
+
+def json_extract_int(ds, *, col: str, path: str, out_col: str,
+                     keep: list[str] | None = None):
+    """Vectorized JSON field extraction from a string column (the
+    semi-structured props/payload shape every event lake carries):
+    polars' json_path_match runs the path over the whole batch in Rust —
+    no per-row json.loads — and non-JSON / missing-path / NULL rows yield
+    NULL, exactly DuckDB's json_extract_string semantics. The extracted
+    value casts to int64 (strict=False: non-numeric matches become NULL
+    rather than raising mid-stream).
+
+    Reference analog: the reference ships payloads as opaque structured
+    values for Kafka Connect converters to unpack (SURVEY §2.6); here the
+    unpack is a first-class map-only operator."""
+    import polars as pl
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = batch[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        v = (
+            pl.from_arrow(s).str.json_path_match(path)
+            .cast(pl.Int64, strict=False)
+            .to_arrow().cast(pa.int64())
+        )
+        cols = {c: batch[c] for c in (keep or batch.column_names)
+                if c != col}
+        cols[out_col] = v
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow")
