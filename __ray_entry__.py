@@ -65,74 +65,53 @@ def entry() -> Any:
 
 
 # The driver's correctness gate checks at most 50 queries() rows, in dict
-# order. Rounds 1-3 exhausted that budget on the oldest entries, leaving the
-# round-3 additions driver-unchecked (judge round-3 verdict, item 1). The
-# list below front-loads the never-driver-checked rows behind a small set of
-# CDC flagships; everything else (all hash-green in CORRECTNESS_r01-r03
-# and/or the local scripts/gate_sweep.py replica) follows in legacy order.
-DRIVER_GATE_FIRST = [
-    # CDC flagships (driver-green in r2 AND r3; keep on the gate)
+# order, so with far more than 50 registered pipelines the ORDER decides
+# what gets a driver-visible CORRECTNESS row each round. The ordering below
+# is SELF-MAINTAINING: it reads the repo's own CORRECTNESS_r*.json
+# artifacts (written by the driver at the end of every round), and fronts
+#   1. the pinned CDC flagships (re-checked every round as the engine
+#      smoke), then
+#   2. every query that has NEVER received a driver row, in registration
+#      order (oldest unchecked first), then
+#   3. the already-checked remainder.
+# Each new round's artifact automatically rotates the next unchecked batch
+# onto the gate — no manual reordering (the round-3 verdict's item 1, made
+# permanent). Every entry, checked or not, stays green in the local
+# replica (scripts/gate_sweep.py) at all times.
+DRIVER_GATE_PINNED = [
     "cdc_apply_lww",
     "cdc_snapshot_then_stream",
-    # round-4 additions with explicit verdict Done-conditions:
-    # cdc_classify_multifile strictly subsumes cdc_classify_ops (same
-    # classification + SQL oracle, plus cross-file commit pairs), so it
-    # takes that flagship's slot; ann_lsh_parity is the no_oracle->checked
-    # ANN conversion (verdict item 6)
     "cdc_classify_multifile",
-    "ann_lsh_parity",
-    # the 46 round-3 operators the 50-row cap hid from the driver
-    "tpch_pricing_summary",
-    "orders_revenue_join",
-    "dedup_apply",
-    "grouped_agg_lineitem",
-    "grouped_distinct_suppliers",
-    "docs_decontaminate",
-    "percentiles_price",
-    "grouped_percentiles_user",
-    "top_orders_per_cust",
-    "events_lag_deltas",
-    "stream_sliding_counts",
-    "events_pivot",
-    "text_rep_tokens",
-    "tpch_q3_shipping",
-    "events_rolling_sum",
-    "sample_per_group",
-    "dedup_incremental",
-    "text_tfidf_topk",
-    "orders_left_join",
-    "approx_distinct_users",
-    "user_event_sequence",
-    "users_click_not_purchase",
-    "events_value_histogram",
-    "cust_nation_broadcast",
-    "orders_semi_bigline",
-    "lineitem_rollup",
-    "lineitem_unpivot",
-    "user_day_dense_rank",
-    "user_event_ntile",
-    "user_value_percent_rank",
-    "lineitem_grouped_moments",
-    "user_top_event_type",
-    "customer_orders_full_join",
-    "users_click_and_purchase",
-    "tpch_q13_custdist",
-    "tpch_q5_local_revenue",
-    "customers_without_orders",
-    "docs_chunked",
-    "docs_longest_topk",
-    "user_first_last_value",
-    "docs_vocab_coverage",
-    "corr_quantity_price",
-    "events_cohort_retention",
-    "events_csv_source",
-    "events_jsonl_source",
-    "docs_curation_pipeline",
 ]
 
 
+def _driver_checked() -> set:
+    """Union of query names across all driver CORRECTNESS artifacts that
+    sit next to this file. Malformed/absent artifacts are ignored."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    seen: set = set()
+    for p in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            if isinstance(d, dict):
+                seen.update(d.keys())
+        except Exception:
+            continue
+    return seen
+
+
 def _ordered(merged: dict) -> dict:
-    out = {k: merged[k] for k in DRIVER_GATE_FIRST if k in merged}
+    checked = _driver_checked()
+    out = {k: merged[k] for k in DRIVER_GATE_PINNED if k in merged}
+    out.update(
+        (k, v) for k, v in merged.items()
+        if k not in out and k not in checked
+    )
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out
 
