@@ -7160,3 +7160,82 @@ def q_above_p90(sf_dir: str):
 
 DATA_QUERIES["events_above_p90"] = q_above_p90
 DATA_ORACLES["events_above_p90"] = SQL_ABOVE_P90
+
+
+PQ_M, PQ_K, PQ_SUB = 4, 16, 16
+
+SQL_PQ_CODES = f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cb AS (
+  SELECT s.s, c.c, d.d,
+         ((1103515245 * (s.s * 100000 + c.c * 1000 + d.d) + 12345)
+          % 2001) - 1000 AS cv
+  FROM range({PQ_M}) s(s), range({PQ_K}) c(c), range({PQ_SUB}) d(d)
+), dist AS (
+  SELECT ev.vec_id, cb.s, cb.c,
+         sum((ev.v - cb.cv) * (ev.v - cb.cv)) AS d2
+  FROM ev JOIN cb ON cb.s = (ev.i - 1) // {PQ_SUB}
+                 AND cb.d = (ev.i - 1) % {PQ_SUB}
+  GROUP BY ev.vec_id, cb.s, cb.c
+), best AS (
+  SELECT vec_id, s, c,
+         row_number() OVER (
+           PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM dist
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN s = 0 THEN c END) AS BIGINT) AS c0,
+       CAST(max(CASE WHEN s = 1 THEN c END) AS BIGINT) AS c1,
+       CAST(max(CASE WHEN s = 2 THEN c END) AS BIGINT) AS c2,
+       CAST(max(CASE WHEN s = 3 THEN c END) AS BIGINT) AS c3
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codes for every corpus vector (4 subspaces x
+    16 centroids over the 64-dim embeddings): map-only actor-pool encode
+    against the deterministic integer codebook — the oracle regenerates
+    the identical codebook with range()/LCG arithmetic and mirrors the
+    argmin (ties to the smallest centroid id) bit for bit."""
+    from debezium_connector_db2_ray.functions.similarity import pq_encode
+
+    return pq_encode(_emb(sf_dir), dim=64, m_sub=PQ_M, k=PQ_K)
+
+
+DATA_QUERIES["emb_pq_codes"] = q_pq_codes
+DATA_ORACLES["emb_pq_codes"] = SQL_PQ_CODES
+
+
+SQL_PROFILE = """
+SELECT 'text' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(text) AS BIGINT) AS n_null
+FROM documents
+UNION ALL
+SELECT 'doc_id', count(*), count(*) - count(doc_id) FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang) FROM documents
+"""
+
+
+def q_profile(sf_dir: str):
+    """Completeness profile of the documents table (row + NULL counts per
+    column in one map-only pass): the first gate every new data drop runs
+    before entering the curation pipeline."""
+    from debezium_connector_db2_ray.functions.relational import (
+        profile_nulls,
+    )
+
+    return profile_nulls(
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]),
+        columns=["doc_id", "text", "lang"],
+    )
+
+
+DATA_QUERIES["docs_profile"] = q_profile
+DATA_ORACLES["docs_profile"] = SQL_PROFILE

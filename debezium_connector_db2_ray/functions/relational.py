@@ -2931,3 +2931,37 @@ def skyline_2d(ds, *, x_col: str, y_col: str,
         .map_groups(kernel, batch_format="pyarrow")
     )
     return out.union(_rd.from_arrow(out_schema.empty_table()))
+
+
+def profile_nulls(ds, *, columns: list[str]):
+    """Data-quality completeness audit: per-column row and NULL counts in
+    ONE map-only pass (each batch folds to len(columns) partial rows — no
+    per-column scans, no shuffle beyond the final len(columns)-row
+    aggregate). The profiling primitive every ingest pipeline runs before
+    trusting a new drop.
+
+    Reference analog: the reference's snapshot SELECT validation counts
+    (SnapshotIT assertions); generalized to arbitrary columns."""
+    cols = list(columns)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array(cols, pa.string()),
+            "n": pa.array(
+                np.full(len(cols), t.num_rows, np.int64)
+            ),
+            "nn": pa.array(
+                [t[c].null_count for c in cols], pa.int64()
+            ),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["column"],
+        aggs={"n_rows": ("n", "sum"), "n_null": ("nn", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("column", pa.string()), ("n", pa.int64()),
+            ("nn", pa.int64()),
+        ]),
+    )

@@ -799,3 +799,58 @@ def knn_classify(ds, queries_ref, *, k: int = 10,
     return partials.groupby("query_id").map_groups(
         vote, batch_format="pyarrow"
     )
+
+
+def sqlparity_codebook(m_sub: int, k: int, sub_dim: int) -> np.ndarray:
+    """Deterministic integer PQ codebook C[s, c, d] = LCG(s*100000 +
+    c*1000 + d) scaled to [-1000, 1000] — the same arithmetic the SQL
+    oracle generates with range()/modulo, so both engines quantize
+    against bit-identical centroids (the PQ analog of sqlparity_planes)."""
+    s = np.arange(m_sub, dtype=np.int64)[:, None, None]
+    c = np.arange(k, dtype=np.int64)[None, :, None]
+    d = np.arange(sub_dim, dtype=np.int64)[None, None, :]
+    return ((1103515245 * (s * 100000 + c * 1000 + d) + 12345)
+            % 2001) - 1000
+
+
+def pq_encode(ds, *, dim: int, m_sub: int = 4, k: int = 16,
+              codebook: np.ndarray | None = None, concurrency: int = 2):
+    """Product-quantization encoding: each vector splits into ``m_sub``
+    contiguous subspaces and each subspace maps to its nearest codebook
+    centroid (squared L2, ties to the smallest centroid id) — the
+    compression step every billion-vector ANN index (IVF-PQ) runs before
+    storage, here as a map-only actor-pool stage (codebook built once per
+    actor, per-batch distances are one einsum against the broadcast
+    codebook; vectors never shuffle). With the default deterministic
+    sqlparity_codebook the assignment is integer-exact and SQL-mirrorable;
+    pass a trained codebook for production use.
+
+    Output: (vec_id, c0..c{m_sub-1}) int64 codes."""
+    sub = dim // m_sub
+    if codebook is None:
+        codebook = sqlparity_codebook(m_sub, k, sub)
+    cb = codebook.astype(np.int64)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        m_raw = _batch_matrix(batch)
+        q = np.floor(m_raw * 1000.0 + 0.5).astype(np.int64)
+        n = q.shape[0]
+        cols = {"vec_id": batch["vec_id"]}
+        for s in range(m_sub):
+            x = q[:, s * sub:(s + 1) * sub]            # (n, sub)
+            # (n, k) squared distances, integer-exact
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2 * (x @ cb[s].T)
+                + (cb[s] * cb[s]).sum(axis=1)[None, :]
+            )
+            cols[f"c{s}"] = pa.array(
+                np.argmin(d2, axis=1).astype(np.int64), pa.int64()
+            )
+        assert n == batch.num_rows
+        return pa.table(cols)
+
+    return ds.map_batches(
+        encode, batch_format="pyarrow", concurrency=concurrency,
+        num_cpus=0.5,
+    )

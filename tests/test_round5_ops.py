@@ -690,3 +690,53 @@ def test_skyline_2d_bruteforce(ray_session):
         )
     )
     assert got == want
+
+
+def test_pq_encode_bruteforce(ray_session):
+    """pq_encode's integer-exact assignment equals a numpy brute-force
+    nearest-centroid per subspace (ties to the smallest id)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        pq_encode,
+        sqlparity_codebook,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.3, (40, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+    got = {r["vec_id"]: (r["c0"], r["c1"])
+           for r in pq_encode(
+               rd.from_arrow(tbl).repartition(3), dim=8, m_sub=2, k=4
+           ).take_all()}
+    cb = sqlparity_codebook(2, 4, 4)
+    q = np.floor(vecs.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+    for i in range(40):
+        want = tuple(
+            int(np.argmin(((q[i, s * 4:(s + 1) * 4] - cb[s]) ** 2)
+                          .sum(axis=1)))
+            for s in range(2)
+        )
+        assert got[i] == want
+
+
+def test_profile_nulls(ray_session):
+    """Null counts per column across blocks."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        profile_nulls,
+    )
+
+    tbl = pa.table({
+        "a": pa.array([1, None, 3, None], pa.int64()),
+        "b": pa.array(["x", None, None, None], pa.string()),
+    })
+    got = {r["column"]: (r["n_rows"], r["n_null"])
+           for r in profile_nulls(
+               rd.from_arrow(tbl).repartition(2), columns=["a", "b"]
+           ).take_all()}
+    assert got == {"a": (4, 2), "b": (4, 3)}
