@@ -1111,3 +1111,209 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_decimal_converter": SQL_DECIMAL_CONVERTER,
     "cdc_skipped_operations": SQL_SKIPPED_OPS,
 }
+
+
+SQL_SCD2 = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       lsn AS valid_from_lsn,
+       lead(lsn) OVER (
+         PARTITION BY conv_id, turn_idx ORDER BY lsn) AS valid_to_lsn,
+       CAST(op AS BIGINT) AS op
+FROM changelog
+"""
+
+
+def q_scd2_history(sf_dir: str):
+    """SCD2 history table from the change stream: every version of every
+    (conv_id, turn_idx) key with its validity interval — valid_from =
+    its LSN, valid_to = the next version's LSN (NULL while current), the
+    type-2 dimension shape warehouse consumers build from Debezium topics.
+    ONE hash exchange on the key; the kernel computes all of a
+    partition's LEADs with one sort + shifted-compare (segment ends NULL
+    out vectorized)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+    )
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    proj = cl.map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+            "op": t["op"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("valid_from_lsn", pa.int64()), ("valid_to_lsn", pa.int64()),
+        ("op", pa.int64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        order = pc.sort_indices(t, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending"),
+            ("lsn", "ascending"),
+        ])
+        t = t.take(order)
+        starts = _segment_starts(t, ["conv_id", "turn_idx"])
+        lsn = t["lsn"].to_numpy(zero_copy_only=False)
+        n = len(lsn)
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = lsn[1:]
+        nxt[-1] = 0
+        last = np.zeros(n, bool)
+        ends = np.append(starts[1:], n) - 1
+        last[ends] = True
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "valid_from_lsn": pa.array(lsn, pa.int64()),
+            "valid_to_lsn": pc.if_else(
+                pa.array(last), pa.scalar(None, pa.int64()),
+                pa.array(nxt, pa.int64()),
+            ),
+            "op": t["op"],
+        })
+
+    return _window_exchange(
+        proj, keys=["conv_id", "turn_idx"],
+        cols=["conv_id", "turn_idx", "lsn", "op"],
+        num_partitions=NP, kernel=kernel, out_schema=out_schema,
+    )
+
+
+CDC_QUERIES["cdc_scd2_history"] = q_scd2_history
+CDC_ORACLES["cdc_scd2_history"] = SQL_SCD2
+
+
+SQL_STATE_DIFF = f"""
+WITH {SQL_CHANGELOG.strip()},
+wm AS (
+  SELECT CAST(max(lsn) // 3 AS BIGINT) AS a,
+         CAST(2 * max(lsn) // 3 AS BIGINT) AS b
+  FROM changelog
+), agg AS (
+  SELECT conv_id, turn_idx,
+         coalesce(arg_max(op, lsn)
+                  FILTER (WHERE lsn <= (SELECT a FROM wm)), 1) AS op_a,
+         arg_max(op, lsn) AS op_b,
+         count(*) FILTER (
+           WHERE lsn > (SELECT a FROM wm)) AS n_win
+  FROM changelog WHERE lsn <= (SELECT b FROM wm)
+  GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CASE WHEN op_a <> 1 AND op_b <> 1 THEN 'updated'
+            WHEN op_a = 1 AND op_b <> 1 THEN 'inserted'
+            WHEN op_a <> 1 AND op_b = 1 THEN 'deleted'
+            ELSE 'transient' END AS kind,
+       CAST(n_win AS BIGINT) AS n_changes
+FROM agg WHERE n_win > 0
+"""
+
+
+def q_state_diff(sf_dir: str):
+    """Time-travel diff between two LSN watermarks (A = max/3, B =
+    2*max/3): for every key touched in (A, B], whether it was inserted,
+    updated, deleted, or transient (born and dead inside the window) —
+    the incremental-consumer primitive ('what changed since my last
+    sync'). The watermark-B predicate pushes into the parquet read; each
+    batch folds per key to two argmax-encoded (lsn*8+op) ints and a
+    window count, so the single exchange moves O(touched keys) partials;
+    the kind decode is a map over the aggregate."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    mx = _max_event_id(sf_dir)
+    a, b = mx // 3, (2 * mx) // 3
+    cols = ["event_id", "user_id", "event_type", "props", "ts"]
+    cl = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pads.field("event_id") <= b,
+    ).map_batches(derive_changelog, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "ea": pa.array([], pa.int64()),
+                "eb": pa.array([], pa.int64()),
+                "nw": pa.array([], pa.int64()),
+            })
+        conv = t["conv_id"].to_numpy(zero_copy_only=False)
+        turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lsn = t["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        op = t["op"].to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = lsn * 8 + op
+        # batch-local group codes over (conv, turn)
+        key = np.char.add(np.char.add(conv.astype(str), "\x1f"),
+                          turn.astype(str))
+        uk, inv = np.unique(key, return_inverse=True)
+        first = np.zeros(len(uk), np.int64)
+        first[inv[::-1]] = np.arange(len(key))[::-1]
+        NEG = np.int64(-1)
+        ea = np.full(len(uk), NEG)
+        mask_a = lsn <= a
+        if mask_a.any():
+            np.maximum.at(ea, inv[mask_a], enc[mask_a])
+        eb = np.full(len(uk), NEG)
+        np.maximum.at(eb, inv, enc)
+        nw = np.bincount(inv, weights=(lsn > a)).astype(np.int64)
+        return pa.table({
+            "conv_id": pa.array(conv[first], pa.string()),
+            "turn_idx": pa.array(turn[first], pa.int64()),
+            "ea": pa.array(ea, pa.int64()),
+            "eb": pa.array(eb, pa.int64()),
+            "nw": pa.array(nw, pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        cl.map_batches(partial, batch_format="pyarrow"),
+        keys=["conv_id", "turn_idx"],
+        aggs={"ea": ("ea", "max"), "eb": ("eb", "max"),
+              "nw": ("nw", "sum")},
+        num_partitions=NP,
+        schema=pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+            ("ea", pa.int64()), ("eb", pa.int64()), ("nw", pa.int64()),
+        ]),
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["nw"], 0))
+        ea = t["ea"].to_numpy(zero_copy_only=False)
+        eb = t["eb"].to_numpy(zero_copy_only=False)
+        # op 1 == delete; no-event-before encodes as -1 -> dead-before
+        a_alive = (ea >= 0) & (ea % 8 != 1)
+        b_alive = (eb >= 0) & (eb % 8 != 1)
+        kind = np.where(
+            a_alive & b_alive, "updated",
+            np.where(~a_alive & b_alive, "inserted",
+                     np.where(a_alive & ~b_alive, "deleted",
+                              "transient")),
+        )
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "kind": pa.array(kind.astype(object), pa.string()),
+            "n_changes": t["nw"],
+        })
+
+    return agg.map_batches(decode, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_state_diff"] = q_state_diff
+CDC_ORACLES["cdc_state_diff"] = SQL_STATE_DIFF
