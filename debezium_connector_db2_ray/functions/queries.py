@@ -2273,7 +2273,15 @@ def q_event_sequence(sf_dir: str):
         keys=["user_id"], aggs={"n": ("user_id", "count_all")},
         schema=pa.schema([("user_id", pa.int64())]),
     )
-    return repartition_join(seq, counts, on="user_id")
+    return repartition_join(
+        seq, counts, on="user_id",
+        left_schema=pa.schema([
+            ("user_id", pa.int64()), ("seq", pa.string()),
+        ]),
+        right_schema=pa.schema([
+            ("user_id", pa.int64()), ("n", pa.int64()),
+        ]),
+    )
 
 
 SQL_CLICK_NOT_PURCHASE = """
@@ -5416,9 +5424,26 @@ def q_tpch_q7(sf_dir: str):
         batch_format="pyarrow",
     ).filter(expr=f"cust_nk == {k1} or cust_nk == {k2}")
 
+    fact_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("l_year", pa.int64()), ("rev_e4", pa.int64()),
+        ("supp_nk", pa.int64()),
+    ])
+    j1 = repartition_join(
+        fact, orders, on="l_orderkey",
+        left_schema=fact_schema,
+        right_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("c_custkey", pa.int64()),
+        ]),
+    )
     j = repartition_join(
-        repartition_join(fact, orders, on="l_orderkey"),
-        cust, on="c_custkey",
+        j1, cust, on="c_custkey",
+        left_schema=pa.schema(
+            list(fact_schema) + [("c_custkey", pa.int64())]
+        ),
+        right_schema=pa.schema([
+            ("c_custkey", pa.int64()), ("cust_nk", pa.int64()),
+        ]),
     ).filter(
         expr=f"(supp_nk == {k1} and cust_nk == {k2}) "
              f"or (supp_nk == {k2} and cust_nk == {k1})"
@@ -5594,9 +5619,27 @@ def q_tpch_q8(sf_dir: str):
         batch_format="pyarrow",
     ).filter(expr=f"c_nk in [{in_region}]")
 
+    fact_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("is_target", pa.int8()),
+        ("rev_e4", pa.int64()),
+    ])
+    j1 = repartition_join(
+        fact, orders, on="l_orderkey",
+        left_schema=fact_schema,
+        right_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("c_custkey", pa.int64()),
+            ("o_year", pa.int64()),
+        ]),
+    )
     j = repartition_join(
-        repartition_join(fact, orders, on="l_orderkey"),
-        cust, on="c_custkey",
+        j1, cust, on="c_custkey",
+        left_schema=pa.schema(
+            list(fact_schema)
+            + [("c_custkey", pa.int64()), ("o_year", pa.int64())]
+        ),
+        right_schema=pa.schema([
+            ("c_custkey", pa.int64()), ("c_nk", pa.int64()),
+        ]),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -5810,7 +5853,18 @@ def q_tpch_q17(sf_dir: str):
             ("one", pa.int64()),
         ]),
     )
-    j = repartition_join(f, stats, on="l_partkey")
+    f_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("q_e2", pa.int64()),
+        ("p_e2", pa.int64()),
+    ])
+    j = repartition_join(
+        f, stats, on="l_partkey",
+        left_schema=f_schema,
+        right_schema=pa.schema([
+            ("l_partkey", pa.int64()), ("sq", pa.int64()),
+            ("c", pa.int64()),
+        ]),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         keep = pc.less(
@@ -6457,7 +6511,16 @@ def q_tpch_q2(sf_dir: str):
             ("cost_e2", pa.int64()),
         ]),
     )
-    j = repartition_join(f, mins, on="l_partkey").map_batches(
+    j = repartition_join(
+        f, mins, on="l_partkey",
+        left_schema=pa.schema([
+            ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("cost_e2", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("l_partkey", pa.int64()), ("mc", pa.int64()),
+        ]),
+    ).map_batches(
         lambda t: t.filter(pc.equal(t["cost_e2"], t["mc"])),
         batch_format="pyarrow",
     )
@@ -7149,7 +7212,16 @@ def q_above_p90(sf_dir: str):
         keys=["user_id"], col="v_e2", qs={"p90_e2": 0.9},
         schema=pa.schema([("user_id", pa.int64()), ("v_e2", pa.int64())]),
     )
-    j = repartition_join(v, cuts, on="user_id")
+    j = repartition_join(
+        v, cuts, on="user_id",
+        left_schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("v_e2", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("user_id", pa.int64()), ("p90_e2", pa.int64()),
+        ]),
+    )
     return j.map_batches(
         lambda t: t.filter(pc.greater(t["v_e2"], t["p90_e2"])).select(
             ["event_id", "user_id", "v_e2", "p90_e2"]

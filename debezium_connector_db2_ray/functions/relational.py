@@ -821,6 +821,8 @@ def repartition_join(
     how: str = "inner",
     num_partitions: int | None = None,
     right_suffix: str = "_r",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ):
     """Generic equi-join on an integer key, built on the proven sort
     exchange: both sides tag ``hash(on) % num_partitions`` and union (each
@@ -839,8 +841,17 @@ def repartition_join(
         raise ValueError(how)
     if num_partitions is None:
         num_partitions = derive_num_partitions(left, right)
-    lschema = left.schema()
-    rschema = right.schema()
+    # the tag functions need both sides' column types to null-fill the
+    # other side's slots; pass left_schema/right_schema when a side has an
+    # exchange upstream — Dataset.schema() on such a side executes the
+    # whole upstream pipeline just to learn the dtypes (and the real run
+    # then executes it again)
+    lschema = left_schema
+    if lschema is None:
+        lschema = left.schema(fetch_if_missing=False) or left.schema()
+    rschema = right_schema
+    if rschema is None:
+        rschema = right.schema(fetch_if_missing=False) or right.schema()
     l_types = dict(zip(lschema.names, lschema.types))
     r_types = dict(zip(rschema.names, rschema.types))
     lcols = list(lschema.names)
@@ -1605,7 +1616,8 @@ class _BroadcastProbe:
     node) and builds a sorted-key probe index in __init__; __call__ is a
     pure vectorized searchsorted probe per batch."""
 
-    def __init__(self, ref, on, how, rename, r_types):
+    def __init__(self, ref, on, how, rename, r_types,
+                 right_suffix: str = "_r"):
         import ray
 
         tbl = ray.get(ref)
@@ -1629,8 +1641,19 @@ class _BroadcastProbe:
         self.how = how
         self.rename = rename
         self.r_types = r_types
+        self.right_suffix = right_suffix
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.rename is None:
+            # left schema wasn't statically known at plan time (resolving
+            # it would have executed the upstream pipeline just to learn
+            # column names) — derive the collision renames from the first
+            # batch; every batch of a Dataset shares one schema
+            lnames = set(batch.column_names)
+            self.rename = {
+                c: (c + self.right_suffix if c in lnames else c)
+                for c in self.tbl.column_names if c != self.on
+            }
         kcol = batch[self.on]
         if isinstance(kcol, pa.ChunkedArray):
             kcol = kcol.combine_chunks()
@@ -1723,20 +1746,30 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
     # NULL-key dimension row must not enter the probe index (it would
     # otherwise alias key 0 through the fill_null cast below)
     rt = rt.filter(pc.is_valid(rt[on]))
-    lschema = left.schema()
+    # NEVER force-resolve the left schema: on a left with an exchange
+    # upstream, Dataset.schema() executes that whole upstream just to
+    # learn column names (measured 3-4x duplicate pipeline runs on the
+    # chained-join queries). fetch_if_missing=False is free; when it
+    # returns None the probe derives the collision renames from its first
+    # batch instead (all batches share one schema). An all-empty left
+    # (legitimate: a selective filter killed every row) never reaches the
+    # probe, so collisions are moot there too.
+    lschema = left.schema(fetch_if_missing=False)
     if hasattr(lschema, "base_schema"):
         lschema = lschema.base_schema
-    # an all-empty left (legitimate: a selective filter killed every row)
-    # has no schema; no batch will reach the probe, so collisions are moot
-    lnames = set(lschema.names) if lschema is not None else set()
     rcols = [c for c in rt.column_names if c != on]
-    rename = {c: (c + right_suffix if c in lnames else c) for c in rcols}
+    rename = (
+        {c: (c + right_suffix if c in set(lschema.names) else c)
+         for c in rcols}
+        if lschema is not None else None
+    )
     r_types = {c: rt.schema.field(c).type for c in rcols}
     ref = ray.put(rt)
     return left.map_batches(
         _BroadcastProbe,
         fn_constructor_kwargs=dict(
             ref=ref, on=on, how=how, rename=rename, r_types=r_types,
+            right_suffix=right_suffix,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -2716,18 +2749,25 @@ def triangle_count(edges, *, num_partitions: int | None = None):
         schema=pa.schema([("node", pa.int64())]),
     )
 
+    deg_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
     ea = repartition_join(
         dedup.map_batches(
             lambda t: pa.table({"node": t["a"], "b": t["b"]}),
             batch_format="pyarrow",
         ),
         deg, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([("node", pa.int64()), ("b", pa.int64())]),
+        right_schema=deg_schema,
     ).map_batches(
         lambda t: pa.table({"node": t["b"], "a": t["node"], "da": t["d"]}),
         batch_format="pyarrow",
     )
     eab = repartition_join(
         ea, deg, on="node", num_partitions=num_partitions,
+        left_schema=pa.schema([
+            ("node", pa.int64()), ("a", pa.int64()), ("da", pa.int64()),
+        ]),
+        right_schema=deg_schema,
     )
 
     def orient(t: pa.Table) -> pa.Table:

@@ -512,7 +512,8 @@ def dup_span_grams(batch: pa.Table, *, n: int = 8, text_col: str = "text",
 
 def attach_grouped_count(rows, counts, *, key_col: str, count_col: str,
                          out_col: str,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         rows_schema: "pa.Schema | None" = None):
     """Attach a (key -> count) table to a row stream on a possibly-STRING
     key without a broadcast: both sides hash-exchange on the key, and a
     partition-local vectorized kernel sorts by key and np.repeats each
@@ -527,7 +528,11 @@ def attach_grouped_count(rows, counts, *, key_col: str, count_col: str,
 
     if num_partitions is None:
         num_partitions = derive_num_partitions(rows)
-    sch = rows.schema()
+    # pass rows_schema when rows has an exchange upstream: Dataset.schema()
+    # would execute that upstream once just to learn the dtypes
+    sch = rows_schema
+    if sch is None:
+        sch = rows.schema(fetch_if_missing=False) or rows.schema()
     if hasattr(sch, "base_schema"):
         sch = sch.base_schema
     payload = [c for c in sch.names if c != key_col]
@@ -715,6 +720,10 @@ def collocation_counts(ds, *, text_col: str = "text", min_count: int = 3,
         ),
         unigrams, key_col="w", count_col="n_w", out_col="n_x",
         num_partitions=num_partitions,
+        rows_schema=pa.schema([
+            ("w", pa.string()), ("w2", pa.string()),
+            ("n_xy", pa.int64()),
+        ]),
     ).map_batches(
         lambda t: pa.table({
             "w1": t["w"], "w2": t["w2"], "n_xy": t["n_xy"],
@@ -732,6 +741,10 @@ def collocation_counts(ds, *, text_col: str = "text", min_count: int = 3,
         ),
         unigrams, key_col="w", count_col="n_w", out_col="n_y",
         num_partitions=num_partitions,
+        rows_schema=pa.schema([
+            ("w", pa.string()), ("w1", pa.string()),
+            ("n_xy", pa.int64()), ("n_x", pa.int64()),
+        ]),
     )
     return a2.map_batches(
         lambda t: pa.table({
