@@ -269,6 +269,13 @@ def run_gate_queries(timings: dict) -> None:
         ("tpch_q9_profit", DATA_QUERIES),
         ("tpch_q21_waiting_supp", DATA_QUERIES),
         ("dedup_simhash_parity", DATA_QUERIES),
+        ("text_collocations", DATA_QUERIES),
+        ("emb_pq_codes", DATA_QUERIES),
+        ("lineitem_skyline", DATA_QUERIES),
+        ("events_above_p90", DATA_QUERIES),
+        ("events_json_props", DATA_QUERIES),
+        ("cdc_scd2_history", CDC_QUERIES),
+        ("cdc_state_diff", CDC_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

@@ -1120,7 +1120,8 @@ def dedup_apply(corpus, drops, *, on: str = "doc_id",
     # exchange path: one all-to-all on the key, partition-local anti
     if num_partitions is None:
         num_partitions = derive_num_partitions(corpus)
-    cschema = corpus.schema()
+    cschema = (corpus.schema(fetch_if_missing=False)
+          or corpus.schema())
     if hasattr(cschema, "base_schema"):
         cschema = cschema.base_schema
     ccols = list(cschema.names)

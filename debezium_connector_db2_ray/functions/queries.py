@@ -7311,3 +7311,104 @@ def q_profile(sf_dir: str):
 
 DATA_QUERIES["docs_profile"] = q_profile
 DATA_ORACLES["docs_profile"] = SQL_PROFILE
+
+
+SQL_DEDUP_KEEP_BEST = SQL_DEDUP_COMPONENTS.replace(
+    ")\nSELECT u AS doc_id, least(u, min(v)) AS canonical_id "
+    "FROM reach GROUP BY u",
+    """),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS canonical_id
+  FROM reach GROUP BY u
+),
+q AS (
+  SELECT c.canonical_id, c.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+),
+m AS (SELECT canonical_id, max(n_chars) AS mx FROM q GROUP BY canonical_id)
+SELECT q.canonical_id, CAST(min(q.doc_id) AS BIGINT) AS keeper_id,
+       CAST(m.mx AS BIGINT) AS best_chars
+FROM q JOIN m ON m.canonical_id = q.canonical_id AND q.n_chars = m.mx
+GROUP BY q.canonical_id, m.mx""",
+)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware duplicate resolution: within each near-dup component,
+    keep the LONGEST document (max n_chars, ties to the smallest doc_id) —
+    the curation policy that beats keep-first when duplicates differ in
+    truncation. Two grouped passes implement the distributed argmax with
+    deterministic ties (same skeleton as TPC-H Q2's min-cost supplier);
+    the n_chars metadata attaches through one repartition join keyed by
+    doc_id — the same key as the component labels."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        minhash_duplicate_pairs,
+    )
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+        grouped_aggregate,
+        repartition_join,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
+    meta = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"],
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    qrows = repartition_join(
+        comp, meta, on="doc_id",
+        left_schema=pa.schema([
+            ("doc_id", pa.int64()), ("canonical_id", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ]),
+    )
+    mx = grouped_aggregate(
+        qrows.select_columns(["canonical_id", "n_chars"]),
+        keys=["canonical_id"], aggs={"mx": ("n_chars", "max")},
+        schema=pa.schema([
+            ("canonical_id", pa.int64()), ("n_chars", pa.int64()),
+        ]),
+    )
+    best = repartition_join(
+        qrows, mx, on="canonical_id",
+        left_schema=pa.schema([
+            ("doc_id", pa.int64()), ("canonical_id", pa.int64()),
+            ("n_chars", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("canonical_id", pa.int64()), ("mx", pa.int64()),
+        ]),
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["n_chars"], t["mx"])),
+        batch_format="pyarrow",
+    )
+    return grouped_aggregate(
+        best.select_columns(["canonical_id", "doc_id", "mx"]),
+        keys=["canonical_id", "mx"],
+        aggs={"keeper_id": ("doc_id", "min")},
+        schema=pa.schema([
+            ("canonical_id", pa.int64()), ("doc_id", pa.int64()),
+            ("mx", pa.int64()),
+        ]),
+    ).map_batches(
+        lambda t: pa.table({
+            "canonical_id": t["canonical_id"],
+            "keeper_id": t["keeper_id"],
+            "best_chars": t["mx"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["dedup_keep_best"] = q_dedup_keep_best
+DATA_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST

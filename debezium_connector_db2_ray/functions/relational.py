@@ -47,8 +47,10 @@ def asof_join(
     derive_num_partitions), so callers need not re-tune at 100x scale."""
     if num_partitions is None:
         num_partitions = derive_num_partitions(left, right)
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = (left.schema(fetch_if_missing=False)
+          or left.schema())
+    rschema = (right.schema(fetch_if_missing=False)
+          or right.schema())
     left_types = dict(zip(lschema.names, lschema.types))
     right_types = dict(zip(rschema.names, rschema.types))
     lcols = list(lschema.names)
@@ -152,8 +154,10 @@ def interval_join(
     ``num_partitions`` defaults size-derived (derive_num_partitions)."""
     if num_partitions is None:
         num_partitions = derive_num_partitions(points, intervals)
-    pschema = points.schema()
-    ischema = intervals.schema()
+    pschema = (points.schema(fetch_if_missing=False)
+          or points.schema())
+    ischema = (intervals.schema(fetch_if_missing=False)
+          or intervals.schema())
     p_types = dict(zip(pschema.names, pschema.types))
     i_types = dict(zip(ischema.names, ischema.types))
     pcols = list(pschema.names)
@@ -414,7 +418,8 @@ def grouped_aggregate(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):  # ray Schema wrapper
             sch = sch.base_schema
     key_types = dict(zip(sch.names, sch.types))
@@ -481,7 +486,8 @@ def grouped_count_distinct(ds, *, keys: list[str], col: str,
     Reference analog: none — the reference has no distinct-count at all
     (SURVEY §2.5); this is the training-data-pipeline shape (distinct
     users per shard, distinct shingles per doc cluster, ...)."""
-    sch0 = ds.schema()
+    sch0 = (ds.schema(fetch_if_missing=False)
+          or ds.schema())
     if hasattr(sch0, "base_schema"):
         sch0 = sch0.base_schema
     types = dict(zip(sch0.names, sch0.types))
@@ -1084,7 +1090,8 @@ def top_n_per_group(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -1145,7 +1152,8 @@ def grouped_lag_delta(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -1199,7 +1207,8 @@ def grouped_rolling_sum(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -1249,7 +1258,8 @@ def grouped_string_agg(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     keys = list(keys)
@@ -1492,7 +1502,8 @@ def grouped_percentiles(ds, *, keys: list[str], col: str,
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     types = dict(zip(sch.names, sch.types))
@@ -1729,7 +1740,8 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
     if rt is None:
         # zero-block right side: keep the TYPED empty table so the probe
         # index still knows the join column and output types
-        rschema = right.schema()
+        rschema = (right.schema(fetch_if_missing=False)
+              or right.schema())
         if hasattr(rschema, "base_schema"):
             rschema = rschema.base_schema
         rt = rschema.empty_table()
@@ -2015,7 +2027,8 @@ def grouped_rank(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -2093,7 +2106,8 @@ def distinct_set_op(left, right, *, cols: list[str], op: str,
     if schema is not None:
         sch = schema
     else:
-        sch = left.schema()
+        sch = (left.schema(fetch_if_missing=False)
+              or left.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(cols)
@@ -2155,7 +2169,8 @@ def grouped_ntile(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -2211,7 +2226,8 @@ def global_top_k(ds, *, order_by: list[tuple[str, str]], k: int,
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     out_schema = pa.schema([(c, sch.field(c).type) for c in sch.names])
@@ -2249,7 +2265,8 @@ def grouped_first_last(ds, *, keys: list[str],
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -2317,7 +2334,8 @@ def prefix_sum(ds, *, order_col: str, val_col: str,
     )
     lo, hi = stats["lo"], stats["hi"]
     if lo is None:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         base = sch.base_schema if hasattr(sch, "base_schema") else sch
         empty = pa.schema(
             [(n, t) for n, t in zip(base.names, base.types)]
@@ -2497,7 +2515,8 @@ def grouped_rolling_range_sum(ds, *, keys: list[str], order_col: str,
     if schema is not None:
         sch = schema
     else:
-        sch = ds.schema()
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
         if hasattr(sch, "base_schema"):
             sch = sch.base_schema
     cols = list(sch.names)
@@ -2646,7 +2665,8 @@ def funnel_stages(ds, *, key: str, ts_col: str, type_col: str,
 
     Reference analog: none — the event-sequence family member (SURVEY
     §2.5 extension), same exchange shape as grouped_lag_delta."""
-    sch = ds.schema()
+    sch = (ds.schema(fetch_if_missing=False)
+          or ds.schema())
     if hasattr(sch, "base_schema"):
         sch = sch.base_schema
     key_type = sch.field(key).type

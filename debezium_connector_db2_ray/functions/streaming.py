@@ -41,7 +41,9 @@ def tumbling_counts(ds, *, width_hours: int = 24):
             }
         )
 
-    in_sch = ds.schema()
+    in_sch = (ds.schema(fetch_if_missing=False)
+
+          or ds.schema())
     if hasattr(in_sch, "base_schema"):
         in_sch = in_sch.base_schema
     return grouped_aggregate(
@@ -111,7 +113,9 @@ def sliding_counts(ds, *, key_col: str = "event_type",
             "n": pa.array(counts.astype(np.int64)),
         })
 
-    in_sch = ds.schema()
+    in_sch = (ds.schema(fetch_if_missing=False)
+
+          or ds.schema())
     if hasattr(in_sch, "base_schema"):
         in_sch = in_sch.base_schema
     return grouped_aggregate(
@@ -281,7 +285,9 @@ def late_event_filter(ds, *, key_col: str, order_col: str, ts_col: str,
         derive_num_partitions,
     )
 
-    sch = ds.schema()
+    sch = (ds.schema(fetch_if_missing=False)
+
+          or ds.schema())
     base = sch.base_schema if hasattr(sch, "base_schema") else sch
     cols = list(base.names)
     out_schema = pa.schema(list(zip(base.names, base.types)))
