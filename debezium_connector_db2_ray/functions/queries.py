@@ -7412,3 +7412,89 @@ def q_dedup_keep_best(sf_dir: str):
 
 DATA_QUERIES["dedup_keep_best"] = q_dedup_keep_best
 DATA_ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST
+
+
+SQL_TREND = """
+WITH v AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS slope_num,
+       CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+         AS slope_den
+FROM v GROUP BY user_id
+"""
+
+
+def q_user_trend(sf_dir: str):
+    """Per-user value trend as the INTEGER-EXACT simple-regression pair
+    (slope = num/den deferred to the caller — no float ever crosses the
+    gate): day-granularity x keeps every moment inside int64, the five
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) fold per batch so the one
+    exchange moves O(users) partial rows, and the numerator/denominator
+    assemble from the exact sums — the distributed-OLS building block
+    (drift detection, per-conversation verbosity trends)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        x = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 86_400_000_000)
+        y = pc.round(pc.multiply(t["value"], 100.0)).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(u, return_inverse=True)
+        def seg(w):
+            return np.bincount(inv, weights=w).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uk, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": pa.array(seg(x)),
+            "sy": pa.array(seg(y)),
+            "sxy": pa.array(seg(x * y)),
+            "sxx": pa.array(seg(x * x)),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"n": ("n", "sum"), "sx": ("sx", "sum"),
+              "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+              "sxx": ("sxx", "sum")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("n", pa.int64()),
+            ("sx", pa.int64()), ("sy", pa.int64()),
+            ("sxy", pa.int64()), ("sxx", pa.int64()),
+        ]),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "n": t["n"],
+            "slope_num": pc.subtract(
+                pc.multiply(t["n"], t["sxy"]),
+                pc.multiply(t["sx"], t["sy"]),
+            ),
+            "slope_den": pc.subtract(
+                pc.multiply(t["n"], t["sxx"]),
+                pc.multiply(t["sx"], t["sx"]),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["user_value_trend"] = q_user_trend
+DATA_ORACLES["user_value_trend"] = SQL_TREND
