@@ -2601,6 +2601,14 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
 
     # static per-edge state: (src, dst, deg_src) — joined ONCE, reused
     # every iteration
+    ej_schema = pa.schema([
+        ("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.int64()),
+    ])
+    ranks_schema = pa.schema([("src", pa.int64()), ("r", pa.float64())])
+    # MATERIALIZED: without it every iteration's lazy chain re-executes
+    # all previous iterations (and the schema fetch re-executed the join
+    # upstream once more) — bounded by edge count, exactly the loop state
+    # an iterative dataflow must pin
     ej = repartition_join(
         edges,
         deg.map_batches(
@@ -2608,7 +2616,8 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
             batch_format="pyarrow",
         ),
         on="src", num_partitions=num_partitions,
-    )
+        right_schema=pa.schema([("src", pa.int64()), ("deg", pa.int64())]),
+    ).materialize()
 
     ranks = deg.map_batches(
         lambda t, _n=n_nodes: pa.table({
@@ -2616,10 +2625,11 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
             "r": pa.array(np.full(t.num_rows, 1.0 / _n), pa.float64()),
         }),
         batch_format="pyarrow",
-    )
+    ).materialize()
     for _ in range(iters):
         contrib = repartition_join(
             ej, ranks, on="src", num_partitions=num_partitions,
+            left_schema=ej_schema, right_schema=ranks_schema,
         ).map_batches(
             lambda t: pa.table({
                 "node": t["dst"],
@@ -2645,7 +2655,7 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
                 ),
             }),
             batch_format="pyarrow",
-        )
+        ).materialize()
     return ranks.map_batches(
         lambda t: pa.table({"node": t["src"], "r": t["r"]}),
         batch_format="pyarrow",
