@@ -1317,3 +1317,114 @@ def q_state_diff(sf_dir: str):
 
 CDC_QUERIES["cdc_state_diff"] = q_state_diff
 CDC_ORACLES["cdc_state_diff"] = SQL_STATE_DIFF
+
+
+SQL_CURATED_STATE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+), state AS (
+  SELECT conv_id, turn_idx, text
+  FROM ranked WHERE rn = 1 AND op <> 1
+), assembled AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(text, ' ' ORDER BY turn_idx) AS full_text
+  FROM state GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(length(full_text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split_regex(full_text, '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens
+FROM assembled
+WHERE n_turns >= 3
+"""
+
+
+def q_curated_state(sf_dir: str):
+    """CDC x curation fusion — the engine's two halves in one pipeline:
+    LWW-replay the change stream to the final per-turn state (the CDC
+    core), assemble each surviving conversation in turn order (one
+    string-keyed exchange, vectorized binary_join), and emit curation
+    stats (turn count, chars, RE2-\\S+ tokens) for conversations with >= 3
+    live turns — the transcript-lake handoff from ingest to
+    training-data selection. The replay and the assembly SHARE the
+    conv_id partition key."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_string_agg,
+    )
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    import re
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    state = apply_dataset(cl, num_partitions=NP).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow",
+    )
+    assembled = grouped_string_agg(
+        state, keys=["conv_id"],
+        order_by=[("turn_idx", "ascending")],
+        col="text", sep=" ", out_col="full_text",
+    )
+    token_re = re.compile(TOKEN_PATTERN)
+
+    def stats(t: pa.Table) -> pa.Table:
+        s = t["full_text"].to_pandas().fillna("")
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "full_text": t["full_text"],
+            "n_chars": pa.array(
+                s.str.len().astype("int64"), pa.int64()
+            ),
+            "n_tokens": pa.array(
+                s.str.count(token_re).astype("int64"), pa.int64()
+            ),
+        })
+
+    # per-conv turn count rides the same exchange key: a second grouped
+    # pass over state, attached back through the string-keyed exchange
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    n_turns = grouped_aggregate(
+        state.map_batches(
+            lambda t: pa.table({
+                "conv_id": t["conv_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["conv_id"], aggs={"n_turns": ("one", "sum")},
+        num_partitions=NP,
+        schema=pa.schema([
+            ("conv_id", pa.string()), ("one", pa.int64()),
+        ]),
+    )
+    enriched = assembled.map_batches(stats, batch_format="pyarrow")
+    # conv_id is a string key: route the join through the string-keyed
+    # attach (hash exchange + segment fill), not the int-keyed join
+    from debezium_connector_db2_ray.functions.text import (
+        attach_grouped_count,
+    )
+
+    out = attach_grouped_count(
+        enriched, n_turns, key_col="conv_id", count_col="n_turns",
+        out_col="n_turns",
+        rows_schema=pa.schema([
+            ("conv_id", pa.string()), ("full_text", pa.string()),
+            ("n_chars", pa.int64()), ("n_tokens", pa.int64()),
+        ]),
+    )
+    return out.filter(expr="n_turns >= 3").map_batches(
+        lambda t: t.select(["conv_id", "n_turns", "n_chars", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+CDC_QUERIES["cdc_curated_state"] = q_curated_state
+CDC_ORACLES["cdc_curated_state"] = SQL_CURATED_STATE
