@@ -740,3 +740,72 @@ def test_profile_nulls(ray_session):
                rd.from_arrow(tbl).repartition(2), columns=["a", "b"]
            ).take_all()}
     assert got == {"a": (4, 2), "b": (4, 3)}
+
+
+def _mini_events(rows):
+    """(event_id, user_id, event_type) -> events-shaped table; ts walks
+    one second per event."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    return pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [base + dt.timedelta(seconds=r[0]) for r in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+def test_scd2_intervals_and_current_null(ray_session, tmp_path):
+    """Each version's valid_to is the next version's LSN; the current
+    version carries NULL."""
+    import pyarrow.parquet as pq2
+
+    from debezium_connector_db2_ray.pipelines.queries import q_scd2_history
+
+    # one key (user 1, turn = event_id % 20): events 1, 21, 41 hit turn 1
+    rows = [(1, 1, "view"), (21, 1, "purchase"), (41, 1, "error"),
+            (2, 1, "click")]
+    pq2.write_table(_mini_events(rows), str(tmp_path / "events.parquet"))
+    got = {(r["conv_id"], r["turn_idx"], r["valid_from_lsn"]):
+           (r["valid_to_lsn"], r["op"])
+           for r in q_scd2_history(str(tmp_path)).take_all()}
+    assert got[("conv_1", 1, 1)] == (21, 2)     # superseded by lsn 21
+    assert got[("conv_1", 1, 21)] == (41, 5)    # superseded by delete
+    assert got[("conv_1", 1, 41)] == (None, 1)  # current (a tombstone)
+    assert got[("conv_1", 2, 2)] == (None, 2)   # single-version key
+
+
+def test_state_diff_kinds(ray_session, tmp_path):
+    """inserted / updated / deleted / transient classification between
+    watermarks A = max/3 and B = 2*max/3."""
+    import pyarrow.parquet as pq2
+
+    from debezium_connector_db2_ray.pipelines.queries import q_state_diff
+
+    # max event_id 90 -> A=30, B=60. turn = id % 20.
+    rows = [
+        (10, 1, "view"),      # key (1,10): alive before A
+        (50, 1, "view"),      #   updated in window      -> updated
+        (35, 2, "view"),      # key (2,15): born in window -> inserted
+        (12, 3, "view"),      # key (3,12): alive before A
+        (52, 3, "error"),     #   deleted in window      -> deleted
+        (31, 4, "view"),      # key (4,11): born then
+        (51, 4, "error"),     #   killed inside window   -> transient
+        (15, 5, "view"),      # key (5,15): untouched in window -> no row
+        (90, 6, "view"),      # beyond B: invisible
+    ]
+    pq2.write_table(_mini_events(rows), str(tmp_path / "events.parquet"))
+    got = {(r["conv_id"], r["turn_idx"]): r["kind"]
+           for r in q_state_diff(str(tmp_path)).take_all()}
+    assert got == {
+        ("conv_1", 10): "updated",
+        ("conv_2", 15): "inserted",
+        ("conv_3", 12): "deleted",
+        ("conv_4", 11): "transient",
+    }
