@@ -7498,3 +7498,81 @@ def q_user_trend(sf_dir: str):
 
 DATA_QUERIES["user_value_trend"] = q_user_trend
 DATA_ORACLES["user_value_trend"] = SQL_TREND
+
+
+SQL_NOVELTY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i, i + 1), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 2
+),
+df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(*) FILTER (df.df = 1) AS BIGINT) AS n_unique_grams
+FROM grams g JOIN df ON df.gram = g.gram
+GROUP BY g.doc_id
+"""
+
+
+def q_novelty(sf_dir: str):
+    """Per-document novelty: how many of a doc's distinct bigrams appear
+    in NO other document (the corpus-uniqueness signal boilerplate-heavy
+    docs fail). Three bounded exchanges — distinct-pair df count, the
+    string-keyed df attach (attach_grouped_count: the vocabulary never
+    broadcasts), and the per-doc fold; the novelty ratio itself is the
+    caller's division, keeping the gate integer-exact."""
+    import functools
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import (
+        attach_grouped_count,
+        dup_span_grams,
+    )
+
+    pairs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        functools.partial(dup_span_grams, n=2), batch_format="pyarrow",
+    )
+    df = grouped_aggregate(
+        pairs, keys=["gram"], aggs={"df": ("doc_id", "count")},
+        schema=pa.schema([("gram", pa.string()), ("doc_id", pa.int64())]),
+    )
+    attached = attach_grouped_count(
+        pairs, df, key_col="gram", count_col="df", out_col="df",
+        rows_schema=pa.schema([
+            ("gram", pa.string()), ("doc_id", pa.int64()),
+        ]),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(uk, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "nu": pa.array(
+                np.bincount(inv, weights=dfv == 1).astype(np.int64)
+            ),
+        })
+
+    return grouped_aggregate(
+        attached.map_batches(fold, batch_format="pyarrow"),
+        keys=["doc_id"],
+        aggs={"n_grams": ("n", "sum"), "n_unique_grams": ("nu", "sum")},
+        schema=pa.schema([
+            ("doc_id", pa.int64()), ("n", pa.int64()), ("nu", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["docs_novelty"] = q_novelty
+DATA_ORACLES["docs_novelty"] = SQL_NOVELTY
