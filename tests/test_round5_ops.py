@@ -809,3 +809,31 @@ def test_state_diff_kinds(ray_session, tmp_path):
         ("conv_3", 12): "deleted",
         ("conv_4", 11): "transient",
     }
+
+
+def test_attach_grouped_count_inner_semantics(ray_session):
+    """String-keyed attach: counts repeat across payload rows; keys with
+    no count row drop (inner); count-only keys emit nothing."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.text import (
+        attach_grouped_count,
+    )
+
+    rows = pa.table({
+        "k": pa.array(["a", "a", "b", "c"], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+    counts = pa.table({
+        "k": pa.array(["a", "b", "z"], pa.string()),
+        "n": pa.array([10, 20, 99], pa.int64()),
+    })
+    got = sorted(
+        (r["k"], r["v"], r["cnt"])
+        for r in attach_grouped_count(
+            rd.from_arrow(rows).repartition(2),
+            rd.from_arrow(counts).repartition(2),
+            key_col="k", count_col="n", out_col="cnt",
+        ).take_all()
+    )
+    assert got == [("a", 1, 10), ("a", 2, 10), ("b", 3, 20)]
