@@ -1428,3 +1428,89 @@ def q_curated_state(sf_dir: str):
 
 CDC_QUERIES["cdc_curated_state"] = q_curated_state
 CDC_ORACLES["cdc_curated_state"] = SQL_CURATED_STATE
+
+
+# ---------------------------------------------------------------------------
+# ExtractNewRecordState (event-flattening "unwrap" SMT) — the most common
+# Debezium sink topology: envelopes collapsed to flat rows with __op/__lsn/
+# __deleted metadata, deletes rewritten rather than dropped.
+# ---------------------------------------------------------------------------
+
+SQL_UNWRAP = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, turn_idx, text, role,
+       CASE WHEN op = 1 THEN 'd' WHEN op = 2 THEN 'c' ELSE 'u' END AS "__op",
+       lsn AS "__lsn",
+       CASE WHEN op = 1 THEN 'true' ELSE 'false' END AS "__deleted"
+FROM changelog
+"""
+
+
+def q_unwrap_flatten(sf_dir: str):
+    """Event-flattening SMT parity (Debezium ExtractNewRecordState,
+    delete.handling.mode=rewrite): envelopes collapse to one flat row per
+    event — AFTER image promoted to top-level columns, deletes kept with
+    the BEFORE image and __deleted='true'. MAP-ONLY: pair expansion,
+    envelope zip and the flatten are all batch-local projections, so the
+    whole chain streams with no exchange at any scale."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        to_envelopes,
+        unwrap_new_record_state,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        env = to_envelopes(
+            expand_update_pairs(batch), image_columns=("text", "role")
+        )
+        return unwrap_new_record_state(env, image_columns=("text", "role"))
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_unwrap_flatten"] = q_unwrap_flatten
+CDC_ORACLES["cdc_unwrap_flatten"] = SQL_UNWRAP
+
+
+# ---------------------------------------------------------------------------
+# Outbox event router SMT — transactional-outbox pattern: INSERT events of
+# the outbox table re-keyed by aggregate id and routed per aggregate type.
+# ---------------------------------------------------------------------------
+
+SQL_OUTBOX = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT 'outbox.event.' || role AS topic,
+       conv_id AS event_key,
+       role AS event_type,
+       text AS payload,
+       lsn AS event_id
+FROM changelog WHERE op = 2
+"""
+
+
+def q_outbox_route(sf_dir: str):
+    """Outbox event router SMT parity (Debezium outbox-event-router over
+    the transactional-outbox pattern): only INSERTs of the outbox table
+    become events; each is re-keyed by its aggregate id and routed to
+    'outbox.event.<aggregate_type>' with the payload verbatim and the
+    commit LSN as the idempotency event id. MAP-ONLY, no exchange."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        outbox_route,
+        to_envelopes,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        env = to_envelopes(
+            expand_update_pairs(batch), image_columns=("text", "role")
+        )
+        return outbox_route(
+            env,
+            aggregate_type_col="role",
+            aggregate_id_col="conv_id",
+            payload_col="text",
+        )
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_outbox_route"] = q_outbox_route
+CDC_ORACLES["cdc_outbox_route"] = SQL_OUTBOX

@@ -252,3 +252,102 @@ def filter_operations(ds, *, skipped: frozenset[str] | set[str],
         return batch.filter(keep)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unwrap_new_record_state(
+    env: pa.Table,
+    *,
+    image_columns: tuple[str, ...],
+    key_columns: tuple[str, ...] = ("conv_id", "turn_idx"),
+    delete_mode: str = "rewrite",
+    lsn_col: str = "commit_lsn_lo",
+) -> pa.Table:
+    """Event-flattening SMT (Debezium's ExtractNewRecordState, the
+    `unwrap` transform of the public event-flattening docs): collapse a
+    change-event envelope into one flat row per event — key columns plus
+    the AFTER image promoted to top-level columns, with the routing
+    metadata the SMT adds (``__op``, ``__lsn``, ``__deleted``).
+
+    ``delete_mode`` mirrors `delete.handling.mode`:
+      - "rewrite": keep delete events, payload taken from the BEFORE
+        image, ``__deleted`` = 'true' (the log-compaction-friendly form);
+      - "drop": remove delete events entirely;
+      - "none": keep delete events with NULL payload columns.
+    Tombstone rows (op 't') are always dropped, as the SMT does.
+
+    Pure per-batch projection — map-only, no exchange; callers run it via
+    ``map_batches``. Reference analog: the flattening contract is defined
+    by Debezium's public SMT semantics (event-flattening transform);
+    the db2 connector emits the envelopes it consumes
+    (Db2ChangeRecordEmitter.java:56-78)."""
+    import pyarrow.compute as pc
+
+    if delete_mode not in ("rewrite", "drop", "none"):
+        raise ValueError(f"unknown delete.handling.mode {delete_mode!r}")
+
+    op = env["op_char"]
+    keep = pc.not_equal(op, "t")
+    if delete_mode == "drop":
+        keep = pc.and_(keep, pc.not_equal(op, "d"))
+    env = env.filter(keep)
+    op = env["op_char"]
+    is_del = pc.equal(op, "d")
+
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for k in key_columns:
+        cols[k] = env[k]
+    for c in image_columns:
+        after = env[f"after_{c}"]
+        if isinstance(after, pa.ChunkedArray):
+            after = after.combine_chunks()
+        if delete_mode == "rewrite":
+            before = env[f"before_{c}"]
+            if isinstance(before, pa.ChunkedArray):
+                before = before.combine_chunks()
+            cols[c] = pc.if_else(is_del, before, after)
+        else:
+            cols[c] = after
+    cols["__op"] = op
+    cols["__lsn"] = env[lsn_col].cast(pa.int64())
+    cols["__deleted"] = pc.if_else(is_del, "true", "false")
+    return pa.table(cols)
+
+
+def outbox_route(
+    env: pa.Table,
+    *,
+    aggregate_type_col: str,
+    aggregate_id_col: str,
+    payload_col: str,
+    topic_prefix: str = "outbox.event",
+    lsn_col: str = "commit_lsn_lo",
+) -> pa.Table:
+    """Outbox event router SMT (Debezium's public outbox-event-router
+    transform over the transactional-outbox pattern): consume only the
+    INSERT events of the outbox table (the pattern appends one row per
+    domain event; updates/deletes on the outbox are housekeeping and are
+    skipped), re-key each event by its aggregate id, route it to
+    ``<topic_prefix>.<aggregate_type>``, and carry the payload through
+    verbatim with the event id for idempotent consumers.
+
+    Output: (topic, event_key, event_type, payload, event_id) — map-only,
+    no exchange. The aggregate type/id/payload column names mirror the
+    SMT's `table.field.event.*` knobs."""
+    import pyarrow.compute as pc
+
+    ins = env.filter(pc.equal(env["op_char"], "c"))
+    atype = ins[f"after_{aggregate_type_col}"]
+    if isinstance(atype, pa.ChunkedArray):
+        atype = atype.combine_chunks()
+    topic = pc.binary_join_element_wise(
+        pa.scalar(topic_prefix, pa.string()),
+        pc.cast(atype, pa.string()),
+        ".",
+    )
+    return pa.table({
+        "topic": topic,
+        "event_key": ins[aggregate_id_col],
+        "event_type": pc.cast(atype, pa.string()),
+        "payload": ins[f"after_{payload_col}"],
+        "event_id": ins[lsn_col].cast(pa.int64()),
+    })

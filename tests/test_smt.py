@@ -1,0 +1,99 @@
+"""Unit tests for the two SMT-parity transforms: ExtractNewRecordState
+(event flattening / unwrap) and the outbox event router — edge semantics
+the gate row cannot see (delete modes, tombstone handling, op skipping)."""
+
+import pyarrow as pa
+
+from debezium_connector_db2_ray.ops import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE_AFTER,
+    OP_UPDATE_BEFORE,
+)
+from debezium_connector_db2_ray.stages.envelope import (
+    outbox_route,
+    to_envelopes,
+    unwrap_new_record_state,
+)
+
+from .test_apply import mklog
+
+
+def _env(tombstones=True):
+    log = mklog(
+        [
+            (1001, 1, OP_INSERT, "a", 0, "v1"),
+            (1002, 0, OP_UPDATE_BEFORE, "a", 0, "old:v1"),
+            (1002, 1, OP_UPDATE_AFTER, "a", 0, "v2"),
+            (1003, 3, OP_DELETE, "a", 0, "v2"),
+            (1004, 4, OP_INSERT, "b", 1, "b1"),
+        ]
+    )
+    return to_envelopes(
+        log, tombstones_on_delete=tombstones, image_columns=("text", "role")
+    )
+
+
+def _rows(t: pa.Table):
+    return {(r["conv_id"], r["__lsn"]): r for r in t.to_pylist()}
+
+
+def test_unwrap_rewrite_keeps_deletes_with_before_image():
+    flat = unwrap_new_record_state(
+        _env(), image_columns=("text", "role"), delete_mode="rewrite"
+    )
+    rows = _rows(flat)
+    # tombstone ('t') row dropped: 4 events survive, not 5
+    assert flat.num_rows == 4
+    ins = rows[("a", 1001)]
+    assert ins["text"] == "v1" and ins["__op"] == "c"
+    assert ins["__deleted"] == "false"
+    upd = rows[("a", 1002)]
+    assert upd["text"] == "v2" and upd["__op"] == "u"  # AFTER image wins
+    del_ = rows[("a", 1003)]
+    assert del_["text"] == "v2" and del_["__deleted"] == "true"
+    assert del_["__op"] == "d"
+    # key columns promoted verbatim
+    assert rows[("b", 1004)]["turn_idx"] == 1
+
+
+def test_unwrap_drop_and_none_modes():
+    drop = unwrap_new_record_state(
+        _env(), image_columns=("text",), delete_mode="drop"
+    )
+    assert set(drop["__op"].to_pylist()) == {"c", "u"}
+    assert drop.num_rows == 3
+
+    none = unwrap_new_record_state(
+        _env(), image_columns=("text",), delete_mode="none"
+    )
+    rows = _rows(none)
+    assert none.num_rows == 4
+    assert rows[("a", 1003)]["text"] is None  # AFTER image of a delete
+    assert rows[("a", 1003)]["__deleted"] == "true"
+
+
+def test_unwrap_rejects_unknown_mode():
+    import pytest
+
+    with pytest.raises(ValueError):
+        unwrap_new_record_state(
+            _env(), image_columns=("text",), delete_mode="bogus"
+        )
+
+
+def test_outbox_routes_only_inserts():
+    out = outbox_route(
+        _env(),
+        aggregate_type_col="role",
+        aggregate_id_col="conv_id",
+        payload_col="text",
+    )
+    # 2 inserts; the update, delete and tombstone are housekeeping
+    assert out.num_rows == 2
+    rows = {r["event_id"]: r for r in out.to_pylist()}
+    assert rows[1001]["topic"] == "outbox.event.user"
+    assert rows[1001]["event_key"] == "a"
+    assert rows[1001]["payload"] == "v1"
+    assert rows[1004]["event_key"] == "b" and rows[1004]["payload"] == "b1"
+    assert rows[1004]["event_type"] == "user"
