@@ -7576,3 +7576,138 @@ def q_novelty(sf_dir: str):
 
 DATA_QUERIES["docs_novelty"] = q_novelty
 DATA_ORACLES["docs_novelty"] = SQL_NOVELTY
+
+
+# ---------------------------------------------------------------------------
+# Markov transition counts: the per-user event-type bigram matrix a
+# behavior-modeling pipeline derives before fitting sequence models.
+# ---------------------------------------------------------------------------
+
+SQL_TRANSITIONS = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix over per-user event sequences: one hash
+    exchange on user_id (relational.grouped_adjacent_pairs — LEAD pairs
+    via partition-local sort + shifted take), then a tiny grouped count
+    over the |types|^2 transition keys (per-batch combiner collapses each
+    partition's pairs before the second, few-row exchange)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_adjacent_pairs,
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    pairs = grouped_adjacent_pairs(
+        ds, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        from_cols=["event_type"], to_cols=["event_type"],
+    )
+    renamed = pairs.map_batches(
+        lambda t: pa.table({
+            "from_type": t["from_event_type"],
+            "to_type": t["to_event_type"],
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_aggregate(
+        renamed, keys=["from_type", "to_type"],
+        aggs={"n": ("from_type", "count_all")},
+        num_partitions=4,
+        schema=pa.schema([
+            ("from_type", pa.string()), ("to_type", pa.string()),
+        ]),
+    )
+
+
+DATA_QUERIES["user_event_transitions"] = q_event_transitions
+DATA_ORACLES["user_event_transitions"] = SQL_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (integral) per user: each event's value held until
+# the next event — the sensor/pricing-stream integral, exact as an integer
+# (numerator, denominator) pair under the house milli-scale quantization.
+# ---------------------------------------------------------------------------
+
+SQL_TIME_WEIGHTED = """
+WITH nxt AS (
+  SELECT user_id, value,
+         date_diff('microsecond', ts,
+                   lead(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)
+                * (dt_us // 1000000)) AS BIGINT) AS twa_num,
+       CAST(sum(dt_us // 1000000) AS BIGINT) AS twa_den
+FROM nxt WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def q_time_weighted_value(sf_dir: str):
+    """Per-user time-weighted value integral (each reading held until the
+    next): LEAD pairs from ONE user_id exchange
+    (relational.grouped_adjacent_pairs), then per-user sums of
+    milli-scaled value x held-seconds as an exact int64 (num, den) pair —
+    the order-independent form that hash-compares across engines (float
+    accumulation order never enters). Same quantization contract as the
+    LSH parity rows (floor(v*1000+0.5))."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_adjacent_pairs,
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"],
+    )
+    pairs = grouped_adjacent_pairs(
+        ds, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        from_cols=["value"], to_cols=[],
+        order_col="ts", delta_col="dt_us",
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        v = t["from_value"].to_numpy(zero_copy_only=False)
+        vs = np.floor(v * 1000.0 + 0.5).astype(np.int64)
+        dt_s = t["dt_us"].to_numpy(zero_copy_only=False) // 1_000_000
+        return pa.table({
+            "user_id": t["user_id"],
+            "num": pa.array(vs * dt_s, pa.int64()),
+            "den": pa.array(dt_s, pa.int64()),
+        })
+
+    return grouped_aggregate(
+        pairs.map_batches(weigh, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"twa_num": ("num", "sum"), "twa_den": ("den", "sum")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("num", pa.int64()),
+            ("den", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["user_time_weighted_value"] = q_time_weighted_value
+DATA_ORACLES["user_time_weighted_value"] = SQL_TIME_WEIGHTED

@@ -3035,3 +3035,83 @@ def profile_nulls(ds, *, columns: list[str]):
             ("nn", pa.int64()),
         ]),
     )
+
+
+def grouped_adjacent_pairs(ds, *, keys: list[str],
+                           order_by: list[tuple[str, str]],
+                           from_cols: list[str], to_cols: list[str],
+                           order_col: str | None = None,
+                           delta_col: str = "delta",
+                           num_partitions: int | None = None,
+                           schema: "pa.Schema | None" = None):
+    """Consecutive-row pair emission per group: for each (keys) group
+    ordered by ``order_by``, emit one row per adjacent (row_i, row_{i+1})
+    pair — the group keys, ``from_<c>`` columns taken from the earlier
+    row, ``to_<c>`` columns from the later row, and (optionally) the
+    int64 delta of ``order_col`` across the pair (microseconds for
+    timestamps). Groups with a single row emit nothing — the LEAD-window
+    family's WHERE lead IS NOT NULL shape.
+
+    The primitive under Markov transition matrices, time-weighted
+    integrals and dwell-time analytics: ONE hash exchange on
+    ``part(keys)`` (same skeleton as grouped_lag_delta), partition-local
+    Arrow sort + vectorized shifted take — never a per-group loop. A
+    pre-exchange combiner is impossible here (adjacency is a global
+    property per group), so a mega-group lands on one partition — the
+    documented limit of every window operator in this module.
+
+    Reference analog: none — the event-sequence family (SURVEY §2.5
+    extension), same exchange shape as grouped_lag_delta."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    need = list(dict.fromkeys(
+        keys + [c for c, _ in order_by if c in sch.names]
+        + from_cols + to_cols + ([order_col] if order_col else [])
+    ))
+    out_fields = [(k, sch.field(k).type) for k in keys]
+    out_fields += [(f"from_{c}", sch.field(c).type) for c in from_cols]
+    out_fields += [(f"to_{c}", sch.field(c).type) for c in to_cols]
+    if order_col is not None:
+        out_fields.append((delta_col, pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        n = t.num_rows
+        starts = _segment_starts(t, keys)
+        last = np.zeros(n, bool)
+        last[starts[1:] - 1] = True
+        last[n - 1] = True
+        frm = np.flatnonzero(~last)
+        if len(frm) == 0:
+            return out_schema.empty_table()
+        to = frm + 1
+        frm_idx, to_idx = pa.array(frm), pa.array(to)
+        cols: dict[str, pa.Array] = {}
+        for k in keys:
+            cols[k] = t[k].take(frm_idx)
+        for c in from_cols:
+            cols[f"from_{c}"] = t[c].take(frm_idx)
+        for c in to_cols:
+            cols[f"to_{c}"] = t[c].take(to_idx)
+        if order_col is not None:
+            oc = t[order_col]
+            if isinstance(oc, pa.ChunkedArray):
+                oc = oc.combine_chunks()
+            x = oc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cols[delta_col] = pa.array(x[to] - x[frm], pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return _window_exchange(
+        ds, keys=keys, cols=need, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

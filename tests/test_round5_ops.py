@@ -837,3 +837,69 @@ def test_attach_grouped_count_inner_semantics(ray_session):
         ).take_all()
     )
     assert got == [("a", 1, 10), ("a", 2, 10), ("b", 3, 20)]
+
+
+def test_grouped_adjacent_pairs_segments_and_delta(ray_session):
+    """Pairs never cross group boundaries, single-row groups emit
+    nothing, and the order-col delta is int64 microseconds for
+    timestamps."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_adjacent_pairs,
+    )
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([100, 300, 200, 50, 9], pa.timestamp("us")),
+        "i": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "s": pa.array(["a", "b", "c", "d", "e"]),
+    })
+    out = grouped_adjacent_pairs(
+        rd.from_arrow(t), keys=["u"],
+        order_by=[("ts", "ascending"), ("i", "ascending")],
+        from_cols=["s"], to_cols=["s"],
+        order_col="ts", delta_col="dt",
+        schema=t.schema,
+    ).to_arrow_refs()
+    import ray as _ray
+    got = pa.concat_tables([_ray.get(r) for r in out]).to_pylist()
+    rows = {(r["u"], r["from_s"], r["to_s"], r["dt"]) for r in got}
+    # user 1 sorted by ts: a(100) -> c(200) -> b(300)
+    assert rows == {(1, "a", "c", 100), (1, "c", "b", 100)}
+
+
+def test_grouped_adjacent_pairs_tie_break_and_empty(ray_session):
+    """Equal order keys fall back to the tiebreak column; an all-single
+    input yields a typed empty result."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_adjacent_pairs,
+    )
+
+    t = pa.table({
+        "u": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([5, 5], pa.int64()),
+        "i": pa.array([2, 1], pa.int64()),
+        "s": pa.array(["late", "early"]),
+    })
+    out = grouped_adjacent_pairs(
+        rd.from_arrow(t), keys=["u"],
+        order_by=[("ts", "ascending"), ("i", "ascending")],
+        from_cols=["s"], to_cols=["s"], schema=t.schema,
+    ).take_all()
+    assert [(r["from_s"], r["to_s"]) for r in out] == [("early", "late")]
+
+    single = pa.table({
+        "u": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([0, 0], pa.int64()),
+        "i": pa.array([0, 1], pa.int64()),
+        "s": pa.array(["x", "y"]),
+    })
+    empty = grouped_adjacent_pairs(
+        rd.from_arrow(single), keys=["u"],
+        order_by=[("ts", "ascending"), ("i", "ascending")],
+        from_cols=["s"], to_cols=["s"], schema=single.schema,
+    )
+    assert empty.count() == 0
