@@ -7711,3 +7711,172 @@ def q_time_weighted_value(sf_dir: str):
 
 DATA_QUERIES["user_time_weighted_value"] = q_time_weighted_value
 DATA_ORACLES["user_time_weighted_value"] = SQL_TIME_WEIGHTED
+
+
+# ---------------------------------------------------------------------------
+# Retention cohort matrix: the growth-analytics staple — users grouped by
+# first-activity week, counted in every later week they return.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 604_800_000_000  # microseconds per week (epoch-aligned bins)
+
+SQL_RETENTION = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+coh AS (
+  SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT coh.cohort_week,
+       uw.wk - coh.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM uw JOIN coh USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly retention cohorts in ONE user_id exchange: per-batch distinct
+    (user, week) combiner bounds shuffle volume by touched user-weeks, the
+    partition kernel computes each user's cohort week (min) and emits one
+    (cohort_week, week_offset) row per distinct active week — so the final
+    count per cell is a plain count, never a count-distinct — then a tiny
+    grouped count over the O(weeks^2) cells. The mega-user case degrades
+    to one user's distinct weeks on one partition (bounded by calendar
+    weeks, not events)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"],
+    )
+
+    def to_user_weeks(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // WEEK_US)
+        uniq = np.unique(np.stack([u, wk], axis=1), axis=0)
+        return pa.table({
+            "user_id": pa.array(uniq[:, 0], pa.int64()),
+            "wk": pa.array(uniq[:, 1], pa.int64()),
+        })
+
+    uw_schema = pa.schema([("user_id", pa.int64()), ("wk", pa.int64())])
+    pair_schema = pa.schema([
+        ("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+    ])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        t = part.sort_by([("user_id", "ascending"), ("wk", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["wk"].to_numpy(zero_copy_only=False)
+        # cross-batch duplicates of the same (user, week) survive the
+        # per-batch combiner; collapse them here (sorted -> adjacent)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        u, wk = u[keep], wk[keep]
+        starts = _segment_starts(
+            pa.table({"user_id": pa.array(u, pa.int64())}), ["user_id"]
+        )
+        seg_len = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(wk[starts], seg_len)
+        return pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "week_offset": pa.array(wk - cohort, pa.int64()),
+        })
+
+    pairs = _window_exchange(
+        ds.map_batches(to_user_weeks, batch_format="pyarrow"),
+        keys=["user_id"], cols=["user_id", "wk"],
+        num_partitions=None, kernel=kernel, out_schema=pair_schema,
+    )
+    return grouped_aggregate(
+        pairs, keys=["cohort_week", "week_offset"],
+        aggs={"users": ("cohort_week", "count_all")},
+        num_partitions=4, schema=pair_schema,
+    )
+
+
+DATA_QUERIES["user_retention_cohorts"] = q_retention_cohorts
+DATA_ORACLES["user_retention_cohorts"] = SQL_RETENTION
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long-to-wide reshaping (the inverse of relational.unpivot) — one
+# output row per returnflag with per-linestatus quantity/count columns.
+# ---------------------------------------------------------------------------
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS qty_open,
+       CAST(sum(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+            AS BIGINT) AS qty_finished,
+       CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)
+           AS n_open,
+       CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)
+           AS n_finished
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_lineitem_pivot(sf_dir: str):
+    """PIVOT as projection + grouped sum: the CASE columns are materialized
+    map-side as vectorized np.where selections (zero extra rows, unlike a
+    groupby on (flag, status) + reshape which would need a second pass),
+    then ONE per-batch-combined exchange over the tiny flag key space.
+    Inverse of relational.unpivot; quantity is integer-valued in TPC-H so
+    the wide sums stay exact int64."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        st = np.asarray(batch["l_linestatus"].to_numpy(zero_copy_only=False))
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_o, is_f = st == "O", st == "F"
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty_o": pa.array(np.where(is_o, qty, 0), pa.int64()),
+            "qty_f": pa.array(np.where(is_f, qty, 0), pa.int64()),
+            "n_o": pa.array(is_o.astype(np.int64), pa.int64()),
+            "n_f": pa.array(is_f.astype(np.int64), pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(widen, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        aggs={
+            "qty_open": ("qty_o", "sum"),
+            "qty_finished": ("qty_f", "sum"),
+            "n_open": ("n_o", "sum"),
+            "n_finished": ("n_f", "sum"),
+        },
+        num_partitions=2,
+        schema=pa.schema([
+            ("l_returnflag", pa.string()), ("qty_o", pa.int64()),
+            ("qty_f", pa.int64()), ("n_o", pa.int64()),
+            ("n_f", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["lineitem_pivot"] = q_lineitem_pivot
+DATA_ORACLES["lineitem_pivot"] = SQL_PIVOT

@@ -1514,3 +1514,121 @@ def q_outbox_route(sf_dir: str):
 
 CDC_QUERIES["cdc_outbox_route"] = q_outbox_route
 CDC_ORACLES["cdc_outbox_route"] = SQL_OUTBOX
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy state checksum: per-bucket order-independent checksums of the
+# replayed final state, the primitive replica-divergence detection runs to
+# find WHICH key range drifted without shipping any rows (a Merkle-leaf
+# level; reference users do this with external scripts over Kafka compacted
+# topics — here a first-class operator over the apply output).
+# ---------------------------------------------------------------------------
+
+_CK_MOD = 1_000_000_007
+_CK_BUCKETS = 16
+
+SQL_STATE_CHECKSUM = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts
+  FROM ranked WHERE rn = 1 AND op <> 1
+),
+h AS (
+  SELECT ('0x' || substr(md5(
+            conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|'
+            || coalesce(role, '') || '|' || coalesce(text, '') || '|'
+            || coalesce(tool, '') || '|'
+            || CAST(epoch_us(ts) AS VARCHAR)), 1, 10))::BIGINT AS hv
+  FROM state
+)
+SELECT hv % {_CK_BUCKETS} AS bucket,
+       CAST(sum(hv % {_CK_MOD}) % {_CK_MOD} AS BIGINT) AS checksum,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM h GROUP BY 1
+"""
+
+
+def q_state_checksum(sf_dir: str):
+    """Replay to final state, then fold every row into one of
+    {_CK_BUCKETS} bucket checksums: canonical 'k|v' string per row
+    (vectorized Arrow join), md5-40 per row (md5 is the cross-engine
+    contract, like cdc_masked_columns — one C call per row), then a
+    per-batch np.bincount partial so the exchange carries 16 rows per
+    batch regardless of state size. sum-mod is commutative, so shuffled
+    delivery, partitioning and batch boundaries cannot change the answer —
+    two replicas compare 16 (bucket, checksum, n) rows to localize drift.
+    Scale note: a production run swaps md5 for the house xxhash64 (no SQL
+    twin) and raises the bucket count to the partition count."""
+    import hashlib
+
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    out = apply_dataset(cl, num_partitions=NP)
+
+    partial_schema = pa.schema([
+        ("bucket", pa.int64()), ("checksum", pa.int64()),
+        ("n_rows", pa.int64()),
+    ])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return partial_schema.empty_table()
+        s = pc.binary_join_element_wise(
+            t["conv_id"].cast(pa.string()),
+            t["turn_idx"].cast(pa.string()),
+            pc.fill_null(t["role"], ""),
+            pc.fill_null(t["text"], ""),
+            pc.fill_null(t["tool"], ""),
+            t["ts"].cast(pa.int64()).cast(pa.string()),
+            "|",
+        )
+        hv = np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:10], 16)
+             for v in s.to_pylist()),
+            dtype=np.int64, count=t.num_rows,
+        )
+        bucket = hv % _CK_BUCKETS
+        # bincount weights are float64: values < 1e9 and per-batch sums
+        # < 2^53, so the partial stays integer-exact
+        sums = np.bincount(
+            bucket, weights=(hv % _CK_MOD).astype(np.float64),
+            minlength=_CK_BUCKETS,
+        ).astype(np.int64)
+        cnts = np.bincount(bucket, minlength=_CK_BUCKETS).astype(np.int64)
+        nz = cnts > 0
+        return pa.table({
+            "bucket": pa.array(np.flatnonzero(nz), pa.int64()),
+            "checksum": pa.array(sums[nz], pa.int64()),
+            "n_rows": pa.array(cnts[nz], pa.int64()),
+        })
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    agg = grouped_aggregate(
+        out.map_batches(fold, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs={"checksum": ("checksum", "sum"), "n_rows": ("n_rows", "sum")},
+        num_partitions=2, schema=partial_schema,
+    )
+
+    def final_mod(t: pa.Table) -> pa.Table:
+        ck = t["checksum"].to_numpy(zero_copy_only=False) % _CK_MOD
+        return pa.table({
+            "bucket": t["bucket"],
+            "checksum": pa.array(ck, pa.int64()),
+            "n_rows": t["n_rows"],
+        })
+
+    return agg.map_batches(final_mod, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_state_checksum"] = q_state_checksum
+CDC_ORACLES["cdc_state_checksum"] = SQL_STATE_CHECKSUM

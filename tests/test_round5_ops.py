@@ -903,3 +903,35 @@ def test_grouped_adjacent_pairs_tie_break_and_empty(ray_session):
         from_cols=["s"], to_cols=["s"], schema=single.schema,
     )
     assert empty.count() == 0
+
+
+def test_retention_cohorts_tiny(ray_session, tmp_path):
+    """Gap weeks produce the right offsets, a user active twice in the
+    same week counts once, and the cohort cell count is a plain count
+    (the kernel dedups user-weeks before emission)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        WEEK_US,
+        q_retention_cohorts,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    wk = dt.timedelta(microseconds=WEEK_US)
+    rows = {
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        # u1: week w0 twice + w0+2; u2: w0+1
+        "ts": pa.array(
+            [base, base + dt.timedelta(days=1), base + 2 * wk, base + wk],
+            pa.timestamp("us"),
+        ),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["users"]
+        for r in q_retention_cohorts(str(tmp_path)).take_all()
+    }
+    w0 = (base - dt.datetime(1970, 1, 1)) // wk
+    assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
