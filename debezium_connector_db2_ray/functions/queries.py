@@ -7880,3 +7880,188 @@ def q_lineitem_pivot(sf_dir: str):
 
 DATA_QUERIES["lineitem_pivot"] = q_lineitem_pivot
 DATA_ORACLES["lineitem_pivot"] = SQL_PIVOT
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix: the X^T X second-moment accumulation under PCA /
+# whitening / linear probes — the canonical "matrix combiner" reduction.
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+SQL_EMB_GRAM = f"""
+WITH q AS (
+  SELECT vec_id, u.i AS i,
+         CAST(floor(list_extract(embedding, u.i) * 1000 + 0.5) AS BIGINT)
+             AS qv
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+)
+SELECT a.i - 1 AS i, b.i - 1 AS j,
+       CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+FROM q a JOIN q b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+def q_emb_gram(sf_dir: str):
+    """Exact distributed X^T X over the embedding corpus: each batch
+    quantizes its vectors to milli-scale int64 and collapses to ONE d x d
+    partial via integer matmul (the matrix-shaped combiner — shuffle
+    volume is d^2 per batch, independent of corpus size), then a tiny
+    grouped sum over the d*(d+1)/2 upper-triangle cells. Feeding PCA /
+    whitening: the driver eigendecomposes the final 64x64 in microseconds;
+    the distributed part is only this reduction. Integer-exact at any
+    batch order (quantized products, no float accumulation)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.similarity import _batch_matrix
+
+    iu, ju = np.triu_indices(EMB_DIM)
+    tri_schema = pa.schema([
+        ("i", pa.int64()), ("j", pa.int64()), ("s", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return tri_schema.empty_table()
+        m = _batch_matrix(batch)
+        q = np.floor(m.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        g = q.T @ q
+        return pa.table({
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "s": pa.array(g[iu, ju], pa.int64()),
+        })
+
+    return grouped_aggregate(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"], aggs={"s": ("s", "sum")},
+        num_partitions=2, schema=tri_schema,
+    )
+
+
+DATA_QUERIES["emb_gram_matrix"] = q_emb_gram
+DATA_ORACLES["emb_gram_matrix"] = SQL_EMB_GRAM
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson-Lindenstrauss): 64 -> 8
+# dims through a deterministic integer LCG matrix — map-only, zero shuffle.
+# ---------------------------------------------------------------------------
+
+RP_OUT = 8
+
+SQL_EMB_RANDPROJ = f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), r AS (
+  SELECT k.k, j.j,
+         ((1103515245 * (k.k * 100 + j.j) + 12345) % 201) - 100 AS rv
+  FROM range({EMB_DIM}) k(k), range({RP_OUT}) j(j)
+)
+SELECT vec_id,
+{",".join(f"       CAST(sum(CASE WHEN r.j = {j} THEN ev.v * r.rv ELSE 0 END) AS BIGINT) AS y{j}" for j in range(8))}
+FROM ev JOIN r ON r.k = ev.i - 1
+GROUP BY vec_id
+"""
+
+
+def _rp_matrix() -> np.ndarray:
+    """The deterministic 64x8 integer projection matrix, regenerated from
+    the same LCG arithmetic the oracle inlines (entries in [-100, 100])."""
+    k = np.arange(EMB_DIM, dtype=np.int64)[:, None]
+    j = np.arange(RP_OUT, dtype=np.int64)[None, :]
+    return ((1103515245 * (k * 100 + j) + 12345) % 201) - 100
+
+
+def q_emb_randproj(sf_dir: str):
+    """JL-style random projection of every corpus vector, 64 -> 8 dims:
+    one int64 matmul per batch against the LCG-derived matrix (broadcast
+    by closure — 2 KB, not worth ray.put), milli-quantized so the engine
+    and the SQL twin agree bit for bit. Map-only: the projection of a
+    vector never depends on its neighbors, so this scales as a pure
+    streaming pass (the dim-reduction front of an ANN or clustering
+    pipeline)."""
+    from debezium_connector_db2_ray.functions.similarity import _batch_matrix
+
+    R = _rp_matrix()
+
+    def project(batch: pa.Table) -> pa.Table:
+        m = _batch_matrix(batch)
+        q = np.floor(m.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        y = q @ R
+        cols = {"vec_id": batch["vec_id"]}
+        for j in range(RP_OUT):
+            cols[f"y{j}"] = pa.array(y[:, j], pa.int64())
+        return pa.table(cols)
+
+    return _emb(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+DATA_QUERIES["emb_random_projection"] = q_emb_randproj
+DATA_ORACLES["emb_random_projection"] = SQL_EMB_RANDPROJ
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum sample: k docs per language, chosen by md5
+# order — reproducible on any cluster size / batch order, like split_assign.
+# ---------------------------------------------------------------------------
+
+SAMPLE_PER_LANG = 3
+
+SQL_LANG_SAMPLE = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id, row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+  FROM documents
+) WHERE rn <= {SAMPLE_PER_LANG}
+"""
+
+
+def q_lang_sample(sf_dir: str):
+    """k-per-stratum deterministic sample: order within each language by
+    the md5 of the doc id (a fixed, engine-agnostic permutation — md5 is
+    collision-free on distinct ids for ordering purposes) and keep the
+    first k via the existing top_n_per_group one-exchange kernel. Unlike
+    LIMIT-per-group over arbitrary block order, the selection is stable
+    under repartitioning and corpus append (a kept doc stays kept unless
+    k new docs hash below it)."""
+    import hashlib
+
+    from debezium_connector_db2_ray.functions.relational import (
+        top_n_per_group,
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hk = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            pa.string(),
+        )
+        return pa.table({
+            "lang": batch["lang"], "doc_id": batch["doc_id"], "hk": hk,
+        })
+
+    keyed = _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    out = top_n_per_group(
+        keyed, keys=["lang"], order_by=[("hk", "ascending")],
+        n=SAMPLE_PER_LANG,
+        schema=pa.schema([
+            ("lang", pa.string()), ("doc_id", pa.int64()),
+            ("hk", pa.string()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+DATA_QUERIES["docs_lang_sample"] = q_lang_sample
+DATA_ORACLES["docs_lang_sample"] = SQL_LANG_SAMPLE

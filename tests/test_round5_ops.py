@@ -935,3 +935,90 @@ def test_retention_cohorts_tiny(ray_session, tmp_path):
     }
     w0 = (base - dt.datetime(1970, 1, 1)) // wk
     assert got == {(w0, 0): 1, (w0, 2): 1, (w0 + 1, 0): 1}
+
+
+def test_emb_gram_matrix_tiny(ray_session, tmp_path):
+    """X^T X over two hand-built 64-dim vectors: the three nonzero
+    upper-triangle cells carry the exact integer quantized products and
+    every other cell is zero (batch-order-independent by construction)."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        EMB_DIM,
+        q_emb_gram,
+    )
+
+    v0 = [0.0] * EMB_DIM
+    v0[0], v0[1] = 1.0, 2.0
+    v1 = [0.0] * EMB_DIM
+    v1[1] = 3.0
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([v0, v1], pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in q_emb_gram(str(tmp_path)).take_all()
+    }
+    assert len(got) == EMB_DIM * (EMB_DIM + 1) // 2
+    assert got[(0, 0)] == 1000 * 1000
+    assert got[(0, 1)] == 1000 * 2000
+    assert got[(1, 1)] == 2000 * 2000 + 3000 * 3000
+    assert sum(v for k, v in got.items()
+               if k not in {(0, 0), (0, 1), (1, 1)}) == 0
+
+
+def test_emb_random_projection_tiny(ray_session, tmp_path):
+    """The map-only JL projection reproduces q @ R exactly for a basis
+    vector: row k of the LCG matrix times the quantized coordinate."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        EMB_DIM,
+        RP_OUT,
+        _rp_matrix,
+        q_emb_randproj,
+    )
+
+    v = [0.0] * EMB_DIM
+    v[5] = 2.5  # quantizes to 2500
+    t = pa.table({
+        "vec_id": pa.array([42], pa.int64()),
+        "embedding": pa.array([v], pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    (row,) = q_emb_randproj(str(tmp_path)).take_all()
+    R = _rp_matrix()
+    assert row["vec_id"] == 42
+    for j in range(RP_OUT):
+        assert row[f"y{j}"] == 2500 * int(R[5, j])
+
+
+def test_docs_lang_sample_md5_order(ray_session, tmp_path):
+    """The stratified sample keeps exactly the k docs with the smallest
+    md5(doc_id) per language, and a stratum smaller than k survives
+    whole."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        SAMPLE_PER_LANG,
+        q_lang_sample,
+    )
+
+    ids = list(range(1, 8))
+    t = pa.table({
+        "doc_id": pa.array(ids + [100, 101], pa.int64()),
+        "lang": pa.array(["en"] * len(ids) + ["fr", "fr"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = {}
+    for r in q_lang_sample(str(tmp_path)).take_all():
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    want_en = set(sorted(
+        ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:SAMPLE_PER_LANG])
+    assert got["en"] == want_en
+    assert got["fr"] == {100, 101}
