@@ -8065,3 +8065,218 @@ def q_lang_sample(sf_dir: str):
 
 DATA_QUERIES["docs_lang_sample"] = q_lang_sample
 DATA_ORACLES["docs_lang_sample"] = SQL_LANG_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact covariance numerators: n*Sxy - Sx*Sy per dim pair, built
+# from the same d^2-per-batch matrix combiner as the Gram matrix — the
+# mean-centered second moment without ever materializing centered vectors.
+# ---------------------------------------------------------------------------
+
+SQL_EMB_COV = f"""
+WITH q AS (
+  SELECT vec_id, u.i AS i,
+         CAST(floor(list_extract(embedding, u.i) * 1000 + 0.5) AS BIGINT)
+             AS qv
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+), s AS (
+  SELECT i, CAST(sum(qv) AS BIGINT) AS si FROM q GROUP BY i
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+), g AS (
+  SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s2
+  FROM q a JOIN q b USING (vec_id)
+  WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT g.i, g.j,
+       CAST(n.n * g.s2 - sa.si * sb.si AS BIGINT) AS cov_num,
+       n.n AS n
+FROM g, n
+JOIN s sa ON sa.i - 1 = g.i
+JOIN s sb ON sb.i - 1 = g.j
+"""
+
+
+def q_emb_cov(sf_dir: str):
+    """Exact distributed covariance numerators over the embedding corpus:
+    each batch folds to ONE d x d second-moment partial PLUS the d first
+    moments and the row count, all integer in milli-quantized space —
+    shuffle volume d*(d+1)/2 rows per batch regardless of corpus size.
+    After the tiny grouped sum, cov_num = n*S2[i,j] - S1[i]*S1[j] is a
+    pure per-cell integer expression (divide by n*(n-1) off-engine for
+    the sample covariance; keeping the exact integer pair avoids float
+    accumulation order entirely). The mean-centering never touches the
+    data: no centered-vector materialization, no second pass."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.similarity import _batch_matrix
+
+    iu, ju = np.triu_indices(EMB_DIM)
+    part_schema = pa.schema([
+        ("i", pa.int64()), ("j", pa.int64()), ("s2", pa.int64()),
+        ("si", pa.int64()), ("sj", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        m = _batch_matrix(batch)
+        q = np.floor(m.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        g = q.T @ q
+        s1 = q.sum(axis=0)
+        return pa.table({
+            "i": pa.array(iu, pa.int64()),
+            "j": pa.array(ju, pa.int64()),
+            "s2": pa.array(g[iu, ju], pa.int64()),
+            "si": pa.array(s1[iu], pa.int64()),
+            "sj": pa.array(s1[ju], pa.int64()),
+            "n": pa.array(
+                np.full(len(iu), batch.num_rows, np.int64), pa.int64()
+            ),
+        })
+
+    agg = grouped_aggregate(
+        _emb(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        keys=["i", "j"],
+        aggs={"s2": ("s2", "sum"), "si": ("si", "sum"),
+              "sj": ("sj", "sum"), "n": ("n", "sum")},
+        num_partitions=2, schema=part_schema,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        cov = (n * t["s2"].to_numpy(zero_copy_only=False)
+               - t["si"].to_numpy(zero_copy_only=False)
+               * t["sj"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "i": t["i"], "j": t["j"],
+            "cov_num": pa.array(cov, pa.int64()),
+            "n": t["n"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+DATA_QUERIES["emb_covariance"] = q_emb_cov
+DATA_ORACLES["emb_covariance"] = SQL_EMB_COV
+
+
+# ---------------------------------------------------------------------------
+# Per-user daily resample with zero-filled gaps — the time-series
+# regularization step (gap filling before trend/seasonality work).
+# ---------------------------------------------------------------------------
+
+SQL_DAILY_GAPFILL = """
+WITH d AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(day) AS mn, max(day) AS mx FROM d GROUP BY 1
+), g AS (
+  SELECT user_id, unnest(range(mn, mx + 1)) AS day FROM b
+)
+SELECT g.user_id, CAST(g.day AS BIGINT) AS day,
+       coalesce(d.cnt, 0) AS cnt
+FROM g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+"""
+
+
+def q_daily_gapfill(sf_dir: str):
+    """Per-user daily event counts with every gap day inside [first
+    active day, last active day] zero-filled — the resample-to-regular-
+    grid step a time-series feature pipeline runs before differencing /
+    rolling stats. Shape: per-batch (user, day) combiner (bounds shuffle
+    volume by touched user-days per batch), ONE hash exchange on user_id,
+    then a partition-local kernel that expands all its users' ranges AT
+    ONCE: np.repeat for user ids, a cumsum-offset arange for the day
+    grids, and a scatter of the observed counts — no per-user Python
+    loop. Output volume is sum of per-user spans; the exchange stays
+    count-bounded. Day = epoch days (int64) so the SQL twin is integer-
+    exact."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    pre_schema = pa.schema([
+        ("user_id", pa.int64()), ("day", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pre_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        t = pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "day": pa.array(day, pa.int64()),
+        })
+        g = t.group_by(["user_id", "day"]).aggregate([("day", "count")])
+        return pa.table({
+            "user_id": g["user_id"], "day": g["day"],
+            "cnt": g["day_count"].cast(pa.int64()),
+        })
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    counts = grouped_aggregate(
+        events.map_batches(pre, batch_format="pyarrow"),
+        keys=["user_id", "day"], aggs={"cnt": ("cnt", "sum")},
+        schema=pre_schema,
+    )
+
+    out_schema = pre_schema
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("day", "ascending")]
+        )
+        t = t.take(idx)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        # segment starts per user
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        mn, mx = day[starts], day[ends - 1]
+        spans = mx - mn + 1
+        total = int(spans.sum())
+        # grid: for each user segment an arange(mn, mx+1), all at once
+        seg_off = np.r_[0, np.cumsum(spans)[:-1]]
+        grid = np.arange(total, dtype=np.int64)
+        grid -= np.repeat(seg_off, spans)
+        grid += np.repeat(mn, spans)
+        out_uid = np.repeat(uid[starts], spans)
+        # scatter observed counts into the grid
+        seg_id = np.searchsorted(starts, np.arange(len(uid)), side="right") - 1
+        pos = seg_off[seg_id] + (day - mn[seg_id])
+        out_cnt = np.zeros(total, dtype=np.int64)
+        out_cnt[pos] = cnt
+        return pa.table({
+            "user_id": pa.array(out_uid, pa.int64()),
+            "day": pa.array(grid, pa.int64()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        })
+
+    return _window_exchange(
+        counts, keys=["user_id"], cols=["user_id", "day", "cnt"],
+        num_partitions=None, kernel=expand, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["user_daily_gapfill"] = q_daily_gapfill
+DATA_ORACLES["user_daily_gapfill"] = SQL_DAILY_GAPFILL

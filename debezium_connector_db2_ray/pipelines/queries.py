@@ -1632,3 +1632,87 @@ def q_state_checksum(sf_dir: str):
 
 CDC_QUERIES["cdc_state_checksum"] = q_state_checksum
 CDC_ORACLES["cdc_state_checksum"] = SQL_STATE_CHECKSUM
+
+
+# ---------------------------------------------------------------------------
+# ExtractChangedRecordState SMT — changed-field headers from before/after
+# image diffs, over a field-level-update stream derived so each image
+# column changes on its own modular schedule (text unless ev%4=0, role when
+# ev%3=0, tool NULL->value when ev%5=0 — exercising the NULL-safe compare).
+# ---------------------------------------------------------------------------
+
+SQL_CHANGED_COLUMNS = f"""
+WITH {SQL_CHANGELOG.strip()},
+u AS (
+  SELECT conv_id, turn_idx, lsn, role, text, tool,
+         CAST(lsn AS BIGINT) AS ev
+  FROM changelog WHERE op = 5
+), imgs AS (
+  SELECT conv_id, turn_idx, lsn,
+         CASE WHEN ev % 4 = 0 THEN text ELSE 'old:' || text END AS b_text,
+         CASE WHEN ev % 3 = 0 THEN role || '_v' ELSE role END AS b_role,
+         CASE WHEN ev % 5 = 0 THEN NULL ELSE tool END AS b_tool,
+         text, role, tool
+  FROM u
+)
+SELECT conv_id, turn_idx, CAST(lsn AS BIGINT) AS lsn,
+       concat_ws(',',
+         CASE WHEN b_text IS DISTINCT FROM text THEN 'text' END,
+         CASE WHEN b_role IS DISTINCT FROM role THEN 'role' END,
+         CASE WHEN b_tool IS DISTINCT FROM tool THEN 'tool' END
+       ) AS changed
+FROM imgs
+"""
+
+
+def q_changed_columns(sf_dir: str):
+    """Changed-field SMT parity (Debezium ExtractChangedRecordState):
+    update envelopes diffed column by column, NULL-safe, into a
+    comma-joined changed-field header. The fixture derives a field-level
+    update stream where each image column flips on its own modular
+    schedule, so the header takes every subset value including the empty
+    string (ev % 60 == 0: nothing changed) and the NULL->value tool
+    transition proves IS DISTINCT FROM semantics. MAP-ONLY — image
+    derivation, diff and header build are batch-local projections."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        changed_record_state,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        ups = cl.filter(pc.equal(cl["op"], OP_UPDATE_SINGLE))
+        ev = ups["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        text, role, tool = ups["text"], ups["role"], ups["tool"]
+        env = pa.table({
+            "op_char": pa.array(np.full(len(ev), "u"), pa.string()),
+            "conv_id": ups["conv_id"],
+            "turn_idx": ups["turn_idx"],
+            "lsn": pa.array(ev, pa.int64()),
+            "before_text": pc.if_else(
+                pa.array(ev % 4 == 0), text,
+                pc.binary_join_element_wise("old:", text, ""),
+            ),
+            "after_text": text,
+            "before_role": pc.if_else(
+                pa.array(ev % 3 == 0),
+                pc.binary_join_element_wise(role, "_v", ""),
+                role,
+            ),
+            "after_role": role,
+            "before_tool": pc.if_else(
+                pa.array(ev % 5 == 0), pa.scalar(None, pa.string()), tool
+            ),
+            "after_tool": tool,
+        })
+        out = changed_record_state(
+            env, image_columns=("text", "role", "tool"), out_col="changed"
+        )
+        return out.select(["conv_id", "turn_idx", "lsn", "changed"])
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_changed_columns"] = q_changed_columns
+CDC_ORACLES["cdc_changed_columns"] = SQL_CHANGED_COLUMNS

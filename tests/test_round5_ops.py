@@ -1022,3 +1022,72 @@ def test_docs_lang_sample_md5_order(ray_session, tmp_path):
     )[:SAMPLE_PER_LANG])
     assert got["en"] == want_en
     assert got["fr"] == {100, 101}
+
+
+def test_emb_covariance_tiny(ray_session, tmp_path):
+    """cov_num matches n*Sxy - Sx*Sy computed by hand for three 64-dim
+    vectors varying in two dims (and is 0 for constant dims)."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        EMB_DIM,
+        q_emb_cov,
+    )
+
+    vals0 = [1.0, 2.0, 3.0]   # dim 0
+    vals1 = [4.0, 6.0, 5.0]   # dim 1
+    vecs = []
+    for a, b in zip(vals0, vals1):
+        v = [0.0] * EMB_DIM
+        v[0], v[1] = a, b
+        vecs.append(v)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = {
+        (r["i"], r["j"]): (r["cov_num"], r["n"])
+        for r in q_emb_cov(str(tmp_path)).take_all()
+    }
+    q0 = [int(a * 1000) for a in vals0]
+    q1 = [int(b * 1000) for b in vals1]
+    n = 3
+    want01 = n * sum(a * b for a, b in zip(q0, q1)) - sum(q0) * sum(q1)
+    want00 = n * sum(a * a for a in q0) - sum(q0) ** 2
+    assert got[(0, 1)] == (want01, n)
+    assert got[(0, 0)] == (want00, n)
+    assert got[(5, 9)] == (0, n)
+    assert len(got) == EMB_DIM * (EMB_DIM + 1) // 2
+
+
+def test_daily_gapfill_kernel(ray_session, tmp_path):
+    """A user with a 3-day hole gets zero-filled rows inside [min, max]
+    only; a single-day user emits exactly one row; same-day repeats sum."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_daily_gapfill,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    day0 = (base - dt.datetime(1970, 1, 1)).days
+    rows = {
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(
+            [base, base + dt.timedelta(hours=3),
+             base + dt.timedelta(days=4), base],
+            pa.timestamp("us"),
+        ),
+    }
+    pq.write_table(pa.table(rows), tmp_path / "events.parquet")
+    got = {
+        (r["user_id"], r["day"]): r["cnt"]
+        for r in q_daily_gapfill(str(tmp_path)).take_all()
+    }
+    assert got == {
+        (1, day0): 2, (1, day0 + 1): 0, (1, day0 + 2): 0,
+        (1, day0 + 3): 0, (1, day0 + 4): 1, (2, day0): 1,
+    }

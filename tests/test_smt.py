@@ -97,3 +97,31 @@ def test_outbox_routes_only_inserts():
     assert rows[1001]["payload"] == "v1"
     assert rows[1004]["event_key"] == "b" and rows[1004]["payload"] == "b1"
     assert rows[1004]["event_type"] == "user"
+
+
+def test_changed_record_state_null_safe(ray_session):
+    """NULL->value counts as changed, NULL->NULL and equal values do not,
+    non-update ops carry a NULL header, and the header preserves
+    image-column order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        changed_record_state,
+    )
+
+    env = pa.table({
+        "op_char": pa.array(["u", "u", "c", "u", "d"]),
+        "before_text": pa.array(["a", "x", None, None, "z"]),
+        "after_text": pa.array(["b", "x", "z", None, "z"]),
+        "before_tool": pa.array([None, "t", "q", "p", "r"]),
+        "after_tool": pa.array(["t", "t", "q", "p", "s"]),
+    })
+    out = changed_record_state(env, image_columns=("text", "tool"))
+    assert out["__changed"].to_pylist() == [
+        "text,tool", "", None, "", None,
+    ]
+    empty = changed_record_state(
+        env.slice(0, 0), image_columns=("text", "tool")
+    )
+    assert empty.num_rows == 0 and "__changed" in empty.column_names
