@@ -1716,3 +1716,177 @@ def q_changed_columns(sf_dir: str):
 
 CDC_QUERIES["cdc_changed_columns"] = q_changed_columns
 CDC_ORACLES["cdc_changed_columns"] = SQL_CHANGED_COLUMNS
+
+
+# ---------------------------------------------------------------------------
+# TimezoneConverter SMT — fixed-offset temporal rewrite (converted.timezone).
+# ---------------------------------------------------------------------------
+
+SQL_TZ_CONVERT = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, turn_idx, CAST(lsn AS BIGINT) AS lsn, ts,
+       ts + INTERVAL 330 MINUTE AS ts_local
+FROM changelog
+"""
+
+
+def q_timezone_convert(sf_dir: str):
+    """TimezoneConverter SMT parity: every change event's timestamp
+    re-expressed at a fixed target offset (+05:30 here — a non-hour offset
+    exercises minute arithmetic) next to the original. MAP-ONLY: one Arrow
+    add-duration kernel per batch."""
+    from debezium_connector_db2_ray.stages.envelope import timezone_convert
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        out = timezone_convert(cl, ts_columns=("ts",), offset_minutes=330)
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "turn_idx": out["turn_idx"],
+            "lsn": out["commit_lsn_lo"].cast(pa.int64()),
+            "ts": out["ts"],
+            "ts_local": out["ts_local"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_timezone_convert"] = q_timezone_convert
+CDC_ORACLES["cdc_timezone_convert"] = SQL_TZ_CONVERT
+
+
+# ---------------------------------------------------------------------------
+# ContentBasedRouter SMT — payload-value -> topic map, NULL keeps default.
+# ---------------------------------------------------------------------------
+
+SQL_CONTENT_ROUTER = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+       CASE role WHEN 'purchase' THEN 'priority.updates'
+                 WHEN 'error' THEN 'dlq.errors'
+                 ELSE 'cdc.default' END AS topic
+FROM changelog
+"""
+
+
+def q_content_router(sf_dir: str):
+    """ContentBasedRouter SMT parity: each event re-routed by a payload
+    field's value (updates to a priority topic, deletes to a DLQ,
+    everything else to the connector default — the null-expression-keeps-
+    original-topic rule). MAP-ONLY: dictionary-encode + O(distinct) route
+    lookup per batch, no exchange."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        content_based_route,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        out = content_based_route(
+            cl, column="role",
+            routes={"purchase": "priority.updates", "error": "dlq.errors"},
+            default_topic="cdc.default",
+        )
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "lsn": out["commit_lsn_lo"].cast(pa.int64()),
+            "topic": out["topic"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_content_router"] = q_content_router
+CDC_ORACLES["cdc_content_router"] = SQL_CONTENT_ROUTER
+
+
+# ---------------------------------------------------------------------------
+# ByLogicalTableRouter SMT — sharded physical topics folded to one logical
+# topic, physical identity kept as the key-disambiguation field.
+# ---------------------------------------------------------------------------
+
+SQL_LOGICAL_ROUTER = f"""
+WITH {SQL_CHANGELOG.strip()},
+phys AS (
+  SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+         'cdc.DB2INST1.CONV_' || CAST(turn_idx % 4 AS VARCHAR) AS ptopic
+  FROM changelog
+)
+SELECT conv_id, lsn,
+       regexp_replace(ptopic, '_[0-9]+$', '') AS topic,
+       ptopic AS "__dbz__physicalTableIdentifier"
+FROM phys
+"""
+
+
+def q_logical_router(sf_dir: str):
+    """ByLogicalTableRouter SMT parity: four physical shard topics
+    (CONV_0..CONV_3) rewritten by regex to the single logical CONV topic,
+    with the physical topic preserved as the
+    __dbz__physicalTableIdentifier key field the upstream transform adds.
+    MAP-ONLY: one RE2 replace kernel per batch."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        logical_table_route,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        ti = cl["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shard = pc.cast(pa.array(ti % 4, pa.int64()), pa.string())
+        ptopic = pc.binary_join_element_wise(
+            "cdc.DB2INST1.CONV_", shard, ""
+        )
+        routed = logical_table_route(
+            ptopic, pattern="_[0-9]+$", replacement=""
+        )
+        return pa.table({
+            "conv_id": cl["conv_id"],
+            "lsn": cl["commit_lsn_lo"].cast(pa.int64()),
+            "topic": routed["topic"],
+            "__dbz__physicalTableIdentifier":
+                routed["__dbz__physicalTableIdentifier"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_logical_router"] = q_logical_router
+CDC_ORACLES["cdc_logical_router"] = SQL_LOGICAL_ROUTER
+
+
+# ---------------------------------------------------------------------------
+# PartitionRouting SMT — payload-field hash -> target partition.
+# ---------------------------------------------------------------------------
+
+SQL_PARTITION_ROUTING = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+       CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT) % 12
+           AS partition
+FROM changelog
+"""
+
+
+def q_partition_routing(sf_dir: str):
+    """PartitionRouting SMT parity: target partition =
+    md5(payload fields)-top-60-bits mod partition.topic.num (12), so one
+    entity's events always land in one partition. md5 is the cross-engine
+    semantic (DuckDB mirrors it exactly); production swaps the house
+    xxhash64 when no SQL twin is needed. MAP-ONLY."""
+    from debezium_connector_db2_ray.stages.envelope import partition_route
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        out = partition_route(
+            cl, payload_fields=("conv_id",), num_partitions=12
+        )
+        return pa.table({
+            "conv_id": out["conv_id"],
+            "lsn": out["commit_lsn_lo"].cast(pa.int64()),
+            "partition": out["partition"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_partition_routing"] = q_partition_routing
+CDC_ORACLES["cdc_partition_routing"] = SQL_PARTITION_ROUTING

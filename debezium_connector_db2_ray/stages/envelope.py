@@ -399,3 +399,141 @@ def changed_record_state(
         mask=~np.asarray(is_update),
     )
     return env.append_column(out_col, header)
+
+
+def timezone_convert(
+    env: pa.Table,
+    *,
+    ts_columns: tuple[str, ...],
+    offset_minutes: int,
+    suffix: str = "_local",
+) -> pa.Table:
+    """Timezone-conversion SMT (Debezium's public TimezoneConverter
+    transform, `converted.timezone` as a fixed offset): shift every listed
+    timestamp column by the target offset and emit it alongside the
+    original under ``<col><suffix>``. The SMT rewrites temporal fields in
+    place on the wire; a columnar sink keeps both so downstream stages can
+    pick either representation without re-reading.
+
+    Map-only — one Arrow add-scalar kernel per column per batch, NULLs
+    propagate, no exchange at any scale."""
+    import pyarrow.compute as pc
+
+    out = env
+    delta = pa.scalar(offset_minutes * 60_000_000, pa.duration("us"))
+    for c in ts_columns:
+        col = env[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = out.append_column(f"{c}{suffix}", pc.add(col, delta))
+    return out
+
+
+def content_based_route(
+    env: pa.Table,
+    *,
+    column: str,
+    routes: dict[str, str],
+    default_topic: str | None = None,
+) -> pa.Table:
+    """Content-based routing SMT (Debezium's public ContentBasedRouter):
+    re-route each event to a topic chosen from a payload field's value.
+    The upstream transform evaluates a routing expression per record and a
+    null result keeps the original topic; this columnar form takes the
+    deterministic subset — a value -> topic map over one payload column —
+    and emits ``topic`` (NULL = keep the default / original topic, unless
+    ``default_topic`` is given).
+
+    Map-only: one dictionary-encode + integer take per batch; the route
+    table is O(distinct values), never shipped per row."""
+    import pyarrow.compute as pc
+
+    col = env[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    dic = enc.dictionary.to_pylist()
+    lut = np.array(
+        [routes.get(v if v is not None else "", default_topic) for v in dic],
+        dtype=object,
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(idx.astype(np.float64)) if idx.dtype.kind == "f" else (
+        np.ones(len(idx), bool)
+    )
+    topics = np.full(len(idx), default_topic, dtype=object)
+    ii = idx[valid].astype(np.int64)
+    topics[valid] = lut[ii]
+    return env.append_column("topic", pa.array(topics, pa.string()))
+
+
+def logical_table_route(
+    topics: pa.Array | pa.ChunkedArray,
+    *,
+    pattern: str,
+    replacement: str,
+) -> pa.Table:
+    """Logical-table routing SMT (Debezium's public ByLogicalTableRouter):
+    when one logical table is physically sharded (CONV_00 .. CONV_15, one
+    topic each), rewrite every physical topic to the single logical topic
+    via regex and keep the physical identity as the
+    ``__dbz__physicalTableIdentifier`` field the upstream transform adds
+    to the key, so consumers can still disambiguate shard origin.
+
+    Map-only — one RE2 replace kernel per batch."""
+    import pyarrow.compute as pc
+
+    if isinstance(topics, pa.ChunkedArray):
+        topics = topics.combine_chunks()
+    logical = pc.replace_substring_regex(
+        topics, pattern=pattern, replacement=replacement
+    )
+    return pa.table({
+        "topic": logical,
+        "__dbz__physicalTableIdentifier": topics,
+    })
+
+
+def partition_route(
+    env: pa.Table,
+    *,
+    payload_fields: tuple[str, ...],
+    num_partitions: int,
+    out_col: str = "partition",
+) -> pa.Table:
+    """Partition-routing SMT (Debezium's public PartitionRouting):
+    compute the target topic partition from the configured payload fields
+    — hash of the concatenated field values, modulo
+    ``partition.topic.num`` — so every event of one entity lands in one
+    partition regardless of the table it came from.
+
+    Hash = md5 of the NULL-marked '\\x1f'-joined field values, top 60 bits
+    (15 hex chars -> non-negative int64), mod num_partitions. md5 is the
+    cross-engine semantic (a DuckDB oracle mirrors it bit-for-bit via
+    ('0x' || substr(md5(..), 1, 15))::BIGINT); a production deployment
+    that needs no SQL twin swaps in the vectorized house xxhash64.
+    Map-only, no exchange."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    parts = []
+    for f in payload_fields:
+        col = env[f]
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        parts.append(pc.fill_null(col, "\x00"))
+    joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+        *parts, "\x1f"
+    )
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    pid = np.fromiter(
+        (
+            int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % num_partitions
+            for v in joined.to_pylist()
+        ),
+        dtype=np.int64,
+        count=len(joined),
+    )
+    return env.append_column(out_col, pa.array(pid, pa.int64()))

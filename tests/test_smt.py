@@ -125,3 +125,80 @@ def test_changed_record_state_null_safe(ray_session):
         env.slice(0, 0), image_columns=("text", "tool")
     )
     assert empty.num_rows == 0 and "__changed" in empty.column_names
+
+
+def test_timezone_convert_nulls_and_offset():
+    """+330 min shifts by exactly 5h30m; NULL timestamps stay NULL; the
+    original column is preserved."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import timezone_convert
+
+    env = pa.table({
+        "ts": pa.array([0, 60_000_000, None], pa.timestamp("us")),
+    })
+    out = timezone_convert(env, ts_columns=("ts",), offset_minutes=330)
+    assert out["ts_local"].to_pylist()[0].hour == 5
+    assert out["ts_local"].to_pylist()[0].minute == 30
+    assert out["ts_local"].to_pylist()[2] is None
+    assert out["ts"].to_pylist()[1].minute == 1
+
+
+def test_content_based_route_null_and_default():
+    """Mapped values route, unmapped fall to the default, NULL column
+    values fall to the default (the SMT's null-keeps-original rule)."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        content_based_route,
+    )
+
+    env = pa.table({"role": pa.array(["purchase", "view", None, "error"])})
+    out = content_based_route(
+        env, column="role",
+        routes={"purchase": "hot", "error": "dlq"}, default_topic="dft",
+    )
+    assert out["topic"].to_pylist() == ["hot", "dft", "dft", "dlq"]
+    none_default = content_based_route(
+        env, column="role", routes={"purchase": "hot"},
+    )
+    assert none_default["topic"].to_pylist() == ["hot", None, None, None]
+
+
+def test_logical_table_route_regex():
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        logical_table_route,
+    )
+
+    t = pa.array(["cdc.S.CONV_0", "cdc.S.CONV_15", "cdc.S.OTHER"])
+    out = logical_table_route(t, pattern="_[0-9]+$", replacement="")
+    assert out["topic"].to_pylist() == ["cdc.S.CONV", "cdc.S.CONV",
+                                        "cdc.S.OTHER"]
+    assert out["__dbz__physicalTableIdentifier"].to_pylist() == t.to_pylist()
+
+
+def test_partition_route_md5_and_nulls():
+    """Partition matches the md5-60-bit mod; equal keys agree; NULL fields
+    hash via the NULL marker rather than crashing; multi-field join uses
+    the unit separator."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import partition_route
+
+    env = pa.table({
+        "k": pa.array(["a", "a", None]),
+        "j": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = partition_route(env, payload_fields=("k",), num_partitions=12)
+    want = int(hashlib.md5(b"a").hexdigest()[:15], 16) % 12
+    assert out["partition"].to_pylist()[:2] == [want, want]
+    assert 0 <= out["partition"].to_pylist()[2] < 12
+    multi = partition_route(
+        env, payload_fields=("k", "j"), num_partitions=7
+    )
+    want2 = int(hashlib.md5("a\x1f1".encode()).hexdigest()[:15], 16) % 7
+    assert multi["partition"].to_pylist()[0] == want2
