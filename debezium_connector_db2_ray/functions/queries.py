@@ -8280,3 +8280,108 @@ def q_daily_gapfill(sf_dir: str):
 
 DATA_QUERIES["user_daily_gapfill"] = q_daily_gapfill
 DATA_ORACLES["user_daily_gapfill"] = SQL_DAILY_GAPFILL
+
+
+# ---------------------------------------------------------------------------
+# Last-touch / first-touch attribution (LOCF family): for every event, the
+# value of the most recent — and the earliest — strictly-preceding purchase
+# by the same user. The forward-fill kernel is the same primitive as
+# time-series LOCF gap filling.
+# ---------------------------------------------------------------------------
+
+SQL_LAST_TOUCH = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_purchase_value,
+       first_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_purchase_value
+FROM events
+"""
+
+
+def q_last_touch(sf_dir: str):
+    """Attribution / LOCF primitive: each event tagged with the value of
+    the most recent strictly-preceding purchase (last-touch) and of the
+    user's earliest preceding purchase (first-touch); NULL before the
+    first purchase. ONE hash exchange on user_id, then a partition-local
+    kernel that forward-fills ALL its users at once: sort by (user,
+    ts, event_id), source index = own position where purchase else -1,
+    shift one row (strictly preceding), np.maximum.accumulate — a fill
+    index that bled across a user boundary is detected by fill < the
+    row's segment start (global positions are monotone, so any
+    previous-segment purchase index is < my segment start) and nulled.
+    First-touch is the same fill with the accumulate running over "first
+    purchase index seen so far". Values are carried verbatim (no
+    arithmetic), so the float column compares exactly cross-engine."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+    )
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("last_purchase_value", pa.float64()),
+        ("first_purchase_value", pa.float64()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        t = t.take(idx)
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        val = t["value"].to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        seg_start = np.repeat(starts, counts)
+        is_p = et == "purchase"
+        # last-touch: max purchase index, shifted one row (strict precede)
+        src = np.where(is_p, pos, -1)
+        last_fill = np.maximum.accumulate(np.r_[-1, src[:-1]])
+        last_ok = last_fill >= seg_start
+        # first-touch: the first purchase index is segment-constant —
+        # one reduceat per segment, then a strict-precede row check
+        # (unlike the max fill, a min-accumulate would keep a previous
+        # segment's smaller index forever, so it cannot be used here)
+        src_min = np.where(is_p, pos, n)
+        first_fill = np.repeat(np.minimum.reduceat(src_min, starts), counts)
+        first_ok = (first_fill < n) & (first_fill < pos)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "last_purchase_value": pa.array(
+                val[np.where(last_ok, last_fill, 0)], pa.float64(),
+                mask=~last_ok,
+            ),
+            "first_purchase_value": pa.array(
+                val[np.where(first_ok, first_fill, 0)], pa.float64(),
+                mask=~first_ok,
+            ),
+        })
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return _window_exchange(
+        events, keys=["user_id"],
+        cols=["event_id", "user_id", "ts", "event_type", "value"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["events_last_touch"] = q_last_touch
+DATA_ORACLES["events_last_touch"] = SQL_LAST_TOUCH

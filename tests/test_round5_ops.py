@@ -1091,3 +1091,34 @@ def test_daily_gapfill_kernel(ray_session, tmp_path):
         (1, day0): 2, (1, day0 + 1): 0, (1, day0 + 2): 0,
         (1, day0 + 3): 0, (1, day0 + 4): 1, (2, day0): 1,
     }
+
+
+def test_last_touch_segment_isolation(ray_session, tmp_path):
+    """A previous user's purchase must not leak into the next user's
+    first/last-touch fill (regression: a min-accumulate fill kept the
+    earlier user's smaller index forever); strictly-preceding semantics:
+    a purchase never attributes to itself."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import q_last_touch
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2, 2, 2], pa.int64()),
+        "ts": pa.array([10, 20, 10, 20, 30, 40], pa.timestamp("us")),
+        "event_type": pa.array([
+            "purchase", "view", "view", "purchase", "view", "purchase",
+        ]),
+        "value": pa.array([7.0, 0.0, 0.0, 9.0, 0.0, 11.0], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: (r["last_purchase_value"], r["first_purchase_value"])
+        for r in q_last_touch(str(tmp_path)).take_all()
+    }
+    assert got[1] == (None, None)          # own purchase not attributed
+    assert got[2] == (7.0, 7.0)
+    assert got[3] == (None, None)          # no bleed from user 1
+    assert got[4] == (None, None)          # purchase row: strictly before
+    assert got[5] == (9.0, 9.0)
+    assert got[6] == (9.0, 9.0)
