@@ -8385,3 +8385,429 @@ def q_last_touch(sf_dir: str):
 
 DATA_QUERIES["events_last_touch"] = q_last_touch
 DATA_ORACLES["events_last_touch"] = SQL_LAST_TOUCH
+
+
+# ---------------------------------------------------------------------------
+# Traffic heatmap: event volume and exact value totals per (day-of-week,
+# hour-of-day) cell — the calendar-profile aggregation behind load charts.
+# ---------------------------------------------------------------------------
+
+SQL_HOUR_DOW = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_milli
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_hour_dow_profile(sf_dir: str):
+    """Calendar heatmap: counts and milli-quantized value totals per
+    (day-of-week, hour-of-day). dow follows DuckDB's dayofweek (0 =
+    Sunday), computed vectorized from epoch-day arithmetic ((days + 4) %
+    7: 1970-01-01 was a Thursday). 168-cell domain -> per-batch combiner
+    collapses each batch to <=168 rows; the final groupby is tiny at any
+    corpus size."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    schema = pa.schema([
+        ("dow", pa.int64()), ("hod", pa.int64()),
+        ("n_events", pa.int64()), ("value_milli", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        days = ts.astype("datetime64[D]")
+        dow = (days.astype(np.int64) + 4) % 7
+        hod = (ts - days).astype("timedelta64[h]").astype(np.int64)
+        vm = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 1000.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "dow": pa.array(dow, pa.int64()),
+            "hod": pa.array(hod, pa.int64()),
+            "vm": pa.array(vm, pa.int64()),
+        })
+        g = t.group_by(["dow", "hod"]).aggregate(
+            [("vm", "sum"), ("vm", "count")]
+        )
+        return pa.table({
+            "dow": g["dow"], "hod": g["hod"],
+            "n_events": g["vm_count"].cast(pa.int64()),
+            "value_milli": g["vm_sum"].cast(pa.int64()),
+        })
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+    return grouped_aggregate(
+        events.map_batches(pre, batch_format="pyarrow"),
+        keys=["dow", "hod"],
+        aggs={"n_events": ("n_events", "sum"),
+              "value_milli": ("value_milli", "sum")},
+        num_partitions=2, schema=schema,
+    )
+
+
+DATA_QUERIES["events_hour_dow_profile"] = q_hour_dow_profile
+DATA_ORACLES["events_hour_dow_profile"] = SQL_HOUR_DOW
+
+
+# ---------------------------------------------------------------------------
+# Time-to-conversion: per user, microseconds from first signup to first
+# purchase (NULL-safe: users lacking either milestone drop out in both
+# engines via the inner join of the two conditional mins).
+# ---------------------------------------------------------------------------
+
+SQL_SIGNUP_TO_PURCHASE = """
+SELECT user_id,
+       CAST(date_diff('microseconds',
+                      min(CASE WHEN event_type = 'signup' THEN ts END),
+                      min(CASE WHEN event_type = 'purchase' THEN ts END))
+            AS BIGINT) AS us_to_purchase
+FROM events
+GROUP BY user_id
+HAVING min(CASE WHEN event_type = 'signup' THEN ts END) IS NOT NULL
+   AND min(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+"""
+
+
+def q_signup_to_purchase(sf_dir: str):
+    """Survival/funnel latency: exact integer microseconds from each
+    user's FIRST signup to their FIRST purchase, users with both
+    milestones only (negative when the fixture's purchase precedes
+    signup — kept, matching the SQL twin). Shape: per-batch conditional-
+    min combiner (sentinel int64.max for 'absent in this batch', min
+    folds correctly across batches), ONE small exchange of per-user
+    partials, final min + sentinel filter. No timestamp ever leaves
+    integer space."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    SENT = np.iinfo(np.int64).max
+    part_schema = pa.schema([
+        ("user_id", pa.int64()), ("s_min", pa.int64()),
+        ("p_min", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False))
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "s": pa.array(np.where(et == "signup", ts, SENT), pa.int64()),
+            "p": pa.array(np.where(et == "purchase", ts, SENT), pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("s", "min"), ("p", "min")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "s_min": g["s_min"], "p_min": g["p_min"],
+        })
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    agg = grouped_aggregate(
+        events.map_batches(pre, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"s_min": ("s_min", "min"), "p_min": ("p_min", "min")},
+        schema=part_schema,
+    )
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("us_to_purchase", pa.int64()),
+    ])
+
+    def final(t: pa.Table) -> pa.Table:
+        s = t["s_min"].to_numpy(zero_copy_only=False)
+        p = t["p_min"].to_numpy(zero_copy_only=False)
+        keep = (s != SENT) & (p != SENT)
+        return pa.table({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)[keep],
+            "us_to_purchase": pa.array(p[keep] - s[keep], pa.int64()),
+        }, schema=out_schema)
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_signup_to_purchase"] = q_signup_to_purchase
+DATA_ORACLES["user_signup_to_purchase"] = SQL_SIGNUP_TO_PURCHASE
+
+
+# ---------------------------------------------------------------------------
+# Concurrent-active sweep line: per day, how many users' activity spans
+# [first event day, last event day] cover it — delta-encoded endpoints,
+# never a per-day expansion of the spans.
+# ---------------------------------------------------------------------------
+
+SQL_ACTIVE_BACKLOG = """
+WITH spans AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS d0,
+         datediff('day', DATE '1970-01-01', CAST(max(ts) AS DATE)) AS d1
+  FROM events GROUP BY 1
+), deltas AS (
+  SELECT d0 AS day, 1 AS delta FROM spans
+  UNION ALL
+  SELECT d1 + 1 AS day, -1 AS delta FROM spans
+), g AS (
+  SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM deltas GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(sum(delta) OVER (ORDER BY day) AS BIGINT) AS active_users
+FROM g
+"""
+
+
+def q_active_backlog(sf_dir: str):
+    """Interval-stabbing sweep line (the 'how many open at time t' family:
+    concurrent sessions, order backlog, room occupancy): count per day of
+    users whose [first-event-day, last-event-day] span covers it. The
+    classic trap is expanding every span into its days (output explodes
+    with span length); the sweep-line shape ships two delta rows per user
+    instead: per-batch (user, min-day, max-day) combiner -> one user
+    exchange folds exact spans -> +1/-1 endpoint deltas grouped by day
+    (combiner again; the day domain is calendar-bounded) -> ONE
+    single-partition ordered cumsum over the tiny per-day delta table
+    (rows = distinct endpoint days, thousands at any corpus size).
+    Emitted at delta days only — between endpoints the count is constant,
+    exactly as the SQL running sum."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    span_schema = pa.schema([
+        ("user_id", pa.int64()), ("d0", pa.int64()), ("d1", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return span_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "d0": pa.array(day, pa.int64()),
+            "d1": pa.array(day, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("d0", "min"), ("d1", "max")])
+        return pa.table({
+            "user_id": g["user_id"], "d0": g["d0_min"], "d1": g["d1_max"],
+        })
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    spans = grouped_aggregate(
+        events.map_batches(pre, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"d0": ("d0", "min"), "d1": ("d1", "max")},
+        schema=span_schema,
+    )
+
+    delta_schema = pa.schema([("day", pa.int64()), ("delta", pa.int64())])
+
+    def to_deltas(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return delta_schema.empty_table()
+        d0 = t["d0"].to_numpy(zero_copy_only=False)
+        d1 = t["d1"].to_numpy(zero_copy_only=False)
+        raw = pa.table({
+            "day": pa.array(np.r_[d0, d1 + 1], pa.int64()),
+            "delta": pa.array(
+                np.r_[np.ones(len(d0), np.int64),
+                      np.full(len(d1), -1, np.int64)], pa.int64()
+            ),
+        })
+        g = raw.group_by(["day"]).aggregate([("delta", "sum")])
+        return pa.table({
+            "day": g["day"], "delta": g["delta_sum"].cast(pa.int64()),
+        })
+
+    per_day = grouped_aggregate(
+        spans.map_batches(to_deltas, batch_format="pyarrow"),
+        keys=["day"], aggs={"delta": ("delta", "sum")},
+        num_partitions=2, schema=delta_schema,
+    ).map_batches(
+        lambda t: t.append_column("k", pa.array(np.zeros(t.num_rows,
+                                                         np.int64))),
+        batch_format="pyarrow",
+    )
+
+    out_schema = pa.schema([("day", pa.int64()), ("active_users",
+                                                  pa.int64())])
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("day", "ascending")])
+        d = t["delta"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t["day"],
+            "active_users": pa.array(np.cumsum(d), pa.int64()),
+        })
+
+    return _window_exchange(
+        per_day, keys=["k"], cols=["k", "day", "delta"],
+        num_partitions=1, kernel=cumsum, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["events_active_backlog"] = q_active_backlog
+DATA_ORACLES["events_active_backlog"] = SQL_ACTIVE_BACKLOG
+
+
+# ---------------------------------------------------------------------------
+# Intra-label cohesion: the sum of ALL pairwise dot products inside each
+# label, exactly, in one pass — square-of-sums identity, never a pair join.
+# ---------------------------------------------------------------------------
+
+SQL_LABEL_COHESION = f"""
+WITH q AS (
+  SELECT vec_id, label, u.i AS i,
+         CAST(floor(list_extract(embedding, u.i) * 1000 + 0.5) AS BIGINT)
+             AS qv
+  FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i) u
+), dimsum AS (
+  SELECT label, i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY 1, 2
+), norm AS (
+  SELECT label, CAST(sum(qv * qv) AS BIGINT) AS ssq FROM q GROUP BY 1
+), cnt AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n FROM embeddings GROUP BY 1
+), sq AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS s2 FROM dimsum GROUP BY 1
+)
+SELECT CAST(cnt.label AS BIGINT) AS label, cnt.n,
+       CAST((sq.s2 - norm.ssq) / 2 AS BIGINT) AS pair_dot_sum
+FROM cnt JOIN sq USING (label) JOIN norm USING (label)
+"""
+
+
+def q_label_cohesion(sf_dir: str):
+    """Cluster-cohesion statistic: sum over all UNORDERED vector pairs
+    inside each label of their (milli-quantized, integer-exact) dot
+    product — the numerator of mean intra-cluster similarity. The naive
+    shape is an O(n^2) self-join per label; the identity
+    sum_{i<j} qi.qj = (||sum_i qi||^2 - sum_i ||qi||^2) / 2 makes it one
+    pass: per batch, per label fold the d-dim component sums, the norm
+    sum and the count (shuffle volume = labels x d rows per batch),
+    grouped-sum the partials on (label, dim), square-and-fold per label.
+    The difference is even by symmetry, so the /2 stays integer.
+    Magnitude bound documented like the Gram combiner: |qv| <= ~1e3 so
+    s^2 per dim needs n_label <~ 3e6 rows per label for int64; beyond
+    that, re-quantize coarser or split the fold hi/lo."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.similarity import _batch_matrix
+
+    part_schema = pa.schema([
+        ("label", pa.int64()), ("i", pa.int64()), ("s", pa.int64()),
+        ("ssq", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        m = _batch_matrix(batch)
+        q = np.floor(m.astype(np.float64) * 1000.0 + 0.5).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order = np.argsort(labels, kind="stable")
+        labs, starts = np.unique(labels[order], return_index=True)
+        qs = q[order]
+        out_lab, out_i, out_s, out_ssq, out_n = [], [], [], [], []
+        bounds = np.r_[starts, len(labels)]
+        for k, lab in enumerate(labs):
+            seg = qs[bounds[k]:bounds[k + 1]]
+            s = seg.sum(axis=0)
+            out_lab.append(np.full(q.shape[1], lab, np.int64))
+            out_i.append(np.arange(q.shape[1], dtype=np.int64))
+            out_s.append(s)
+            ssq = int((seg * seg).sum())
+            e = np.zeros(q.shape[1], np.int64)
+            e[0] = ssq
+            out_ssq.append(e)
+            e2 = np.zeros(q.shape[1], np.int64)
+            e2[0] = seg.shape[0]
+            out_n.append(e2)
+        return pa.table({
+            "label": pa.array(np.concatenate(out_lab), pa.int64()),
+            "i": pa.array(np.concatenate(out_i), pa.int64()),
+            "s": pa.array(np.concatenate(out_s), pa.int64()),
+            "ssq": pa.array(np.concatenate(out_ssq), pa.int64()),
+            "n": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    dims = grouped_aggregate(
+        _emb(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        keys=["label", "i"],
+        aggs={"s": ("s", "sum"), "ssq": ("ssq", "sum"), "n": ("n", "sum")},
+        num_partitions=2, schema=part_schema,
+    )
+
+    sq_schema = pa.schema([
+        ("label", pa.int64()), ("s2", pa.int64()), ("ssq", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def square(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sq_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False)
+        g = pa.table({
+            "label": t["label"],
+            "s2": pa.array(s * s, pa.int64()),
+            "ssq": t["ssq"], "n": t["n"],
+        }).group_by(["label"]).aggregate(
+            [("s2", "sum"), ("ssq", "sum"), ("n", "sum")]
+        )
+        return pa.table({
+            "label": g["label"], "s2": g["s2_sum"],
+            "ssq": g["ssq_sum"], "n": g["n_sum"],
+        })
+
+    agg = grouped_aggregate(
+        dims.map_batches(square, batch_format="pyarrow"),
+        keys=["label"],
+        aggs={"s2": ("s2", "sum"), "ssq": ("ssq", "sum"),
+              "n": ("n", "sum")},
+        num_partitions=2, schema=sq_schema,
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        ssq = t["ssq"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": t["label"], "n": t["n"],
+            "pair_dot_sum": pa.array((s2 - ssq) // 2, pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+DATA_QUERIES["emb_label_cohesion"] = q_label_cohesion
+DATA_ORACLES["emb_label_cohesion"] = SQL_LABEL_COHESION

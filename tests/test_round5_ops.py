@@ -1122,3 +1122,121 @@ def test_last_touch_segment_isolation(ray_session, tmp_path):
     assert got[4] == (None, None)          # purchase row: strictly before
     assert got[5] == (9.0, 9.0)
     assert got[6] == (9.0, 9.0)
+
+
+def test_hour_dow_profile_epoch_math(ray_session, tmp_path):
+    """dow matches DuckDB dayofweek (0=Sunday; 1970-01-01 was Thursday=4)
+    and the milli-quantized sum is exact."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_hour_dow_profile,
+    )
+
+    t = pa.table({
+        "ts": pa.array([
+            dt.datetime(1970, 1, 1, 5),      # Thursday -> dow 4
+            dt.datetime(2024, 3, 3, 23),     # Sunday  -> dow 0
+            dt.datetime(2024, 3, 3, 23, 59),
+        ], pa.timestamp("us")),
+        "value": pa.array([1.0015, 2.0, 3.0], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        (r["dow"], r["hod"]): (r["n_events"], r["value_milli"])
+        for r in q_hour_dow_profile(str(tmp_path)).take_all()
+    }
+    assert got[(4, 5)] == (1, 1002)   # round-half-up at the milli edge
+    assert got[(0, 23)] == (2, 5000)
+
+
+def test_signup_to_purchase_milestones(ray_session, tmp_path):
+    """FIRST signup to FIRST purchase; users missing either milestone drop
+    out; a purchase before signup yields a negative exact delta."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_signup_to_purchase,
+    )
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "event_type": pa.array([
+            "signup", "purchase", "purchase", "signup", "purchase",
+            "signup",
+        ]),
+        "ts": pa.array([100, 250, 400, 10, 50, 90], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["user_id"]: r["us_to_purchase"]
+        for r in q_signup_to_purchase(str(tmp_path)).take_all()
+    }
+    assert got == {1: 150, 3: -40}
+
+
+def test_active_backlog_sweep(ray_session, tmp_path):
+    """Two overlapping user spans produce the stepped running count with
+    deltas only at endpoint days."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_active_backlog,
+    )
+
+    d = lambda day: dt.datetime(2024, 1, day)
+    day1 = (d(1) - dt.datetime(1970, 1, 1)).days
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([d(1), d(5), d(3), d(4)], pa.timestamp("us")),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["day"]: r["active_users"]
+        for r in q_active_backlog(str(tmp_path)).take_all()
+    }
+    assert got == {day1: 1, day1 + 2: 2, day1 + 4: 1, day1 + 5: 0}
+
+
+def test_label_cohesion_identity(ray_session, tmp_path):
+    """pair_dot_sum equals the brute-force sum over unordered pairs."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        EMB_DIM,
+        q_label_cohesion,
+    )
+
+    vecs = [
+        ([1.0, 2.0], 0), ([3.0, 4.0], 0), ([5.0, 6.0], 0),
+        ([1.0, 1.0], 1),
+    ]
+    rows = []
+    for v, lab in vecs:
+        full = [0.0] * EMB_DIM
+        full[0], full[1] = v
+        rows.append((full, lab))
+    t = pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array([r[0] for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[1] for r in rows], pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = {
+        r["label"]: (r["n"], r["pair_dot_sum"])
+        for r in q_label_cohesion(str(tmp_path)).take_all()
+    }
+    q = [[int(x * 1000) for x in r[0][:2]] for r in rows[:3]]
+    want = sum(
+        a[0] * b[0] + a[1] * b[1]
+        for a, b in itertools.combinations(q, 2)
+    )
+    assert got[0] == (3, want)
+    assert got[1] == (1, 0)
