@@ -8811,3 +8811,134 @@ def q_label_cohesion(sf_dir: str):
 
 DATA_QUERIES["emb_label_cohesion"] = q_label_cohesion
 DATA_ORACLES["emb_label_cohesion"] = SQL_LABEL_COHESION
+
+
+# ---------------------------------------------------------------------------
+# Debounce / throttle filter: drop events arriving within the cooldown of
+# the previous RAW event of the same (user, type) — non-recursive lag
+# semantics, so both engines agree without iterating.
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_US = 3_600_000_000  # 1 h
+
+SQL_DEBOUNCE = f"""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+) WHERE pts IS NULL
+   OR date_diff('microseconds', pts, ts) > {DEBOUNCE_US}
+"""
+
+
+def q_debounce(sf_dir: str):
+    """Debounce/throttle primitive (alert suppression, duplicate-click
+    filtering): keep an event only when more than the cooldown elapsed
+    since the previous event of the same (user, type) — previous RAW
+    event, the standard non-recursive lag formulation (comparing against
+    the last KEPT event would be a sequential recurrence). ONE hash
+    exchange on (user_id, event_type), then a partition-local kernel:
+    sort by (user, type, ts, event_id), one shifted subtraction, segment
+    starts always kept."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+    )
+
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("event_type", pa.string()),
+    ])
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("event_type", "ascending"),
+            ("ts", "ascending"), ("event_id", "ascending"),
+        ])
+        t = t.take(idx)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = np.asarray(t["event_type"].to_numpy(zero_copy_only=False))
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        new_seg = np.r_[True, (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])]
+        gap = np.empty(len(ts), np.int64)
+        gap[0], gap[1:] = 0, ts[1:] - ts[:-1]
+        keep = new_seg | (gap > DEBOUNCE_US)
+        return t.select(
+            ["event_id", "user_id", "event_type"]
+        ).filter(pa.array(keep))
+
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return _window_exchange(
+        events, keys=["user_id", "event_type"],
+        cols=["event_id", "user_id", "event_type", "ts"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["events_debounce"] = q_debounce
+DATA_ORACLES["events_debounce"] = SQL_DEBOUNCE
+
+
+# ---------------------------------------------------------------------------
+# Global equi-depth bucketing: exact quartile boundaries by distributed
+# kth-element selection, then a map-side bucket assignment — the
+# bucketize-for-stratification step, never a global sort.
+# ---------------------------------------------------------------------------
+
+SQL_VALUE_BUCKETS = """
+SELECT event_id,
+       CAST(1
+         + CASE WHEN value > (SELECT quantile_disc(value, 0.25)
+                              FROM events) THEN 1 ELSE 0 END
+         + CASE WHEN value > (SELECT quantile_disc(value, 0.50)
+                              FROM events) THEN 1 ELSE 0 END
+         + CASE WHEN value > (SELECT quantile_disc(value, 0.75)
+                              FROM events) THEN 1 ELSE 0 END
+         AS BIGINT) AS bucket
+FROM events
+"""
+
+
+def q_value_buckets(sf_dir: str):
+    """Equi-depth quartile assignment over every event's value: exact
+    q25/q50/q75 via the histogram-narrowing kth-element selection (O(
+    rounds) map-only scans, no sort, no shuffle), the three boundary
+    ELEMENTS broadcast (24 bytes), bucket = 1 + count of boundaries
+    strictly below — one vectorized comparison per batch. Bit-exact
+    cross-engine because boundaries are column elements and the
+    comparison is pure (no arithmetic on floats)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    bounds = exact_percentiles(ds, col="value", qs=[0.25, 0.5, 0.75])
+    bs = np.sort(bounds["value"].to_numpy(zero_copy_only=False))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        bucket = 1 + (v > bs[0]).astype(np.int64) \
+            + (v > bs[1]).astype(np.int64) + (v > bs[2]).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "bucket": pa.array(bucket, pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_value_buckets"] = q_value_buckets
+DATA_ORACLES["events_value_buckets"] = SQL_VALUE_BUCKETS

@@ -1890,3 +1890,93 @@ def q_partition_routing(sf_dir: str):
 
 CDC_QUERIES["cdc_partition_routing"] = q_partition_routing
 CDC_ORACLES["cdc_partition_routing"] = SQL_PARTITION_ROUTING
+
+
+# ---------------------------------------------------------------------------
+# Incremental-snapshot chunk sizing: the key-space histogram the planner
+# reads to size PK-range chunks (conversations and events per hash bucket).
+# ---------------------------------------------------------------------------
+
+SQL_KEY_HISTOGRAM = """
+WITH c AS (
+  SELECT 'conv_' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+)
+SELECT CAST(('0x' || substr(md5(conv_id), 1, 15)) AS BIGINT) % 64
+           AS bucket,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM c GROUP BY 1
+"""
+
+
+def q_key_histogram(sf_dir: str):
+    """Key-space histogram for incremental-snapshot chunk planning
+    (SURVEY §2.9: the chunked backfill pages the primary-key space; this
+    is the distribution it sizes chunks from — the reference pages blindly
+    with a fixed row LIMIT, Db2ChangeEventSourceFactory.java:71-91, so a
+    skew-aware planner is our scale extension). Shape: per-batch per-conv
+    count combiner, ONE hash exchange folds exact per-conv totals, then
+    md5-60bit bucket assignment per DISTINCT conv (hashing touches keys,
+    never events) and a 64-row final fold."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    conv_schema = pa.schema([("conv_id", pa.string()), ("n", pa.int64())])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        g = cl.select(["conv_id"]).group_by(["conv_id"]).aggregate(
+            [("conv_id", "count")]
+        )
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "n": g["conv_id_count"].cast(pa.int64()),
+        })
+
+    convs = grouped_aggregate(
+        _events(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        keys=["conv_id"], aggs={"n": ("n", "sum")}, schema=conv_schema,
+    )
+
+    bucket_schema = pa.schema([
+        ("bucket", pa.int64()), ("n_convs", pa.int64()),
+        ("n_events", pa.int64()),
+    ])
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        if t.num_rows == 0:
+            return bucket_schema.empty_table()
+        ids = t["conv_id"].to_pylist()
+        b = np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % 64
+             for v in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        g = pa.table({
+            "bucket": pa.array(b, pa.int64()),
+            "n_convs": pa.array(np.ones(len(b), np.int64)),
+            "n_events": t["n"],
+        }).group_by(["bucket"]).aggregate(
+            [("n_convs", "sum"), ("n_events", "sum")]
+        )
+        return pa.table({
+            "bucket": g["bucket"], "n_convs": g["n_convs_sum"],
+            "n_events": g["n_events_sum"],
+        })
+
+    return grouped_aggregate(
+        convs.map_batches(to_buckets, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs={"n_convs": ("n_convs", "sum"),
+              "n_events": ("n_events", "sum")},
+        num_partitions=2, schema=bucket_schema,
+    )
+
+
+CDC_QUERIES["cdc_key_histogram"] = q_key_histogram
+CDC_ORACLES["cdc_key_histogram"] = SQL_KEY_HISTOGRAM

@@ -1240,3 +1240,51 @@ def test_label_cohesion_identity(ray_session, tmp_path):
     )
     assert got[0] == (3, want)
     assert got[1] == (1, 0)
+
+
+def test_debounce_segments_and_gaps(ray_session, tmp_path):
+    """First event of each (user, type) always kept; an event exactly at
+    the cooldown boundary is dropped (strict >); different types don't
+    suppress each other."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        DEBOUNCE_US,
+        q_debounce,
+    )
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a", "a", "a", "b", "a"]),
+        "ts": pa.array(
+            [0, DEBOUNCE_US, 2 * DEBOUNCE_US + 1, 1, 2],
+            pa.timestamp("us"),
+        ),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    kept = sorted(
+        r["event_id"] for r in q_debounce(str(tmp_path)).take_all()
+    )
+    assert kept == [1, 3, 4, 5]
+
+
+def test_value_buckets_quartiles(ray_session, tmp_path):
+    """Eight distinct values split 2/2/2/2 across the four buckets with
+    quantile_disc boundary semantics."""
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_value_buckets,
+    )
+
+    t = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "value": pa.array([1.0, 2, 3, 4, 5, 6, 7, 8], pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = {
+        r["event_id"]: r["bucket"]
+        for r in q_value_buckets(str(tmp_path)).take_all()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
