@@ -8942,3 +8942,110 @@ def q_value_buckets(sf_dir: str):
 
 DATA_QUERIES["events_value_buckets"] = q_value_buckets
 DATA_ORACLES["events_value_buckets"] = SQL_VALUE_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture downsampling: keep a deterministic 50% of every source —
+# proportional per-source quotas, md5-order selection, no RNG state.
+# ---------------------------------------------------------------------------
+
+MIXTURE_RATIO = 0.5
+
+SQL_MIXTURE = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM r JOIN c USING (source)
+WHERE r.rn <= CAST(ceil(c.n * {MIXTURE_RATIO}) AS BIGINT)
+"""
+
+
+def q_mixture_downsample(sf_dir: str):
+    """Mixture-curation downsample: retain exactly ceil(n * ratio) docs of
+    EVERY source, chosen by md5-of-doc-id order — the deterministic,
+    resumable form of stratified proportional sampling (rerunning over a
+    grown corpus keeps previous picks stable up to quota shifts; no RNG
+    state to checkpoint). Two stages: per-source counts via the combiner
+    exchange collapse to one row per source (the mixture table is
+    vocabulary-sized — legitimately driver-small, broadcast as a quota
+    dict), then ONE source exchange and a partition-local kernel ranking
+    each source segment by (md5, doc_id) and cutting at its quota. md5 is
+    the cross-engine order (docs_lang_sample precedent); swap the house
+    xxhash64 when no SQL twin is needed."""
+    import hashlib
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    cnt_schema = pa.schema([("source", pa.string()), ("n", pa.int64())])
+
+    def pre_count(batch: pa.Table) -> pa.Table:
+        g = batch.select(["source"]).group_by(["source"]).aggregate(
+            [("source", "count")]
+        )
+        return pa.table({
+            "source": g["source"],
+            "n": g["source_count"].cast(pa.int64()),
+        })
+
+    counts = grouped_aggregate(
+        _docs(sf_dir, columns=["source"]).map_batches(
+            pre_count, batch_format="pyarrow"
+        ),
+        keys=["source"], aggs={"n": ("n", "sum")},
+        num_partitions=2, schema=cnt_schema,
+    ).take_all()
+    quota = {
+        r["source"]: int(np.ceil(r["n"] * MIXTURE_RATIO)) for r in counts
+    }
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string())])
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "h": pa.array(h, pa.string()),
+        })
+
+    def kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idx = pc.sort_indices(t, sort_keys=[
+            ("source", "ascending"), ("h", "ascending"),
+            ("doc_id", "ascending"),
+        ])
+        t = t.take(idx)
+        src = np.asarray(t["source"].to_numpy(zero_copy_only=False))
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        counts_ = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src)) - np.repeat(starts, counts_)
+        cut = np.repeat(
+            np.array([quota.get(src[s], 0) for s in starts], np.int64),
+            counts_,
+        )
+        return t.select(["doc_id", "source"]).filter(pa.array(rank < cut))
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        add_md5, batch_format="pyarrow"
+    )
+    return _window_exchange(
+        ds, keys=["source"], cols=["doc_id", "source", "h"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["docs_mixture_downsample"] = q_mixture_downsample
+DATA_ORACLES["docs_mixture_downsample"] = SQL_MIXTURE

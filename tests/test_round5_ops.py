@@ -1288,3 +1288,34 @@ def test_value_buckets_quartiles(ray_session, tmp_path):
         for r in q_value_buckets(str(tmp_path)).take_all()
     }
     assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 3, 6: 4, 7: 4}
+
+
+def test_mixture_downsample_quota_and_order(ray_session, tmp_path):
+    """Quota = ceil(n * ratio) per source; selection follows md5 order of
+    doc_id; a one-doc source keeps its doc."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from debezium_connector_db2_ray.functions.queries import (
+        q_mixture_downsample,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["a", "a", "a", "b", "c"]),
+        "text": pa.array(["x"] * 5),
+        "lang": pa.array(["en"] * 5),
+        "n_chars": pa.array([1] * 5, pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in q_mixture_downsample(str(tmp_path)).take_all()
+    )
+    a_keep = sorted(
+        [0, 1, 2], key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:2]  # ceil(3*0.5)=2
+    assert got == sorted(
+        [("a", i) for i in a_keep] + [("b", 3), ("c", 4)]
+    )
