@@ -1980,3 +1980,250 @@ def q_key_histogram(sf_dir: str):
 
 CDC_QUERIES["cdc_key_histogram"] = q_key_histogram
 CDC_ORACLES["cdc_key_histogram"] = SQL_KEY_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# Kafka-Connect core SMT chain — ReplaceField -> InsertField -> Cast, the
+# stock `transforms=...` triple every Debezium deployment configures.
+# ---------------------------------------------------------------------------
+
+SQL_SMT_CHAIN = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id,
+       CAST(turn_idx AS BIGINT) AS turn,
+       CAST(lsn AS BIGINT) AS lsn,
+       CAST(op AS VARCHAR) AS op,
+       'db2-ray' AS connector,
+       role AS routed_by,
+       CAST(trunc(CAST(lsn AS DOUBLE) / 7.0) AS INTEGER) AS shard_hint
+FROM changelog
+"""
+
+
+def q_smt_chain(sf_dir: str):
+    """Kafka-Connect SMT chain parity (the stock ReplaceField ->
+    InsertField -> Cast triple, applied in config order exactly like
+    `transforms=replace,insert,cast`): ReplaceField drops the image/ts
+    payload and renames turn_idx->turn, InsertField adds the static
+    connector tag plus a metadata copy of the routing field, Cast widens
+    turn to int64, renders op as a string, and truncates a derived double
+    toward zero into int32 — the Java (int) cast semantic, NOT rounding
+    (lsn/7.0 exercises every remainder class). MAP-ONLY: three chained
+    columnar projections per batch, no exchange at any scale."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        cast_fields,
+        insert_fields,
+        replace_fields,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        env = pa.table({
+            "conv_id": cl["conv_id"],
+            "turn_idx": cl["turn_idx"],
+            "lsn": cl["commit_lsn_lo"].cast(pa.int64()),
+            "op": cl["op"],
+            "role": cl["role"],
+            "text": cl["text"],
+            "ts": cl["ts"],
+        })
+        env = env.append_column(
+            "shard_hint",
+            pc.divide(env["lsn"].cast(pa.float64()), pa.scalar(7.0)),
+        )
+        out = replace_fields(
+            env, renames={"turn_idx": "turn"}, exclude=("text", "ts"),
+        )
+        out = insert_fields(
+            out, static={"connector": "db2-ray"}, copies={"routed_by": "role"},
+        )
+        out = cast_fields(
+            out, spec={"turn": "int64", "op": "string",
+                       "shard_hint": "int32"},
+        )
+        return out.select([
+            "conv_id", "turn", "lsn", "op", "connector", "routed_by",
+            "shard_hint",
+        ])
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_smt_chain"] = q_smt_chain
+CDC_ORACLES["cdc_smt_chain"] = SQL_SMT_CHAIN
+
+
+# ---------------------------------------------------------------------------
+# TimestampConverter SMT + time.precision.mode=connect temporal surface.
+# ---------------------------------------------------------------------------
+
+SQL_TS_CONVERTER = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+       epoch_ms(ts) AS ts_unix_ms,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       date_trunc('day', ts) AS ts_day
+FROM changelog
+"""
+
+
+def q_timestamp_converter(sf_dir: str):
+    """TimestampConverter SMT parity (Kafka Connect's public transform,
+    plus the reference's `time.precision.mode=connect` millisecond
+    truncation — Db2ConnectorConfig temporal defaults): the event
+    timestamp re-represented as Connect's epoch-ms integer (microseconds
+    TRUNCATE, never round), a SimpleDateFormat-style string, and a
+    day-truncated (midnight) timestamp field. MAP-ONLY: three Arrow temporal kernels per
+    batch, no exchange."""
+    from debezium_connector_db2_ray.stages.envelope import convert_timestamp
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        env = pa.table({
+            "conv_id": cl["conv_id"],
+            "lsn": cl["commit_lsn_lo"].cast(pa.int64()),
+            "ts": cl["ts"],
+        })
+        env = convert_timestamp(
+            env, column="ts", target="unix", out_col="ts_unix_ms"
+        )
+        env = convert_timestamp(
+            env, column="ts", target="string",
+            fmt="%Y-%m-%d %H:%M:%S", out_col="ts_str",
+        )
+        ts = env["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        env = env.append_column(
+            "ts_day", pc.floor_temporal(ts, unit="day")
+        )
+        return env.select(
+            ["conv_id", "lsn", "ts_unix_ms", "ts_str", "ts_day"]
+        )
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_timestamp_converter"] = q_timestamp_converter
+CDC_ORACLES["cdc_timestamp_converter"] = SQL_TS_CONVERTER
+
+
+# ---------------------------------------------------------------------------
+# Flatten SMT — Debezium envelope struct -> delimiter-joined flat columns.
+# ---------------------------------------------------------------------------
+
+SQL_STRUCT_FLATTEN = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT 'db2' AS source_connector,
+       'TESTDB' AS source_db,
+       'DB2INST1' AS source_schema,
+       'CONVERSATIONS' AS source_table,
+       CAST(lsn AS BIGINT) AS source_lsn,
+       CASE op WHEN 1 THEN 'd' WHEN 5 THEN 'u' ELSE 'c' END AS op,
+       conv_id AS after_conv_id,
+       turn_idx AS after_turn_idx,
+       text AS after_text
+FROM changelog
+"""
+
+
+def q_struct_flatten(sf_dir: str):
+    """Flatten SMT parity (Kafka Connect's public ``Flatten$Value`` with
+    `delimiter=_`, the standard step before sinking a Debezium envelope to
+    a flat columnar store): the envelope is built as REAL nested Arrow
+    structs — source{connector,db,schema,table,lsn} and
+    after{conv_id,turn_idx,text} — then flattened recursively to
+    parent_child columns. Zero-copy both ways: struct children are
+    reference slices in Arrow, so neither the nest nor the flatten copies
+    payload bytes. MAP-ONLY."""
+    from debezium_connector_db2_ray.stages.envelope import flatten_struct
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        n = cl.num_rows
+        lsn = cl["commit_lsn_lo"].cast(pa.int64())
+        if isinstance(lsn, pa.ChunkedArray):
+            lsn = lsn.combine_chunks()
+        op = cl["op"].to_numpy(zero_copy_only=False)
+        opc = np.where(op == 1, "d", np.where(op == 5, "u", "c"))
+
+        def const(v: str) -> pa.Array:
+            return pa.array(np.full(n, v, dtype=object), pa.string())
+
+        source = pa.StructArray.from_arrays(
+            [const("db2"), const("TESTDB"), const("DB2INST1"),
+             const("CONVERSATIONS"), lsn],
+            names=["connector", "db", "schema", "table", "lsn"],
+        )
+        conv = cl["conv_id"]
+        ti = cl["turn_idx"]
+        txt = cl["text"]
+        after = pa.StructArray.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (conv, ti, txt)],
+            names=["conv_id", "turn_idx", "text"],
+        )
+        env = pa.table({
+            "source": source,
+            "op": pa.array(opc, pa.string()),
+            "after": after,
+        })
+        return flatten_struct(env, delimiter="_")
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_struct_flatten"] = q_struct_flatten
+CDC_ORACLES["cdc_struct_flatten"] = SQL_STRUCT_FLATTEN
+
+
+# ---------------------------------------------------------------------------
+# binary.handling.mode — BLOB payloads as bytes / hex / base64.
+# ---------------------------------------------------------------------------
+
+SQL_BINARY_MODE = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+       lower(hex(encode(text))) AS payload_hex,
+       to_base64(encode(text)) AS payload_b64,
+       octet_length(encode(text)) AS payload_len
+FROM changelog
+"""
+
+
+def q_binary_mode(sf_dir: str):
+    """binary.handling.mode parity (reference
+    Db2ConnectorConfig.BINARY_HANDLING_MODE, the inherited
+    RelationalDatabaseConnectorConfig option): a BLOB payload column
+    emitted under all three wire modes — raw bytes (here surfaced as the
+    byte length so the row stays hashable), lowercase hex, and padded
+    base64. Vectorized: polars binary-encode kernels, one pass per mode,
+    MAP-ONLY, no Python per-row loop."""
+    from debezium_connector_db2_ray.stages.envelope import binary_encode
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        txt = cl["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        env = pa.table({
+            "conv_id": cl["conv_id"],
+            "lsn": cl["commit_lsn_lo"].cast(pa.int64()),
+            "blob": txt.cast(pa.binary()),
+        })
+        env = binary_encode(env, column="blob", mode="hex",
+                            out_col="payload_hex")
+        env = binary_encode(env, column="blob", mode="base64",
+                            out_col="payload_b64")
+        env = env.append_column(
+            "payload_len", pc.binary_length(env["blob"]).cast(pa.int64())
+        )
+        return env.select(
+            ["conv_id", "lsn", "payload_hex", "payload_b64", "payload_len"]
+        )
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_binary_mode"] = q_binary_mode
+CDC_ORACLES["cdc_binary_mode"] = SQL_BINARY_MODE

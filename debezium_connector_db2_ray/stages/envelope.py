@@ -537,3 +537,188 @@ def partition_route(
         count=len(joined),
     )
     return env.append_column(out_col, pa.array(pid, pa.int64()))
+
+
+def cast_fields(env: pa.Table, *, spec: dict[str, str]) -> pa.Table:
+    """Cast SMT (Kafka Connect's public ``Cast$Value``, the stock transform
+    Debezium pipelines chain after the connector): re-type the listed
+    payload fields in place. Kafka Connect casts with Java semantics —
+    floating -> integer truncates toward zero (not banker's rounding), any
+    numeric -> boolean is ``value != 0``, boolean -> numeric is 1/0, and
+    anything -> string uses the canonical decimal rendering.
+
+    Map-only: one Arrow cast kernel per listed column per batch, NULLs
+    propagate, no exchange at any scale. Target names follow the Connect
+    config grammar: int8/int16/int32/int64/float32/float64/boolean/string.
+    """
+    import pyarrow.compute as pc
+
+    _TARGETS = {
+        "int8": pa.int8(), "int16": pa.int16(), "int32": pa.int32(),
+        "int64": pa.int64(), "float32": pa.float32(),
+        "float64": pa.float64(), "boolean": pa.bool_(),
+        "string": pa.string(),
+    }
+    out = env
+    for name, target in spec.items():
+        t = _TARGETS[target]
+        col = out[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        src = col.type
+        if pa.types.is_boolean(t):
+            cast = pc.not_equal(col, pa.scalar(0).cast(src)) if not (
+                pa.types.is_boolean(src)
+            ) else col
+        elif pa.types.is_integer(t) and pa.types.is_floating(src):
+            # Java (long)/(int) cast: truncation toward zero.
+            cast = pc.cast(pc.trunc(col), t, safe=False)
+        else:
+            cast = pc.cast(col, t, safe=False)
+        out = out.set_column(
+            out.column_names.index(name), name, cast
+        )
+    return out
+
+
+def replace_fields(
+    env: pa.Table,
+    *,
+    renames: dict[str, str] | None = None,
+    exclude: tuple[str, ...] = (),
+    include: tuple[str, ...] | None = None,
+) -> pa.Table:
+    """ReplaceField SMT (Kafka Connect's public ``ReplaceField$Value``):
+    drop the ``exclude`` fields, keep only ``include`` when given (include
+    wins over exclude, matching the Connect transform), and rename via the
+    ``renames`` map — all as a zero-copy column projection, no kernels."""
+    names = list(env.column_names)
+    if include is not None:
+        keep = [n for n in names if n in set(include)]
+    else:
+        drop = set(exclude)
+        keep = [n for n in names if n not in drop]
+    out = env.select(keep)
+    if renames:
+        out = out.rename_columns([renames.get(n, n) for n in keep])
+    return out
+
+
+def insert_fields(
+    env: pa.Table,
+    *,
+    static: dict[str, str] | None = None,
+    copies: dict[str, str] | None = None,
+) -> pa.Table:
+    """InsertField SMT (Kafka Connect's public ``InsertField$Value``):
+    append constant metadata fields (``static.field``/``static.value`` —
+    connector name, environment tags) and/or copies of record metadata
+    under new names (``copies`` maps new-name -> existing column, covering
+    the transform's topic/partition/timestamp passthroughs in columnar
+    form). Zero-copy for copies, one repeated scalar per static field."""
+    out = env
+    n = env.num_rows
+    for name, value in (static or {}).items():
+        out = out.append_column(
+            name, pa.array(np.full(n, value, dtype=object), pa.string())
+        )
+    for name, src in (copies or {}).items():
+        col = env[src]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = out.append_column(name, col)
+    return out
+
+
+def convert_timestamp(
+    env: pa.Table,
+    *,
+    column: str,
+    target: str,
+    fmt: str = "%Y-%m-%d %H:%M:%S",
+    out_col: str | None = None,
+) -> pa.Table:
+    """TimestampConverter SMT (Kafka Connect's public
+    ``TimestampConverter$Value``): re-represent a timestamp field as
+    ``unix`` (epoch milliseconds, the Connect ``Timestamp`` wire type —
+    microseconds truncate), ``string`` (SimpleDateFormat-style pattern,
+    here strftime), or ``timestamp_ms`` (typed timestamp at Connect's
+    millisecond precision, the ``time.precision.mode=connect`` shape from
+    the reference connector's temporal defaults). Map-only, one kernel."""
+    import pyarrow.compute as pc
+
+    col = env[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    name = out_col or column
+    if target == "unix":
+        conv = pc.floor_temporal(col, unit="millisecond").cast(
+            pa.timestamp("ms")
+        ).cast(pa.int64())
+    elif target == "string":
+        # SimpleDateFormat's %S is whole seconds; Arrow's %S renders the
+        # fractional part for sub-second units, so floor to seconds first.
+        conv = pc.strftime(
+            col.cast(pa.timestamp("s"), safe=False), format=fmt
+        )
+    elif target == "timestamp_ms":
+        conv = pc.floor_temporal(col, unit="millisecond").cast(
+            pa.timestamp("ms")
+        )
+    else:  # pragma: no cover - config error
+        raise ValueError(f"unknown TimestampConverter target {target!r}")
+    return env.append_column(name, conv)
+
+
+def flatten_struct(env: pa.Table, *, delimiter: str = ".") -> pa.Table:
+    """Flatten SMT (Kafka Connect's public ``Flatten$Value``): recursively
+    flatten struct fields into top-level columns named
+    ``parent<delimiter>child`` — the standard move before sinking a
+    Debezium envelope (source/before/after structs) to a flat columnar
+    store. Zero-copy: struct fields are reference slices in Arrow."""
+    cols: list[tuple[str, pa.Array]] = []
+
+    def walk(name: str, arr) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if pa.types.is_struct(arr.type):
+            for f in arr.type:
+                walk(f"{name}{delimiter}{f.name}", arr.field(f.name))
+        else:
+            cols.append((name, arr))
+
+    for n in env.column_names:
+        walk(n, env[n])
+    return pa.table(dict(cols))
+
+
+def binary_encode(
+    env: pa.Table,
+    *,
+    column: str,
+    mode: str,
+    out_col: str | None = None,
+) -> pa.Table:
+    """binary.handling.mode converter (reference
+    ``Db2ConnectorConfig.BINARY_HANDLING_MODE``,
+    io/debezium/connector/db2/Db2ConnectorConfig.java — inherited
+    RelationalDatabaseConnectorConfig semantics): BLOB payload columns are
+    emitted as raw ``bytes``, ``hex`` strings, or ``base64`` strings.
+    Vectorized via polars' binary encode kernels — one pass, no Python
+    per-row loop, map-only."""
+    import polars as pl
+
+    col = env[column]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if mode == "bytes":
+        return env.append_column(out_col or column, col)
+    if mode not in ("hex", "base64"):  # pragma: no cover - config error
+        raise ValueError(f"unknown binary.handling.mode {mode!r}")
+    s = pl.from_arrow(col)
+    if s.dtype == pl.Utf8:
+        s = s.cast(pl.Binary)
+    enc = s.bin.encode(mode)
+    return env.append_column(
+        out_col or column, enc.to_arrow().cast(pa.string())
+    )

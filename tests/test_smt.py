@@ -202,3 +202,108 @@ def test_partition_route_md5_and_nulls():
     )
     want2 = int(hashlib.md5("a\x1f1".encode()).hexdigest()[:15], 16) % 7
     assert multi["partition"].to_pylist()[0] == want2
+
+
+def test_cast_fields_java_semantics():
+    """Cast SMT: float->int truncates toward zero (Java cast), int->string
+    renders canonically, numeric->boolean is value != 0, NULLs propagate."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import cast_fields
+
+    env = pa.table({
+        "f": pa.array([1.9, -2.9, 0.0, None], pa.float64()),
+        "i": pa.array([7, -3, 0, None], pa.int64()),
+        "g": pa.array([2.5, 0.0, -0.1, None], pa.float64()),
+    })
+    out = cast_fields(
+        env, spec={"f": "int32", "i": "string", "g": "boolean"}
+    )
+    assert out["f"].to_pylist() == [1, -2, 0, None]
+    assert out["f"].type == pa.int32()
+    assert out["i"].to_pylist() == ["7", "-3", "0", None]
+    assert out["g"].to_pylist() == [True, False, True, None]
+
+
+def test_replace_and_insert_fields():
+    """ReplaceField include-wins/exclude/rename; InsertField static +
+    metadata copies append in order."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        insert_fields,
+        replace_fields,
+    )
+
+    env = pa.table({"a": [1], "b": [2], "c": [3]})
+    assert replace_fields(env, exclude=("b",)).column_names == ["a", "c"]
+    assert replace_fields(
+        env, include=("c", "a"), exclude=("a",)
+    ).column_names == ["a", "c"]
+    ren = replace_fields(env, renames={"a": "alpha"}, exclude=("c",))
+    assert ren.column_names == ["alpha", "b"]
+    ins = insert_fields(env, static={"tag": "x"}, copies={"b2": "b"})
+    assert ins.column_names == ["a", "b", "c", "tag", "b2"]
+    assert ins["tag"].to_pylist() == ["x"]
+    assert ins["b2"].to_pylist() == [2]
+
+
+def test_convert_timestamp_truncates_not_rounds():
+    """TimestampConverter: unix target truncates 999999us to the prior
+    millisecond (Connect Timestamp semantics); string target renders whole
+    seconds with no fractional tail; NULLs propagate through all targets."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import convert_timestamp
+
+    env = pa.table({
+        "ts": pa.array(
+            [1_700_000_001_999_999, 1_700_000_000_000_001, None],
+            pa.timestamp("us"),
+        ),
+    })
+    u = convert_timestamp(env, column="ts", target="unix", out_col="ms")
+    assert u["ms"].to_pylist() == [1_700_000_001_999, 1_700_000_000_000,
+                                   None]
+    s = convert_timestamp(env, column="ts", target="string", out_col="st")
+    assert s["st"].to_pylist()[0] == "2023-11-14 22:13:21"
+    assert "." not in s["st"].to_pylist()[0]
+    assert s["st"].to_pylist()[2] is None
+    t = convert_timestamp(
+        env, column="ts", target="timestamp_ms", out_col="t3"
+    )
+    assert t["t3"].type == pa.timestamp("ms")
+
+
+def test_flatten_struct_recursive_zero_copy():
+    """Flatten SMT: nested structs flatten depth-first with the delimiter;
+    non-struct columns pass through unchanged."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import flatten_struct
+
+    inner = pa.struct([("z", pa.string())])
+    s = pa.array(
+        [{"x": 1, "y": {"z": "q"}}, {"x": 2, "y": {"z": None}}],
+        pa.struct([("x", pa.int64()), ("y", inner)]),
+    )
+    env = pa.table({"op": pa.array(["c", "u"]), "s": s})
+    out = flatten_struct(env, delimiter="_")
+    assert out.column_names == ["op", "s_x", "s_y_z"]
+    assert out["s_y_z"].to_pylist() == ["q", None]
+
+
+def test_binary_encode_modes():
+    """binary.handling.mode: hex is lowercase, base64 is padded standard
+    alphabet, bytes passes through, NULLs propagate."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import binary_encode
+
+    env = pa.table({"b": pa.array([b"\x00\xff", b"x", None], pa.binary())})
+    h = binary_encode(env, column="b", mode="hex", out_col="h")
+    assert h["h"].to_pylist() == ["00ff", "78", None]
+    b64 = binary_encode(env, column="b", mode="base64", out_col="e")
+    assert b64["e"].to_pylist() == ["AP8=", "eA==", None]
+    raw = binary_encode(env, column="b", mode="bytes", out_col="r")
+    assert raw["r"].to_pylist() == [b"\x00\xff", b"x", None]
