@@ -9049,3 +9049,306 @@ def q_mixture_downsample(sf_dir: str):
 
 DATA_QUERIES["docs_mixture_downsample"] = q_mixture_downsample
 DATA_ORACLES["docs_mixture_downsample"] = SQL_MIXTURE
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users by day — the "audience growth" running total.
+# ---------------------------------------------------------------------------
+
+SQL_CUMULATIVE_USERS = """
+WITH fd AS (
+  SELECT user_id,
+         min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+           AS first_day
+  FROM events GROUP BY user_id
+), daily AS (
+  SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM fd GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+def q_cumulative_users(sf_dir: str):
+    """COUNT(DISTINCT user) OVER (ORDER BY day) — the cumulative-distinct
+    running total, distributed without ever shipping (day, user) pairs:
+    a user contributes exactly at its FIRST day, so the op is per-batch
+    min-day-per-user combiner -> one user_id exchange folding exact first
+    days -> per-day new-user counts (combiner again, day domain is
+    calendar-bounded) -> ONE single-partition ordered cumsum over the
+    tiny per-day table (rows = distinct active days at any corpus
+    size). The full distinct state never exists anywhere; the big
+    exchange carries at most one row per user."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    fd_schema = pa.schema([
+        ("user_id", pa.int64()), ("first_day", pa.int64()),
+    ])
+
+    def pre(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return fd_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "first_day": pa.array(day, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("first_day", "min")])
+        return pa.table({
+            "user_id": g["user_id"], "first_day": g["first_day_min"],
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    fd = grouped_aggregate(
+        events.map_batches(pre, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"first_day": ("first_day", "min")},
+        schema=fd_schema,
+    )
+
+    daily_schema = pa.schema([("day", pa.int64()),
+                              ("new_users", pa.int64())])
+
+    def per_day(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return daily_schema.empty_table()
+        g = pa.table({
+            "day": t["first_day"],
+            "new_users": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["day"]).aggregate([("new_users", "sum")])
+        return pa.table({
+            "day": g["day"], "new_users": g["new_users_sum"],
+        })
+
+    daily = grouped_aggregate(
+        fd.map_batches(per_day, batch_format="pyarrow"),
+        keys=["day"], aggs={"new_users": ("new_users", "sum")},
+        num_partitions=2, schema=daily_schema,
+    ).map_batches(
+        lambda t: t.append_column(
+            "k", pa.array(np.zeros(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    out_schema = pa.schema([
+        ("day", pa.int64()), ("new_users", pa.int64()),
+        ("cum_users", pa.int64()),
+    ])
+
+    def cumsum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        t = t.sort_by([("day", "ascending")])
+        nu = t["new_users"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": t["day"], "new_users": t["new_users"],
+            "cum_users": pa.array(np.cumsum(nu), pa.int64()),
+        })
+
+    return _window_exchange(
+        daily, keys=["k"], cols=["k", "day", "new_users"],
+        num_partitions=1, kernel=cumsum, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["events_cumulative_users"] = q_cumulative_users
+DATA_ORACLES["events_cumulative_users"] = SQL_CUMULATIVE_USERS
+
+
+# ---------------------------------------------------------------------------
+# Per-group z-score outliers from exact integer partials.
+# ---------------------------------------------------------------------------
+
+SQL_ZSCORE_OUTLIERS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), p AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(cents) AS DOUBLE) AS sd,
+         CAST(sum(cents * cents) AS DOUBLE) AS ssqd
+  FROM c GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN p USING (event_type)
+WHERE (nd * CAST(cents AS DOUBLE) - sd) * (nd * CAST(cents AS DOUBLE) - sd)
+      > 9.0 * (nd * ssqd - sd * sd)
+"""
+
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-group |z| > 3 outlier filter with NO exchange of the data:
+    event values fold to exact int64 (n, sum, sum-of-squares) partials per
+    event_type inside map_batches (group domain = the type vocabulary, a
+    few rows), the tiny partial table broadcasts once, and a second
+    map-only pass keeps rows where (n*x - s)^2 > 9*(n*ssq - s^2) — the
+    z-score test cleared of divisions so both sides evaluate the SAME
+    IEEE-double expression (partials are exact integers first; products
+    are formed in doubles in identical order, so the compare is
+    bit-identical vs the SQL). Overflow bound: ssq stays int64-exact up to
+    ~9e8 rows/group at this value range; beyond that the partial fold
+    pairs (hi, lo) int64 limbs — the filter itself never changes shape."""
+    import ray
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("n", pa.int64()),
+        ("s", pa.int64()), ("ssq", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(len(cents), np.int64)),
+            "s": pa.array(cents, pa.int64()),
+            "ssq": pa.array(cents * cents, pa.int64()),
+        })
+        g = t.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ssq", "sum")]
+        )
+        return pa.table({
+            "event_type": g["event_type"], "n": g["n_sum"],
+            "s": g["s_sum"], "ssq": g["ssq_sum"],
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    parts = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type"],
+        aggs={"n": ("n", "sum"), "s": ("s", "sum"),
+              "ssq": ("ssq", "sum")},
+        num_partitions=2, schema=part_schema,
+    ).to_pandas()  # vocabulary-sized: one row per event type
+    lut = {
+        r.event_type: (float(r.n), float(r.s), float(r.ssq))
+        for r in parts.itertuples()
+    }
+    lut_ref = ray.put(lut)
+
+    def keep_outliers(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref) if isinstance(
+            lut_ref, ray.ObjectRef
+        ) else lut_ref
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        enc = pc.dictionary_encode(
+            batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray)
+            else batch["event_type"]
+        )
+        dic = enc.dictionary.to_pylist()
+        nd = np.array([table[d][0] for d in dic])
+        sd = np.array([table[d][1] for d in dic])
+        ssqd = np.array([table[d][2] for d in dic])
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        x = cents.astype(np.float64)
+        lhs = (nd[idx] * x - sd[idx]) ** 2
+        rhs = 9.0 * (nd[idx] * ssqd[idx] - sd[idx] * sd[idx])
+        keep = lhs > rhs
+        out = pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return out.filter(pa.array(keep))
+
+    return events.map_batches(keep_outliers, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_zscore_outliers"] = q_zscore_outliers
+DATA_ORACLES["events_zscore_outliers"] = SQL_ZSCORE_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window DISTINCT users — 24h windows advancing every 6h.
+# ---------------------------------------------------------------------------
+
+SQL_SLIDING_DISTINCT = """
+WITH pts AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+), wins AS (
+  SELECT user_id,
+         (t // 21600000000) * 21600000000 - i * 21600000000 AS w_start
+  FROM pts CROSS JOIN range(0, 4) r(i)
+)
+SELECT w_start, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM wins GROUP BY w_start
+"""
+
+
+def q_sliding_distinct(sf_dir: str):
+    """Sliding-window COUNT DISTINCT (24h windows, 6h hop): each event
+    names its width/hop = 4 covering window starts vectorized, the
+    (window, user) pairs dedup inside the batch FIRST (a user active all
+    day collapses before anything ships), then grouped_count_distinct's
+    two stacked combiner exchanges finish exactly — the shipped volume is
+    bounded by distinct (window, user) pairs per batch, never raw events,
+    and no per-window user set is ever materialized on one node."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_count_distinct,
+    )
+
+    HOP = 21_600_000_000  # 6h in us
+    K = 4  # width / hop
+
+    pair_schema = pa.schema([
+        ("w_start", pa.int64()), ("user_id", pa.int64()),
+    ])
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        t = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        base = (t // HOP) * HOP
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate([base - i * HOP for i in range(K)])
+        users = np.tile(u, K)
+        pairs = np.unique(
+            np.stack([starts, users], axis=1), axis=0
+        )
+        return pa.table({
+            "w_start": pa.array(pairs[:, 0], pa.int64()),
+            "user_id": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return grouped_count_distinct(
+        events.map_batches(fanout, batch_format="pyarrow"),
+        keys=["w_start"], col="user_id", out_col="n_users",
+    )
+
+
+DATA_QUERIES["stream_sliding_distinct"] = q_sliding_distinct
+DATA_ORACLES["stream_sliding_distinct"] = SQL_SLIDING_DISTINCT

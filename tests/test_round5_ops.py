@@ -1319,3 +1319,94 @@ def test_mixture_downsample_quota_and_order(ray_session, tmp_path):
     assert got == sorted(
         [("a", i) for i in a_keep] + [("b", 3), ("c", 4)]
     )
+
+
+def test_cumulative_users_first_touch_only(ray_session):
+    """A user active on many days contributes once, at its first day;
+    the running total is over per-day NEW users."""
+    import ray.data as rd
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    # reuse the gate pipeline over the fixture, check invariants
+    out = q.q_cumulative_users(SF).to_pandas().sort_values("day")
+    assert (out["new_users"] > 0).all()
+    assert (out["cum_users"].diff().dropna() == out["new_users"][1:]
+            .to_numpy()).all()
+    import duckdb
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert out["cum_users"].iloc[-1] == n_users
+
+
+def test_zscore_outliers_matches_manual(ray_session):
+    """The broadcast-partials z filter keeps exactly the rows a direct
+    NumPy z-score computation keeps."""
+    import duckdb
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    got = q.q_zscore_outliers(SF).to_pandas()
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchdf()
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = set()
+    for et in ev["event_type"].unique():
+        m = (ev["event_type"] == et).to_numpy()
+        x = cents[m].astype(np.float64)
+        n, s, ssq = float(m.sum()), float(cents[m].sum()), float(
+            (cents[m] * cents[m]).sum()
+        )
+        keep = (n * x - s) ** 2 > 9.0 * (n * ssq - s * s)
+        want |= set(ev["event_id"].to_numpy()[m][keep].tolist())
+    assert set(got["event_id"].tolist()) == want
+    assert len(want) > 0  # the fixture actually has tails
+
+
+def test_sliding_distinct_window_membership(ray_session):
+    """Every event lands in exactly width/hop = 4 windows and a user seen
+    twice inside one window counts once."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_count_distinct,
+    )
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    HOP = 21_600_000_000
+    ts = pa.array(
+        [1_000 * HOP + 5, 1_000 * HOP + 7, 1_003 * HOP + 1],
+        pa.timestamp("us"),
+    )
+    t = pa.table({
+        "user_id": pa.array([42, 42, 42], pa.int64()), "ts": ts,
+    })
+    import tempfile, os
+    import pyarrow.parquet as pq_
+
+    with tempfile.TemporaryDirectory() as d:
+        pq_.write_table(
+            pa.table({
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": ts,
+                "user_id": t["user_id"],
+                "event_type": pa.array(["a"] * 3),
+                "value": pa.array([1.0] * 3),
+                "props": pa.array(["x"] * 3),
+            }),
+            os.path.join(d, "events.parquet"),
+        )
+        out = q.q_sliding_distinct(d).to_pandas()
+    # event pair at 1000*HOP shares 4 windows; third event at 1003*HOP
+    # shares window 1000*HOP (within 24h) and adds 3 of its own.
+    got = dict(zip(out["w_start"], out["n_users"]))
+    assert len(got) == 7
+    assert all(v == 1 for v in got.values())
+    assert set(got) == {(1_000 - i) * HOP for i in range(4)} | {
+        (1_003 - i) * HOP for i in range(3)
+    }
