@@ -9352,3 +9352,133 @@ def q_sliding_distinct(sf_dir: str):
 
 DATA_QUERIES["stream_sliding_distinct"] = q_sliding_distinct
 DATA_ORACLES["stream_sliding_distinct"] = SQL_SLIDING_DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# Robust per-group outliers: |x - median| > 3 * MAD, all integer-exact.
+# ---------------------------------------------------------------------------
+
+SQL_MAD_OUTLIERS = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_type, quantile_disc(cents, 0.5) AS med
+  FROM c GROUP BY event_type
+), a AS (
+  SELECT c.event_id, c.event_type, c.cents, m.med,
+         abs(c.cents - m.med) AS adev
+  FROM c JOIN m USING (event_type)
+), d AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad
+  FROM a GROUP BY event_type
+)
+SELECT a.event_id, a.event_type, a.cents
+FROM a JOIN d USING (event_type)
+WHERE abs(a.cents - a.med) > 3 * d.mad
+"""
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier filter — |x - median| > 3·MAD, the
+    estimator heavy tails can't drag the way they drag a z-score. Medians
+    are ELEMENTS (quantile_disc), so everything is integer-exact, and the
+    group domain (event types) is vocabulary-sized while the value domain
+    (cents) is quantization-bounded — so the op needs NO row exchange at
+    all: ONE map pass folds a per-batch (type, cents) count histogram
+    (combiner output bounded by types × distinct cents, independent of row
+    count), one tiny keyed fold merges the partials, and BOTH the median
+    and the MAD fall out of the same histogram driver-side (the |x - med|
+    distribution is a re-bucketing of the value histogram — the second
+    data pass a naive median-of-deviations needs just disappears). The
+    broadcast LUT then filters map-side on pure int64 compares. Shape:
+    2 streaming passes, zero shuffles, state = the histogram."""
+    import ray
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    hist_schema = pa.schema([
+        ("event_type", pa.string()), ("cents", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "cents": pa.array(
+                np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+            ),
+        })
+
+    def cents_ds():
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        ).map_batches(to_cents, batch_format="pyarrow")
+
+    def partial_hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return hist_schema.empty_table()
+        g = pa.table({
+            "event_type": batch["event_type"],
+            "cents": batch["cents"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        }).group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+        return pa.table({
+            "event_type": g["event_type"], "cents": g["cents"],
+            "n": g["n_sum"],
+        })
+
+    hist = grouped_aggregate(
+        cents_ds().map_batches(partial_hist, batch_format="pyarrow"),
+        keys=["event_type", "cents"], aggs={"n": ("n", "sum")},
+        num_partitions=2, schema=hist_schema,
+    ).to_pandas()  # bounded by types x distinct quantized values
+
+    def qdisc_from_hist(vals: np.ndarray, cnts: np.ndarray) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], cnts[order]
+        cum = np.cumsum(c)
+        rank = int(np.ceil(0.5 * cum[-1]))  # 1-based ceil(q*m)
+        return int(v[np.searchsorted(cum, rank)])
+
+    lut: dict[str, tuple[int, int]] = {}
+    for et, sub in hist.groupby("event_type"):
+        vals = sub["cents"].to_numpy(np.int64)
+        cnts = sub["n"].to_numpy(np.int64)
+        med = qdisc_from_hist(vals, cnts)
+        # the deviation histogram is a re-bucketing of the value histogram
+        adev = np.abs(vals - med)
+        mad = qdisc_from_hist(adev, cnts)
+        lut[et] = (med, mad)
+    lut_ref = ray.put(lut)
+
+    def keep_outliers(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref) if isinstance(
+            lut_ref, ray.ObjectRef
+        ) else lut_ref
+        enc = pc.dictionary_encode(
+            batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray)
+            else batch["event_type"]
+        )
+        dic = enc.dictionary.to_pylist()
+        meds = np.array([table[d][0] for d in dic], np.int64)
+        mads = np.array([table[d][1] for d in dic], np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        keep = np.abs(cents - meds[idx]) > 3 * mads[idx]
+        return batch.filter(pa.array(keep))
+
+    return cents_ds().map_batches(keep_outliers, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_mad_outliers"] = q_mad_outliers
+DATA_ORACLES["events_mad_outliers"] = SQL_MAD_OUTLIERS

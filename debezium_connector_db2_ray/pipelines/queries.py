@@ -2227,3 +2227,69 @@ def q_binary_mode(sf_dir: str):
 
 CDC_QUERIES["cdc_binary_mode"] = q_binary_mode
 CDC_ORACLES["cdc_binary_mode"] = SQL_BINARY_MODE
+
+
+# ---------------------------------------------------------------------------
+# event.processing.failure.handling.mode — poison events skipped, counted.
+# ---------------------------------------------------------------------------
+
+SQL_FAILURE_MODE = f"""
+WITH {SQL_CHANGELOG.strip()},
+poisoned AS (
+  SELECT CASE WHEN lsn % 89 = 0 THEN NULL ELSE conv_id END AS conv_id,
+         turn_idx,
+         CAST(lsn AS BIGINT) AS lsn,
+         CASE WHEN lsn % 97 = 0 THEN 9 ELSE op END AS op
+  FROM changelog
+)
+SELECT conv_id, turn_idx, lsn, op FROM poisoned
+WHERE op IN (1, 2, 5) AND conv_id IS NOT NULL
+"""
+
+
+def q_failure_mode(sf_dir: str):
+    """event.processing.failure.handling.mode parity (reference
+    CommonConnectorConfig, default `fail`): the stream is poisoned on two
+    deterministic schedules — unknown opcode 9 every 97th LSN, NULL key
+    every 89th — and processed under `skip`, which drops exactly the
+    malformed rows and keeps counting. `fail` raising on the first poison
+    event and `warn` returning the per-batch drop count are pinned by
+    pytest; the gate row proves the skip filter's NULL-safe mask against
+    SQL. MAP-ONLY — one vectorized validity mask per batch."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        handle_event_errors,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        ev = cl["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        conv = cl["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        op = cl["op"].to_numpy(zero_copy_only=False)
+        env = pa.table({
+            "conv_id": pc.if_else(
+                pa.array(ev % 89 == 0), pa.scalar(None, pa.string()), conv
+            ),
+            "turn_idx": cl["turn_idx"],
+            "lsn": pa.array(ev, pa.int64()),
+            "op": pa.array(
+                np.where(ev % 97 == 0, np.int8(9), op), pa.int8()
+            ),
+        })
+        kept, _n_bad = handle_event_errors(
+            env, mode="skip", valid_ops=(1, 2, 5),
+            key_columns=("conv_id",),
+        )
+        return kept.set_column(
+            kept.column_names.index("op"), "op",
+            kept["op"].cast(pa.int32()),
+        )
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_failure_mode"] = q_failure_mode
+CDC_ORACLES["cdc_failure_mode"] = SQL_FAILURE_MODE

@@ -722,3 +722,42 @@ def binary_encode(
     return env.append_column(
         out_col or column, enc.to_arrow().cast(pa.string())
     )
+
+
+def handle_event_errors(
+    env: pa.Table,
+    *,
+    mode: str,
+    valid_ops: tuple[int, ...],
+    key_columns: tuple[str, ...],
+    op_col: str = "op",
+) -> tuple[pa.Table, int]:
+    """event.processing.failure.handling.mode (reference
+    CommonConnectorConfig semantics inherited by Db2ConnectorConfig): a
+    change event is malformed when its opcode is outside the known set or
+    any key column is NULL. ``fail`` raises on the first malformed event
+    (the reference's default — the task stops and the offset never
+    advances past the poison event); ``warn`` and ``skip`` drop malformed
+    rows and return how many were dropped (warn is skip + the caller
+    logging the count). Vectorized: one mask per batch, map-only."""
+    import pyarrow.compute as pc
+
+    ops = env[op_col]
+    ok = pc.is_in(
+        ops, value_set=pa.array(list(valid_ops), ops.type
+                                if not isinstance(ops, pa.ChunkedArray)
+                                else ops.combine_chunks().type)
+    )
+    for k in key_columns:
+        ok = pc.and_(ok, pc.is_valid(env[k]))
+    n_bad = env.num_rows - pc.sum(ok).as_py()
+    if n_bad and mode == "fail":
+        first = pc.index(ok, False).as_py()
+        raise ValueError(
+            f"malformed change event at batch row {first} "
+            f"({n_bad} malformed in batch); "
+            "event.processing.failure.handling.mode=fail"
+        )
+    if mode not in ("fail", "warn", "skip"):  # pragma: no cover
+        raise ValueError(f"unknown failure handling mode {mode!r}")
+    return env.filter(ok), int(n_bad)

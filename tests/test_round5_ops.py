@@ -1410,3 +1410,31 @@ def test_sliding_distinct_window_membership(ray_session):
     assert set(got) == {(1_000 - i) * HOP for i in range(4)} | {
         (1_003 - i) * HOP for i in range(3)
     }
+
+
+def test_mad_outliers_matches_manual(ray_session):
+    """The two-pass median/MAD broadcast filter keeps exactly the rows a
+    direct NumPy computation with quantile_disc semantics keeps."""
+    import duckdb
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    got = q.q_mad_outliers(SF).to_pandas()
+    ev = duckdb.sql(
+        f"SELECT event_id, event_type, value FROM "
+        f"read_parquet('{SF}/events.parquet')"
+    ).fetchdf()
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+
+    def qdisc(a):
+        a = np.sort(a)
+        return a[int(np.ceil(0.5 * len(a))) - 1]
+
+    want = set()
+    for et in ev["event_type"].unique():
+        m = (ev["event_type"] == et).to_numpy()
+        med = qdisc(cents[m])
+        mad = qdisc(np.abs(cents[m] - med))
+        keep = np.abs(cents[m] - med) > 3 * mad
+        want |= set(ev["event_id"].to_numpy()[m][keep].tolist())
+    assert set(got["event_id"].tolist()) == want and len(want) > 0

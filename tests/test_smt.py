@@ -307,3 +307,41 @@ def test_binary_encode_modes():
     assert b64["e"].to_pylist() == ["AP8=", "eA==", None]
     raw = binary_encode(env, column="b", mode="bytes", out_col="r")
     assert raw["r"].to_pylist() == [b"\x00\xff", b"x", None]
+
+
+def test_handle_event_errors_modes():
+    """fail raises on the first poison event; warn/skip drop and count;
+    NULL keys are malformed; a clean batch is untouched under fail."""
+    import pyarrow as pa
+    import pytest
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        handle_event_errors,
+    )
+
+    env = pa.table({
+        "op": pa.array([1, 9, 2, 5], pa.int8()),
+        "conv_id": pa.array(["a", "b", None, "d"]),
+    })
+    kept, n_bad = handle_event_errors(
+        env, mode="skip", valid_ops=(1, 2, 5), key_columns=("conv_id",)
+    )
+    assert n_bad == 2
+    assert kept["conv_id"].to_pylist() == ["a", "d"]
+    kept_w, n_w = handle_event_errors(
+        env, mode="warn", valid_ops=(1, 2, 5), key_columns=("conv_id",)
+    )
+    assert n_w == 2 and kept_w.num_rows == 2
+    with pytest.raises(ValueError, match="malformed change event"):
+        handle_event_errors(
+            env, mode="fail", valid_ops=(1, 2, 5),
+            key_columns=("conv_id",),
+        )
+    clean = pa.table({
+        "op": pa.array([1, 2], pa.int8()),
+        "conv_id": pa.array(["a", "b"]),
+    })
+    ok, zero = handle_event_errors(
+        clean, mode="fail", valid_ops=(1, 2, 5), key_columns=("conv_id",)
+    )
+    assert zero == 0 and ok.num_rows == 2
