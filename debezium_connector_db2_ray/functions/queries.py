@@ -9482,3 +9482,158 @@ def q_mad_outliers(sf_dir: str):
 
 DATA_QUERIES["events_mad_outliers"] = q_mad_outliers
 DATA_ORACLES["events_mad_outliers"] = SQL_MAD_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# Type-affinity (co-occurrence) matrix: Jaccard between event-type audiences.
+# ---------------------------------------------------------------------------
+
+SQL_TYPE_AFFINITY = """
+WITH pt AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pt GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM pt a JOIN pt b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, inter,
+       sa.n + sb.n - inter AS uni,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE)
+         AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+def q_type_affinity(sf_dir: str):
+    """Audience-affinity matrix — exact Jaccard between every pair of
+    event types' user sets — WITHOUT the quadratic self-join SQL writes:
+    each user folds to one BITMASK of the types it touched (per-batch OR
+    combiner, then one user-keyed exchange whose partition kernel
+    OR-reduces segments via np.bitwise_or.reduceat), masks fold to a
+    2^|vocabulary|-bounded count histogram, and every pairwise
+    intersection/union/size reads off the mask counts driver-side in
+    closed form. The self-join's |pairs| x |types|² intermediate never
+    exists; shipped volume is bounded by distinct (user, partial-mask)
+    rows per batch. Integer-exact; the single jaccard division is the
+    same one IEEE division as the oracle's."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    # pass 0: the type vocabulary (tiny), pruned read of one column
+    vocab_schema = pa.schema([("event_type", pa.string()),
+                              ("n", pa.int64())])
+
+    def v_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return vocab_schema.empty_table()
+        g = pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        }).group_by(["event_type"]).aggregate([("n", "sum")])
+        return pa.table({"event_type": g["event_type"], "n": g["n_sum"]})
+
+    vocab = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type"]
+        ).map_batches(v_partial, batch_format="pyarrow"),
+        keys=["event_type"], aggs={"n": ("n", "sum")},
+        num_partitions=2, schema=vocab_schema,
+    ).to_pandas()
+    types = sorted(vocab["event_type"].tolist())
+    bit = {t: 1 << i for i, t in enumerate(types)}
+
+    mask_schema = pa.schema([("user_id", pa.int64()),
+                             ("mask", pa.int64())])
+
+    def partial_mask(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return mask_schema.empty_table()
+        enc = pc.dictionary_encode(
+            batch["event_type"].combine_chunks()
+            if isinstance(batch["event_type"], pa.ChunkedArray)
+            else batch["event_type"]
+        )
+        bits = np.array([bit[d] for d in enc.dictionary.to_pylist()],
+                        np.int64)
+        m = bits[enc.indices.to_numpy(zero_copy_only=False)]
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "mask": pa.array(m, pa.int64()),
+        })
+        # per-batch OR-combine (sort + reduceat: Arrow group_by has no OR)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ms = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ors = np.bitwise_or.reduceat(ms, starts)
+        return pa.table({
+            "user_id": pa.array(us[starts], pa.int64()),
+            "mask": pa.array(ors, pa.int64()),
+        })
+
+    hist_schema = pa.schema([("mask", pa.int64()), ("cnt", pa.int64())])
+
+    def or_fold_and_hist(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return hist_schema.empty_table()
+        u = part["user_id"].to_numpy(zero_copy_only=False)
+        m = part["mask"].to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        us, ms = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ors = np.bitwise_or.reduceat(ms, starts)
+        masks, cnts = np.unique(ors, return_counts=True)
+        return pa.table({
+            "mask": pa.array(masks, pa.int64()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    hist = grouped_aggregate(
+        _window_exchange(
+            events.map_batches(partial_mask, batch_format="pyarrow"),
+            keys=["user_id"], cols=["user_id", "mask"],
+            num_partitions=None, kernel=or_fold_and_hist,
+            out_schema=hist_schema,
+        ),
+        keys=["mask"], aggs={"cnt": ("cnt", "sum")},
+        num_partitions=2, schema=hist_schema,
+    ).to_pandas()  # <= 2^|types| rows
+
+    masks = hist["mask"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    rows = []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            tb = types[j]
+            ba, bb = bit[ta], bit[tb]
+            inter = int(cnts[(masks & ba > 0) & (masks & bb > 0)].sum())
+            if inter == 0:
+                continue
+            na = int(cnts[masks & ba > 0].sum())
+            nb = int(cnts[masks & bb > 0].sum())
+            uni = na + nb - inter
+            rows.append((ta, tb, inter, uni, float(inter) / float(uni)))
+    return pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "inter": pa.array([r[2] for r in rows], pa.int64()),
+        "uni": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+DATA_QUERIES["events_type_affinity"] = q_type_affinity
+DATA_ORACLES["events_type_affinity"] = SQL_TYPE_AFFINITY

@@ -1438,3 +1438,38 @@ def test_mad_outliers_matches_manual(ray_session):
         keep = np.abs(cents[m] - med) > 3 * mad
         want |= set(ev["event_id"].to_numpy()[m][keep].tolist())
     assert set(got["event_id"].tolist()) == want and len(want) > 0
+
+
+def test_type_affinity_closed_form(ray_session):
+    """Bitmask-histogram affinity equals the quadratic self-join: inter /
+    union per type pair, zero-intersection pairs omitted, users counted
+    once no matter how many events."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000] * 7, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+        "event_type": pa.array(
+            ["a", "a", "b", "a", "c", "b", "d"]  # d shares no users
+        ),
+        "value": pa.array([1.0] * 7),
+        "props": pa.array(["x"] * 7),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq_.write_table(t, os.path.join(d, "events.parquet"))
+        out = q.q_type_affinity(d).to_pandas()
+    got = {
+        (r.type_a, r.type_b): (r.inter, r.uni)
+        for r in out.itertuples()
+    }
+    # audiences: a={1,2}, b={1,3}, c={2}, d={4}
+    assert got == {("a", "b"): (1, 3), ("a", "c"): (1, 2)}
+    assert out[(out.type_a == "a") & (out.type_b == "b")][
+        "jaccard"
+    ].iloc[0] == 1.0 / 3.0
