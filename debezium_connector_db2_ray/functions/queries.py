@@ -9637,3 +9637,82 @@ def q_type_affinity(sf_dir: str):
 
 DATA_QUERIES["events_type_affinity"] = q_type_affinity
 DATA_ORACLES["events_type_affinity"] = SQL_TYPE_AFFINITY
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ADC probe: top-k by asymmetric distance over the PQ-coded corpus.
+# ---------------------------------------------------------------------------
+
+SQL_IVFPQ_ADC = f"""
+WITH ev AS (
+  SELECT vec_id,
+         CAST(floor(unnest(embedding) * 1000 + 0.5) AS BIGINT) AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cb AS (
+  SELECT s.s, c.c, d.d,
+         ((1103515245 * (s.s * 100000 + c.c * 1000 + d.d) + 12345)
+          % 2001) - 1000 AS cv
+  FROM range({PQ_M}) s(s), range({PQ_K}) c(c), range({PQ_SUB}) d(d)
+), dist AS (
+  SELECT ev.vec_id, cb.s, cb.c,
+         sum((ev.v - cb.cv) * (ev.v - cb.cv)) AS d2
+  FROM ev JOIN cb ON cb.s = (ev.i - 1) // {PQ_SUB}
+                 AND cb.d = (ev.i - 1) % {PQ_SUB}
+  GROUP BY ev.vec_id, cb.s, cb.c
+), best AS (
+  SELECT vec_id, s, c,
+         row_number() OVER (
+           PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+  FROM dist
+), codes AS (
+  SELECT vec_id, s, c FROM best WHERE rn = 1
+), lut AS (
+  SELECT ev.vec_id AS query_id, cb.s, cb.c,
+         sum((ev.v - cb.cv) * (ev.v - cb.cv)) AS d2
+  FROM ev JOIN cb ON cb.s = (ev.i - 1) // {PQ_SUB}
+                 AND cb.d = (ev.i - 1) % {PQ_SUB}
+  WHERE ev.vec_id < {ANN_NQ}
+  GROUP BY ev.vec_id, cb.s, cb.c
+), adc AS (
+  SELECT l.query_id, codes.vec_id,
+         CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM codes JOIN lut l ON l.s = codes.s AND l.c = codes.c
+  GROUP BY l.query_id, codes.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_d2
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_ivfpq_adc(sf_dir: str):
+    """IVF-PQ's query path — ADC (asymmetric distance) top-k over the
+    PQ-coded corpus: pq_encode compresses every vector to {PQ_M} int
+    codes (map-only, deterministic codebook), each query precomputes one
+    integer LUT against the codebook, and the scan is table-lookups +
+    adds over codes — never touching raw embeddings. Everything is
+    integer-exact, so the oracle mirrors codes, LUTs, ADC sums and the
+    (d2, vec_id) tie order bit for bit; composing the existing IVF list
+    prefilter in front (probe n_probe lists, then ADC within) is a
+    one-line filter — this row pins the distance arithmetic itself."""
+    from debezium_connector_db2_ray.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        sqlparity_codebook,
+    )
+
+    codes = pq_encode(_emb(sf_dir), dim=64, m_sub=PQ_M, k=PQ_K)
+    return pq_adc_topk(
+        codes, _query_matrix(sf_dir),
+        codebook=sqlparity_codebook(PQ_M, PQ_K, PQ_SUB),
+        m_sub=PQ_M, sub_dim=PQ_SUB, k=ANN_K,
+    )
+
+
+DATA_QUERIES["ann_ivfpq_adc"] = q_ann_ivfpq_adc
+DATA_ORACLES["ann_ivfpq_adc"] = SQL_IVFPQ_ADC

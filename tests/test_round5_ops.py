@@ -1473,3 +1473,55 @@ def test_type_affinity_closed_form(ray_session):
     assert out[(out.type_a == "a") & (out.type_b == "b")][
         "jaccard"
     ].iloc[0] == 1.0 / 3.0
+
+
+def test_pq_adc_matches_manual(ray_session):
+    """ADC distances equal the manual LUT-sum over PQ codes, ranks order
+    by (d2, vec_id) with deterministic ties."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        sqlparity_codebook,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, m_sub, kc, sub = 8, 2, 4, 4
+    vecs = rng.rand(6, dim) * 2 - 1
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(
+            [list(map(float, v)) for v in vecs],
+            pa.list_(pa.float32()),
+        ),
+    }))
+    cb = sqlparity_codebook(m_sub, kc, sub)
+    codes_tbl = pq_encode(
+        emb, dim=dim, m_sub=m_sub, k=kc, codebook=cb
+    ).to_pandas().sort_values("vec_id")
+    queries = {"qids": np.array([0, 1]), "matrix": vecs[:2]}
+    out = pq_adc_topk(
+        rd.from_arrow(pa.Table.from_pandas(codes_tbl)), queries,
+        codebook=cb, m_sub=m_sub, sub_dim=sub, k=3,
+    ).to_pandas()
+
+    # manual: float32-read vectors quantize identically via the same path
+    vq = np.stack([
+        np.floor(np.asarray(v, np.float64) * 1000 + 0.5)
+        for v in emb.to_pandas()["embedding"]
+    ]).astype(np.int64)
+    for qx, qid in enumerate([0, 1]):
+        lut = np.empty((m_sub, kc), np.int64)
+        for s in range(m_sub):
+            diff = vq[qid, s * sub:(s + 1) * sub][None, :] - cb[s]
+            lut[s] = (diff * diff).sum(axis=1)
+        codes = codes_tbl[["c0", "c1"]].to_numpy()
+        d2 = lut[0][codes[:, 0]] + lut[1][codes[:, 1]]
+        order = np.lexsort((codes_tbl["vec_id"].to_numpy(), d2))[:3]
+        want = codes_tbl["vec_id"].to_numpy()[order].tolist()
+        got = out[out.query_id == qid].sort_values("rank")[
+            "vec_id"
+        ].tolist()
+        assert got == want
