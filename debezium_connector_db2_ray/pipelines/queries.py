@@ -2293,3 +2293,96 @@ def q_failure_mode(sf_dir: str):
 
 CDC_QUERIES["cdc_failure_mode"] = q_failure_mode
 CDC_ORACLES["cdc_failure_mode"] = SQL_FAILURE_MODE
+
+
+# ---------------------------------------------------------------------------
+# column.include.list + schema.name.adjustment.mode=avro.
+# ---------------------------------------------------------------------------
+
+SQL_COLUMN_FILTER_AVRO = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, turn_idx, CAST(lsn AS BIGINT) AS lsn, text,
+       regexp_replace(
+         CASE WHEN lsn % 2 = 0
+              THEN 'cdc.MY-DB.conv#' || CAST(turn_idx AS VARCHAR)
+              ELSE '9lead.té©st.' || role END,
+         '[^A-Za-z0-9_]', '_', 'g') AS raw_sanitized,
+       CASE WHEN regexp_matches(
+              regexp_replace(
+                CASE WHEN lsn % 2 = 0
+                     THEN 'cdc.MY-DB.conv#' || CAST(turn_idx AS VARCHAR)
+                     ELSE '9lead.té©st.' || role END,
+                '[^A-Za-z0-9_]', '_', 'g'), '^[0-9]')
+            THEN '_' || regexp_replace(
+              CASE WHEN lsn % 2 = 0
+                   THEN 'cdc.MY-DB.conv#' || CAST(turn_idx AS VARCHAR)
+                   ELSE '9lead.té©st.' || role END,
+              '[^A-Za-z0-9_]', '_', 'g')
+            ELSE regexp_replace(
+              CASE WHEN lsn % 2 = 0
+                   THEN 'cdc.MY-DB.conv#' || CAST(turn_idx AS VARCHAR)
+                   ELSE '9lead.té©st.' || role END,
+              '[^A-Za-z0-9_]', '_', 'g') END AS avro_name
+FROM changelog
+"""
+
+
+def q_column_filter_avro(sf_dir: str):
+    """column.include.list + schema.name.adjustment.mode=avro parity:
+    the payload projects through an include regex (keys always survive —
+    the reference forbids filtering key columns away), and the routed
+    topic name sanitizes under the Avro name rule — non-[A-Za-z0-9_]
+    chars to '_', leading digit prefixed (the fixture alternates a
+    dotted/dashed topic with one that starts with a digit AND carries
+    multi-byte chars, so the prefix branch and the non-ASCII class both
+    exercise). MAP-ONLY: one projection + two RE2 kernels per batch."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        avro_sanitize_names,
+        column_filter,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        ev = cl["commit_lsn_lo"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ti = pc.cast(cl["turn_idx"], pa.string())
+        role = cl["role"]
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        if isinstance(ti, pa.ChunkedArray):
+            ti = ti.combine_chunks()
+        topic = pc.if_else(
+            pa.array(ev % 2 == 0),
+            pc.binary_join_element_wise("cdc.MY-DB.conv#", ti, ""),
+            pc.binary_join_element_wise("9lead.té©st.", role, ""),
+        )
+        env = pa.table({
+            "conv_id": cl["conv_id"],
+            "turn_idx": cl["turn_idx"],
+            "lsn": pa.array(ev, pa.int64()),
+            "text": cl["text"],
+            "role": cl["role"],
+            "tool": cl["tool"],
+            "raw_topic": topic,
+        })
+        env = column_filter(
+            env, include=r"text|raw_topic",
+            protected=("conv_id", "turn_idx", "lsn"),
+        )
+        raw_sanitized = pc.replace_substring_regex(
+            env["raw_topic"].combine_chunks()
+            if isinstance(env["raw_topic"], pa.ChunkedArray)
+            else env["raw_topic"],
+            pattern=r"[^A-Za-z0-9_]", replacement="_",
+        )
+        avro = avro_sanitize_names(env["raw_topic"])
+        out = env.drop_columns(["raw_topic"])
+        out = out.append_column("raw_sanitized", raw_sanitized)
+        return out.append_column("avro_name", avro)
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_column_filter_avro"] = q_column_filter_avro
+CDC_ORACLES["cdc_column_filter_avro"] = SQL_COLUMN_FILTER_AVRO

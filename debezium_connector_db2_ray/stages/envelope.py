@@ -761,3 +761,59 @@ def handle_event_errors(
     if mode not in ("fail", "warn", "skip"):  # pragma: no cover
         raise ValueError(f"unknown failure handling mode {mode!r}")
     return env.filter(ok), int(n_bad)
+
+
+def column_filter(
+    env: pa.Table,
+    *,
+    include: str | None = None,
+    exclude: str | None = None,
+    protected: tuple[str, ...] = (),
+) -> pa.Table:
+    """column.include.list / column.exclude.list (reference
+    RelationalDatabaseConnectorConfig, inherited by Db2ConnectorConfig):
+    project the payload to the columns whose fully-qualified names match
+    the include regex (or don't match the exclude regex — the two options
+    are mutually exclusive upstream, enforced here). ``protected`` columns
+    (keys, LSN meta) always survive, matching the reference's rule that
+    key columns cannot be filtered away. Pure projection — zero-copy."""
+    import re
+
+    if (include is None) == (exclude is None):
+        raise ValueError(
+            "exactly one of column.include.list / column.exclude.list"
+        )
+    pat = re.compile(include or exclude)
+    keep = []
+    for n in env.column_names:
+        if n in protected:
+            keep.append(n)
+        elif include is not None and pat.fullmatch(n):
+            keep.append(n)
+        elif exclude is not None and not pat.fullmatch(n):
+            keep.append(n)
+    return env.select(keep)
+
+
+def avro_sanitize_names(
+    values: pa.Array | pa.ChunkedArray,
+) -> pa.Array:
+    """schema.name.adjustment.mode=avro (reference CommonConnectorConfig,
+    the SchemaNameAdjuster.AVRO rule): every character outside Avro's
+    [A-Za-z0-9_] name alphabet becomes '_', and a leading digit gets a
+    '_' prefix — so `cdc.MY-DB.conv#log` -> `cdc_MY_DB_conv_log` and
+    `1table` -> `_1table`. One RE2 replace kernel + one prefix fix-up per
+    batch, map-only."""
+    import pyarrow.compute as pc
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    clean = pc.replace_substring_regex(
+        values, pattern=r"[^A-Za-z0-9_]", replacement="_"
+    )
+    needs_prefix = pc.match_substring_regex(clean, r"^[0-9]")
+    return pc.if_else(
+        needs_prefix,
+        pc.binary_join_element_wise("_", clean, ""),
+        clean,
+    )

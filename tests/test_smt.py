@@ -345,3 +345,28 @@ def test_handle_event_errors_modes():
         clean, mode="fail", valid_ops=(1, 2, 5), key_columns=("conv_id",)
     )
     assert zero == 0 and ok.num_rows == 2
+
+
+def test_column_filter_and_avro_sanitize():
+    """Include/exclude are mutually exclusive, protected keys always
+    survive, and Avro sanitization handles unicode + leading digits."""
+    import pyarrow as pa
+    import pytest
+
+    from debezium_connector_db2_ray.stages.envelope import (
+        avro_sanitize_names,
+        column_filter,
+    )
+
+    env = pa.table({"k": [1], "text": ["a"], "tool": ["b"], "ts": [2]})
+    out = column_filter(env, include=r"te.*", protected=("k",))
+    assert out.column_names == ["k", "text"]
+    out2 = column_filter(env, exclude=r"t.*", protected=("ts",))
+    assert out2.column_names == ["k", "ts"]
+    with pytest.raises(ValueError):
+        column_filter(env, include="a", exclude="b")
+    with pytest.raises(ValueError):
+        column_filter(env)
+    names = pa.array(["cdc.MY-DB.conv#log", "1table", "ok_name", None])
+    got = avro_sanitize_names(names).to_pylist()
+    assert got == ["cdc_MY_DB_conv_log", "_1table", "ok_name", None]
