@@ -9716,3 +9716,133 @@ def q_ann_ivfpq_adc(sf_dir: str):
 
 DATA_QUERIES["ann_ivfpq_adc"] = q_ann_ivfpq_adc
 DATA_ORACLES["ann_ivfpq_adc"] = SQL_IVFPQ_ADC
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quartile scores per user.
+# ---------------------------------------------------------------------------
+
+SQL_RFM_SCORES = """
+WITH u AS (
+  SELECT user_id,
+         max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+           AS last_day,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY user_id
+), b AS (
+  SELECT quantile_disc(last_day, 0.25) AS r1,
+         quantile_disc(last_day, 0.5)  AS r2,
+         quantile_disc(last_day, 0.75) AS r3,
+         quantile_disc(freq, 0.25) AS f1,
+         quantile_disc(freq, 0.5)  AS f2,
+         quantile_disc(freq, 0.75) AS f3,
+         quantile_disc(cents, 0.25) AS m1,
+         quantile_disc(cents, 0.5)  AS m2,
+         quantile_disc(cents, 0.75) AS m3
+  FROM u
+)
+SELECT user_id, last_day, freq, cents,
+       CAST(1 + CAST(last_day > r1 AS INT) + CAST(last_day > r2 AS INT)
+              + CAST(last_day > r3 AS INT) AS BIGINT) AS r_score,
+       CAST(1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+              + CAST(freq > f3 AS INT) AS BIGINT) AS f_score,
+       CAST(1 + CAST(cents > m1 AS INT) + CAST(cents > m2 AS INT)
+              + CAST(cents > m3 AS INT) AS BIGINT) AS m_score,
+       CAST((1 + CAST(last_day > r1 AS INT) + CAST(last_day > r2 AS INT)
+               + CAST(last_day > r3 AS INT)) * 100
+          + (1 + CAST(freq > f1 AS INT) + CAST(freq > f2 AS INT)
+               + CAST(freq > f3 AS INT)) * 10
+          + (1 + CAST(cents > m1 AS INT) + CAST(cents > m2 AS INT)
+               + CAST(cents > m3 AS INT)) AS BIGINT) AS rfm
+FROM u, b
+"""
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM segmentation — the classic customer-value composite — built
+    from three existing primitives with no new shuffle shapes: ONE
+    user-keyed combiner exchange folds (last-activity day, event count,
+    spend cents) per user; the reduced user table materializes once (it
+    is the aggregate output, a vocabulary-scale fraction of the input);
+    exact_percentiles' multi-pass kth-element selection (no sort, no
+    data movement) pulls each metric's quartile boundary ELEMENTS; and a
+    map-only pass scores every user 1-4 per dimension by boundary
+    compare (equi-depth semantics: score = 1 + #boundaries strictly
+    below, quantile_disc-exact on both sides) into the 3-digit RFM
+    segment. Integer-exact end to end."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+        grouped_aggregate,
+    )
+
+    u_schema = pa.schema([
+        ("user_id", pa.int64()), ("last_day", pa.int64()),
+        ("freq", pa.int64()), ("cents", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return u_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        g = pa.table({
+            "user_id": batch["user_id"],
+            "last_day": pa.array(day, pa.int64()),
+            "freq": pa.array(np.ones(len(day), np.int64)),
+            "cents": pa.array(cents, pa.int64()),
+        }).group_by(["user_id"]).aggregate(
+            [("last_day", "max"), ("freq", "sum"), ("cents", "sum")]
+        )
+        return pa.table({
+            "user_id": g["user_id"], "last_day": g["last_day_max"],
+            "freq": g["freq_sum"], "cents": g["cents_sum"],
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    users = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"last_day": ("last_day", "max"),
+              "freq": ("freq", "sum"), "cents": ("cents", "sum")},
+        schema=u_schema,
+    ).materialize()  # reduced table, re-read by 3 percentile passes
+
+    bounds = {}
+    for col in ("last_day", "freq", "cents"):
+        p = exact_percentiles(
+            users, col=col, qs=[0.25, 0.5, 0.75]
+        ).to_pandas().sort_values("q")
+        bounds[col] = p["value"].astype(np.int64).tolist()
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {c: batch[c] for c in
+               ("user_id", "last_day", "freq", "cents")}
+        scores = {}
+        for col, short in (("last_day", "r"), ("freq", "f"),
+                           ("cents", "m")):
+            v = batch[col].to_numpy(zero_copy_only=False)
+            b1, b2, b3 = bounds[col]
+            s = 1 + (v > b1).astype(np.int64) + (v > b2) + (v > b3)
+            scores[short] = s
+            out[f"{short}_score"] = pa.array(s, pa.int64())
+        out["rfm"] = pa.array(
+            scores["r"] * 100 + scores["f"] * 10 + scores["m"],
+            pa.int64(),
+        )
+        return pa.table(out)
+
+    return users.map_batches(score, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_rfm_scores"] = q_rfm_scores
+DATA_ORACLES["user_rfm_scores"] = SQL_RFM_SCORES

@@ -1525,3 +1525,19 @@ def test_pq_adc_matches_manual(ray_session):
             "vec_id"
         ].tolist()
         assert got == want
+
+
+def test_rfm_scores_invariants(ray_session):
+    """RFM scores lie in 1..4, the 3-digit segment recomposes from its
+    digits, and each dimension's quartile-1 bucket is non-empty (the
+    boundary element itself always scores 1)."""
+    import debezium_connector_db2_ray.functions.queries as q
+
+    out = q.q_rfm_scores(SF).to_pandas()
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 4).all()
+        assert (out[c] == 1).any()
+    assert (
+        out["rfm"]
+        == out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]
+    ).all()
