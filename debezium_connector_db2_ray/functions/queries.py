@@ -9846,3 +9846,115 @@ def q_rfm_scores(sf_dir: str):
 
 DATA_QUERIES["user_rfm_scores"] = q_rfm_scores
 DATA_ORACLES["user_rfm_scores"] = SQL_RFM_SCORES
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout: hash-assigned variants, exact conversion lift.
+# ---------------------------------------------------------------------------
+
+SQL_AB_TEST_LIFT = """
+WITH assign AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN (((user_id % 1048576) * 1103515245 + 12345)
+                    % 2147483648) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM events
+), conv AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT a.variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(c.user_id) AS BIGINT) AS n_converted,
+       CAST(count(c.user_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS conv_rate
+FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+GROUP BY a.variant
+"""
+
+
+def q_ab_test_lift(sf_dir: str):
+    """A/B experiment readout — deterministic hash bucketing (the same
+    overflow-bounded LCG as the train/val/test splitter: a user's arm
+    never changes as the corpus grows, no RNG state, reproducible on any
+    cluster size) and exact per-arm conversion: each user folds to ONE
+    (variant, converted) flag via a per-batch OR-style combiner and a
+    single user-keyed exchange, then the readout is a 2-row count fold —
+    the experiment table the lift/significance math reads from, with the
+    one conv_rate division performed identically to the oracle's."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    u_schema = pa.schema([
+        ("user_id", pa.int64()), ("converted", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return u_schema.empty_table()
+        conv = pc.equal(batch["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        g = pa.table({
+            "user_id": batch["user_id"],
+            "converted": pa.array(conv, pa.int64()),
+        }).group_by(["user_id"]).aggregate([("converted", "max")])
+        return pa.table({
+            "user_id": g["user_id"], "converted": g["converted_max"],
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    users = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"converted": ("converted", "max")},
+        schema=u_schema,
+    )
+
+    arm_schema = pa.schema([
+        ("variant", pa.string()), ("n_users", pa.int64()),
+        ("n_converted", pa.int64()),
+    ])
+
+    def to_arms(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return arm_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (((u % 1048576) * 1103515245 + 12345) % 2147483648) % 2
+        g = pa.table({
+            "variant": pa.array(
+                np.where(h == 0, "control", "treatment"), pa.string()
+            ),
+            "n_users": pa.array(np.ones(len(u), np.int64)),
+            "n_converted": t["converted"],
+        }).group_by(["variant"]).aggregate(
+            [("n_users", "sum"), ("n_converted", "sum")]
+        )
+        return pa.table({
+            "variant": g["variant"], "n_users": g["n_users_sum"],
+            "n_converted": g["n_converted_sum"],
+        })
+
+    arms = grouped_aggregate(
+        users.map_batches(to_arms, batch_format="pyarrow"),
+        keys=["variant"],
+        aggs={"n_users": ("n_users", "sum"),
+              "n_converted": ("n_converted", "sum")},
+        num_partitions=1, schema=arm_schema,
+    )
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_users"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = t["n_converted"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        return t.append_column("conv_rate", pa.array(c / n, pa.float64()))
+
+    return arms.map_batches(rate, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_ab_test_lift"] = q_ab_test_lift
+DATA_ORACLES["events_ab_test_lift"] = SQL_AB_TEST_LIFT

@@ -933,3 +933,51 @@ def pq_adc_topk(codes_ds, queries: dict, *, codebook: np.ndarray,
     return partials.groupby("query_id").map_groups(
         merge, batch_format="pyarrow"
     )
+
+
+def whitening_from_gram(gram: np.ndarray, n: int,
+                        sum_vec: np.ndarray | None = None,
+                        *, eps: float = 1e-6):
+    """ZCA whitening transform from the distributed integer Gram matrix
+    (functions.relational's d²-per-batch combiner): covariance =
+    gram/n - mean⊗mean folds driver-side on the d x d matrix (d = 64 —
+    the only thing that ever reaches the driver), eigendecompose, and
+    return (W, mean) with W = U diag(1/sqrt(λ+eps)) Uᵀ. Apply is
+    map-only: (x - mean) @ W per batch. The standard pre-step before
+    cosine dedup / ANN when embedding dimensions are correlated."""
+    g = np.asarray(gram, np.float64)
+    cov = g / float(n)
+    mean = None
+    if sum_vec is not None:
+        mean = np.asarray(sum_vec, np.float64) / float(n)
+        cov = cov - np.outer(mean, mean)
+    lam, u = np.linalg.eigh((cov + cov.T) / 2.0)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    return w, mean
+
+
+def whiten_apply(ds, w: np.ndarray, mean: np.ndarray | None = None,
+                 *, out_col: str = "whitened"):
+    """Map-only application of a whitening (or any linear) transform to
+    the embedding column: one (batch x d) @ (d x d) matmul per batch, the
+    d x d matrix broadcast once via ray.put."""
+    import ray
+
+    ref = ray.put({"w": np.asarray(w, np.float64),
+                   "mean": None if mean is None
+                   else np.asarray(mean, np.float64)})
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = ray.get(ref) if not isinstance(ref, dict) else ref
+        m = _batch_matrix(batch)
+        x = m - b["mean"] if b["mean"] is not None else m
+        y = x @ b["w"]
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            out_col: pa.array(
+                [row.tolist() for row in y.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

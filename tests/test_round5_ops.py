@@ -1541,3 +1541,58 @@ def test_rfm_scores_invariants(ray_session):
         out["rfm"]
         == out["r_score"] * 100 + out["f_score"] * 10 + out["m_score"]
     ).all()
+
+
+def test_whitening_from_gram_identity_covariance(ray_session):
+    """The whitening transform built from the distributed Gram op's
+    output leaves the (whitened) sample covariance ~ identity, and
+    whiten_apply's map-only projection matches driver-side math."""
+    import duckdb
+
+    import debezium_connector_db2_ray.functions.queries as q
+    from debezium_connector_db2_ray.functions.similarity import (
+        whiten_apply,
+        whitening_from_gram,
+    )
+
+    tri = q.q_emb_gram(SF).to_pandas()
+    d = 64
+    g = np.zeros((d, d))
+    g[tri["i"], tri["j"]] = tri["s"]
+    g[tri["j"], tri["i"]] = tri["s"]
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{SF}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchdf()
+    x = np.stack([
+        np.floor(np.asarray(v, np.float64) * 1000 + 0.5)
+        for v in emb["embedding"]
+    ])
+    n = len(x)
+    w, mean = whitening_from_gram(g, n, sum_vec=x.sum(axis=0), eps=1e-9)
+    y = (x - mean) @ w
+    cov = (y.T @ y) / n
+    assert np.allclose(cov, np.eye(d), atol=1e-3)
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in b["embedding"].to_pylist()])
+        qm = np.floor(m * 1000 + 0.5)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "embedding": pa.array(
+                [r.tolist() for r in qm.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        })
+
+    out = whiten_apply(
+        ds.map_batches(to_milli, batch_format="pyarrow"), w, mean
+    ).to_pandas().sort_values("vec_id")
+    got = np.stack([np.asarray(v, np.float64)
+                    for v in out["whitened"]])
+    assert np.allclose(got, y, atol=1e-2)
