@@ -500,6 +500,7 @@ def partition_route(
     payload_fields: tuple[str, ...],
     num_partitions: int,
     out_col: str = "partition",
+    hash_impl: str = "md5",
 ) -> pa.Table:
     """Partition-routing SMT (Debezium's public PartitionRouting):
     compute the target topic partition from the configured payload fields
@@ -528,6 +529,14 @@ def partition_route(
     )
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
+    if hash_impl == "xx":
+        import polars as pl
+
+        h = pl.from_arrow(joined).hash(seed=7).to_numpy().astype(np.uint64)
+        pid = ((h >> np.uint64(4)).astype(np.int64)) % num_partitions
+        return env.append_column(out_col, pa.array(pid, pa.int64()))
+    if hash_impl != "md5":  # pragma: no cover - config error
+        raise ValueError(f"unknown hash_impl {hash_impl!r}")
     pid = np.fromiter(
         (
             int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % num_partitions

