@@ -9958,3 +9958,74 @@ def q_ab_test_lift(sf_dir: str):
 
 DATA_QUERIES["events_ab_test_lift"] = q_ab_test_lift
 DATA_ORACLES["events_ab_test_lift"] = SQL_AB_TEST_LIFT
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (systematic, size-proportional).
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+  FROM documents
+), t AS (
+  SELECT CAST(sum(n_chars) AS BIGINT) AS tot FROM documents
+)
+SELECT doc_id, w,
+       (cum * {WSAMPLE_K}) // tot - ((cum - w) * {WSAMPLE_K}) // tot
+         AS n_picks
+FROM w, t
+WHERE (cum * {WSAMPLE_K}) // tot > ((cum - w) * {WSAMPLE_K}) // tot
+"""
+
+
+def q_weighted_sample(sf_dir: str):
+    """Size-proportional systematic sampling — the deterministic,
+    integer-exact answer to 'sample k docs with probability proportional
+    to length' that data-mixture builders need to be reproducible across
+    runs and cluster sizes: doc i is picked (with multiplicity, so an
+    over-heavy doc upsamples exactly like true weighted sampling) when
+    the k evenly-spaced thresholds in [0, W) land inside its cumulative
+    weight span — floor(cum*k/W) jumps across the doc. The cumulative
+    weight is relational.prefix_sum (range partition, per-range partials,
+    driver scans <= P totals, ONE exchange); W is one tiny aggregate; the
+    pick rule is a map-only integer compare. No RNG state, no sort, no
+    driver data."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import prefix_sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "w": t["n_chars"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    tot = int(docs.sum("w"))
+    cum = prefix_sum(docs, order_col="doc_id", val_col="w",
+                     out_col="cum")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        c = batch["cum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = (c * WSAMPLE_K) // tot
+        lo = ((c - w) * WSAMPLE_K) // tot
+        n_picks = hi - lo
+        out = pa.table({
+            "doc_id": batch["doc_id"],
+            "w": batch["w"],
+            "n_picks": pa.array(n_picks, pa.int64()),
+        })
+        return out.filter(pa.array(n_picks > 0))
+
+    return cum.map_batches(pick, batch_format="pyarrow")
+
+
+DATA_QUERIES["docs_weighted_sample"] = q_weighted_sample
+DATA_ORACLES["docs_weighted_sample"] = SQL_WEIGHTED_SAMPLE

@@ -1596,3 +1596,32 @@ def test_whitening_from_gram_identity_covariance(ray_session):
     got = np.stack([np.asarray(v, np.float64)
                     for v in out["whitened"]])
     assert np.allclose(got, y, atol=1e-2)
+
+
+def test_weighted_sample_exact_k_and_upsampling(ray_session):
+    """Total picks equal exactly k, and a doc heavier than W/k is picked
+    with multiplicity (systematic-sampling semantics)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    out = q.q_weighted_sample(SF).to_pandas()
+    assert out["n_picks"].sum() == q.WSAMPLE_K
+    assert (out["n_picks"] >= 1).all()
+
+    # synthetic: one doc holds ~half the mass -> multiplicity >= 2
+    t = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["x"] * 10),
+        "lang": pa.array(["en"] * 10),
+        "source": pa.array(["s"] * 10),
+        "n_chars": pa.array([1000] + [20] * 9, pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq_.write_table(t, os.path.join(d, "documents.parquet"))
+        heavy = q.q_weighted_sample(d).to_pandas()
+    assert heavy["n_picks"].sum() == q.WSAMPLE_K
+    assert heavy.loc[heavy.doc_id == 0, "n_picks"].iloc[0] >= 2
