@@ -2386,3 +2386,103 @@ def q_column_filter_avro(sf_dir: str):
 
 CDC_QUERIES["cdc_column_filter_avro"] = q_column_filter_avro
 CDC_ORACLES["cdc_column_filter_avro"] = SQL_COLUMN_FILTER_AVRO
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: grouped aggregate from signed CDC deltas.
+# ---------------------------------------------------------------------------
+
+SQL_IVM_CONV_CHARS = f"""
+WITH {SQL_CHANGELOG.strip()},
+{SQL_EXPANDED_PAIRS.strip().rstrip()},
+env AS (
+  SELECT conv_id,
+         CASE op WHEN 1 THEN 'd' WHEN 4 THEN 'u'
+                 WHEN 3 THEN NULL ELSE 'c' END AS op_char,
+         CASE WHEN op = 4 THEN lag(text) OVER (
+                PARTITION BY lsn ORDER BY intent) END AS before_text,
+         CASE WHEN op = 1 THEN text END AS d_before,
+         text
+  FROM expanded
+)
+SELECT conv_id,
+       CAST(sum(CASE op_char
+         WHEN 'c' THEN coalesce(length(text), 0)
+         WHEN 'u' THEN coalesce(length(text), 0)
+                       - coalesce(length(before_text), 0)
+         WHEN 'd' THEN -coalesce(length(d_before), 0)
+       END) AS BIGINT) AS view_chars,
+       CAST(sum(CASE op_char
+         WHEN 'c' THEN 1 WHEN 'u' THEN 0 WHEN 'd' THEN -1
+       END) AS BIGINT) AS view_rows
+FROM env WHERE op_char IS NOT NULL
+GROUP BY conv_id
+"""
+
+
+def q_ivm_conv_chars(sf_dir: str):
+    """Incremental view maintenance from the change stream — the
+    'change propagation without joins' shape: a per-conversation
+    SUM(length(text)) / COUNT(*) view maintained purely from each
+    envelope's signed delta (+after for c, after-before for u, -before
+    for d), never joining back to base state and never re-aggregating
+    untouched groups. The envelope feed is the existing map-only op-5
+    zip; the view update is a per-batch delta combiner + one
+    vocabulary-of-touched-groups exchange — at 100 TB the shuffle
+    carries one row per TOUCHED conversation per batch, not the corpus.
+    tests/test_round5_ops.py proves delta-maintained == recomputed-from-
+    final-state on a generated scenario with internally consistent image
+    chains (this fixture's synthetic images are event-local, so the gate
+    row pins the delta ARITHMETIC; the pytest pins the IVM identity)."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        ivm_signed_deltas,
+        to_envelopes,
+    )
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    delta_schema = pa.schema([
+        ("conv_id", pa.string()), ("view_chars", pa.int64()),
+        ("view_rows", pa.int64()),
+    ])
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        env = to_envelopes(
+            expand_update_pairs(batch), image_columns=("text",)
+        )
+        chars = ivm_signed_deltas(
+            env, group_cols=("conv_id",),
+            before_col="before_text", after_col="after_text",
+            measure="length",
+        )
+        rows = ivm_signed_deltas(
+            env, group_cols=("conv_id",),
+            before_col="before_text", after_col="after_text",
+            measure="count",
+        )
+        t = pa.table({
+            "conv_id": chars["conv_id"],
+            "view_chars": chars["delta"],
+            "view_rows": rows["delta"],
+        })
+        g = t.group_by(["conv_id"]).aggregate(
+            [("view_chars", "sum"), ("view_rows", "sum")]
+        )
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "view_chars": g["view_chars_sum"],
+            "view_rows": g["view_rows_sum"],
+        })
+
+    return grouped_aggregate(
+        _events(sf_dir).map_batches(deltas, batch_format="pyarrow"),
+        keys=["conv_id"],
+        aggs={"view_chars": ("view_chars", "sum"),
+              "view_rows": ("view_rows", "sum")},
+        schema=delta_schema,
+    )
+
+
+CDC_QUERIES["cdc_ivm_conv_chars"] = q_ivm_conv_chars
+CDC_ORACLES["cdc_ivm_conv_chars"] = SQL_IVM_CONV_CHARS

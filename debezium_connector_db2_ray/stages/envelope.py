@@ -826,3 +826,52 @@ def avro_sanitize_names(
         pc.binary_join_element_wise("_", clean, ""),
         clean,
     )
+
+
+def ivm_signed_deltas(
+    env: pa.Table,
+    *,
+    group_cols: tuple[str, ...],
+    before_col: str,
+    after_col: str,
+    measure: str = "length",
+) -> pa.Table:
+    """Incremental-view-maintenance projection: turn each change envelope
+    into its SIGNED contribution to a grouped SUM/COUNT view — insert/read
+    contribute +f(after), delete contributes -f(before), update
+    contributes f(after) - f(before) — so a downstream grouped sum of the
+    deltas IS the maintained view, with no join back to base state and no
+    re-aggregation of untouched groups (the change-propagation shape:
+    aggregate views are self-maintainable from before/after images).
+    ``measure`` = 'length' (character count, NULL -> 0) or 'count'
+    (row-existence count). Map-only, one kernel per batch."""
+    import pyarrow.compute as pc
+
+    op = env["op_char"]
+    if isinstance(op, pa.ChunkedArray):
+        op = op.combine_chunks()
+
+    def f(col_name: str) -> np.ndarray:
+        col = env[col_name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if measure == "length":
+            v = pc.fill_null(pc.utf8_length(col), 0)
+            return v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if measure == "count":
+            return pc.is_valid(col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        raise ValueError(f"unknown measure {measure!r}")
+
+    after = f(after_col)
+    before = f(before_col)
+    opn = np.asarray(op.to_numpy(zero_copy_only=False))
+    delta = np.where(
+        (opn == "c") | (opn == "r"), after,
+        np.where(opn == "d", -before,
+                 np.where(opn == "u", after - before, 0)),
+    ).astype(np.int64)
+    cols = {c: env[c] for c in group_cols}
+    cols["delta"] = pa.array(delta, pa.int64())
+    return pa.table(cols)

@@ -1625,3 +1625,68 @@ def test_weighted_sample_exact_k_and_upsampling(ray_session):
         heavy = q.q_weighted_sample(d).to_pandas()
     assert heavy["n_picks"].sum() == q.WSAMPLE_K
     assert heavy.loc[heavy.doc_id == 0, "n_picks"].iloc[0] >= 2
+
+
+def test_ivm_deltas_equal_recomputed_view(ray_session):
+    """The IVM identity: snapshot-time view + sum of signed envelope
+    deltas == the view recomputed from the replayed final state, on a
+    generated scenario whose before-images are true prior values
+    (update pairs only — single-image op-5 updates are not
+    self-maintainable without a state lookup, which is exactly why the
+    reference emits full before images for captured tables)."""
+    import pandas as pd
+
+    from debezium_connector_db2_ray.ops import OP_DELETE, OP_UPDATE_BEFORE
+    from debezium_connector_db2_ray.pipelines.oracle import oracle_apply
+    from debezium_connector_db2_ray.sources.genlog import generate_scenario
+    from debezium_connector_db2_ray.stages.envelope import (
+        ivm_signed_deltas,
+        to_envelopes,
+    )
+
+    # update/delete weights: the generator then only INSERTs into a
+    # conversation whose keys are all deleted, so every 'c' is a true
+    # insert — an upsert-style insert onto a live key (which the LWW
+    # engine tolerates) is NOT self-maintainable without a state lookup,
+    # same as op-5 single-image updates.
+    sc = generate_scenario(
+        n_convs=25, turns_per_conv=5, n_commits=400, seed=11,
+        op_weights={OP_UPDATE_BEFORE: 0.55, OP_DELETE: 0.45},
+    )
+    env = to_envelopes(sc.ordered_changelog, image_columns=("text",))
+    chars = ivm_signed_deltas(
+        env, group_cols=("conv_id",), before_col="before_text",
+        after_col="after_text", measure="length",
+    ).to_pandas().groupby("conv_id")["delta"].sum()
+    rows = ivm_signed_deltas(
+        env, group_cols=("conv_id",), before_col="before_text",
+        after_col="after_text", measure="count",
+    ).to_pandas().groupby("conv_id")["delta"].sum()
+
+    lake = sc.lake.to_pandas()
+    base_chars = lake.assign(
+        n=lake["text"].fillna("").str.len()
+    ).groupby("conv_id")["n"].sum()
+    base_rows = lake.groupby("conv_id").size()
+
+    final = oracle_apply(
+        sc.lake, sc.ordered_changelog, sc.snapshot_lsn
+    ).to_pandas()
+    want_chars = final.assign(
+        n=final["text"].fillna("").str.len()
+    ).groupby("conv_id")["n"].sum()
+    want_rows = final.groupby("conv_id").size()
+
+    got_chars = base_chars.add(chars, fill_value=0)
+    got_rows = base_rows.add(rows, fill_value=0)
+    # conversations whose rows all deleted drop out of `final`
+    got_chars = got_chars[got_chars.index.isin(want_chars.index) |
+                          (got_rows > 0)]
+    for conv in want_chars.index:
+        assert got_chars.get(conv, 0) == want_chars[conv], conv
+        assert got_rows.get(conv, 0) == want_rows[conv], conv
+    # and nothing extra survives with rows > 0
+    extra = got_rows[(got_rows > 0) & ~got_rows.index.isin(
+        want_rows.index
+    )]
+    assert extra.empty
