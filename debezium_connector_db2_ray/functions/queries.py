@@ -10029,3 +10029,98 @@ def q_weighted_sample(sf_dir: str):
 
 DATA_QUERIES["docs_weighted_sample"] = q_weighted_sample
 DATA_ORACLES["docs_weighted_sample"] = SQL_WEIGHTED_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# Facet heavy terms: top-k most frequent terms PER LANGUAGE.
+# ---------------------------------------------------------------------------
+
+FACET_TOPK = 10
+
+SQL_TERMS_PER_LANG = f"""
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                               '\\s+'), x -> x <> ''))
+           AS term
+  FROM documents
+), c AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY lang, term
+), r AS (
+  SELECT lang, term, cnt,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY cnt DESC, term ASC) AS rn
+  FROM c
+)
+SELECT lang, term, cnt, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {FACET_TOPK}
+"""
+
+
+def q_terms_per_lang(sf_dir: str):
+    """Per-facet heavy terms (top-{FACET_TOPK} most frequent terms per
+    language — the per-domain/per-language vocabulary audit a curation
+    pipeline runs before mixing sources): per-batch (lang, term) partial
+    counts bound the first exchange by touched vocabulary, one keyed fold
+    sums exactly, and top_n_per_group's single (lang)-keyed exchange +
+    segment-rank kernel takes the per-facet top rows with the
+    deterministic (cnt DESC, term ASC) tiebreak. Never a global sort;
+    never a per-group UDF."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        top_n_per_group,
+    )
+
+    cnt_schema = pa.schema([
+        ("lang", pa.string()), ("term", pa.string()),
+        ("cnt", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        import polars as pl
+
+        from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+        df = pl.from_arrow(pa.table({
+            "lang": batch["lang"],
+            "text": batch["text"],
+        }))
+        toks = (
+            df.with_columns(
+                pl.col("text").fill_null("").str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN).alias("term")
+            )
+            .drop("text")
+            .explode("term")
+            .drop_nulls("term")
+            .group_by(["lang", "term"]).len()
+        )
+        out = toks.to_arrow()
+        return pa.table({
+            "lang": out["lang"].cast(pa.string()),
+            "term": out["term"].cast(pa.string()),
+            "cnt": out["len"].cast(pa.int64()),
+        })
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    counts = grouped_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["lang", "term"], aggs={"cnt": ("cnt", "sum")},
+        schema=cnt_schema,
+    )
+    return top_n_per_group(
+        counts, keys=["lang"],
+        order_by=[("cnt", "descending"), ("term", "ascending")],
+        n=FACET_TOPK, schema=cnt_schema, out_rank="rn",
+    )
+
+
+DATA_QUERIES["text_terms_per_lang"] = q_terms_per_lang
+DATA_ORACLES["text_terms_per_lang"] = SQL_TERMS_PER_LANG
