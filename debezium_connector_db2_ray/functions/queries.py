@@ -9550,6 +9550,12 @@ def q_type_affinity(sf_dir: str):
         num_partitions=2, schema=vocab_schema,
     ).to_pandas()
     types = sorted(vocab["event_type"].tolist())
+    if len(types) > 62:  # int64 bitset limit; beyond it use multi-word
+        raise ValueError(
+            f"type vocabulary {len(types)} exceeds the 62-bit mask — "
+            "split the mask into ceil(n/62) int64 words (same fold) "
+            "before running affinity at this cardinality"
+        )
     bit = {t: 1 << i for i, t in enumerate(types)}
 
     mask_schema = pa.schema([("user_id", pa.int64()),
