@@ -4705,6 +4705,10 @@ def q_tpch_q10(sf_dir: str):
         order_by=[("revenue_e4", "descending"),
                   ("c_custkey", "ascending")],
         k=20,
+        schema=pa.schema([
+            ("c_custkey", pa.int64()), ("c_name", pa.string()),
+            ("n_name", pa.string()), ("revenue_e4", pa.int64()),
+        ]),
     )
     return top
 
@@ -6291,6 +6295,9 @@ def q_tpch_q21(sf_dir: str):
         named,
         order_by=[("numwait", "descending"), ("s_name", "ascending")],
         k=20,
+        schema=pa.schema([
+            ("s_name", pa.string()), ("numwait", pa.int64()),
+        ]),
     )
 
 
@@ -6544,6 +6551,10 @@ def q_tpch_q2(sf_dir: str):
         arg,
         order_by=[("cost_e2", "ascending"), ("p_partkey", "ascending")],
         k=100,
+        schema=pa.schema([
+            ("p_partkey", pa.int64()), ("s_suppkey", pa.int64()),
+            ("cost_e2", pa.int64()),
+        ]),
     )
 
 
@@ -10130,3 +10141,466 @@ def q_terms_per_lang(sf_dir: str):
 
 DATA_QUERIES["text_terms_per_lang"] = q_terms_per_lang
 DATA_ORACLES["text_terms_per_lang"] = SQL_TERMS_PER_LANG
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: frequent co-purchased part pairs.
+# ---------------------------------------------------------------------------
+
+BASKET_MIN_SUPPORT = 2
+
+SQL_BASKET_PAIRS = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(count(*) AS BIGINT) AS support
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_SUPPORT}
+"""
+
+
+def q_basket_pairs(sf_dir: str):
+    """Frequent-itemset (pairs) mining over order baskets — the
+    market-basket / co-occurrence primitive (co-cited documents, parts
+    bought together) WITHOUT the quadratic self-join the SQL oracle
+    runs: one exchange keyed by l_orderkey co-locates each basket, the
+    partition kernel dedupes (order, part) rows and emits each basket's
+    C(m,2) pairs via per-size triu index templates (TPC-H baskets are
+    <= 7 items, so pairs-per-basket is bounded — the emission is linear
+    in output size, never in basket^2 of a mega-basket beyond the
+    documented per-group cap), then partition-local (p1,p2) partial
+    counts bound the second exchange by touched pair vocabulary before
+    one keyed fold applies the support threshold.
+
+    Reference analog: none (SURVEY §2.5 analytics extension); exchange
+    skeleton shared with grouped_adjacent_pairs."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    pair_schema = pa.schema([
+        ("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64()),
+    ])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        t = part.sort_by([("l_orderkey", "ascending"),
+                          ("l_partkey", "ascending")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        # distinct (order, part): drop consecutive duplicates
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        n = len(ok)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1]))
+        )
+        sizes = np.diff(np.append(starts, n))
+        p1_parts, p2_parts = [], []
+        # one vectorized emission per distinct basket size (sizes are
+        # small and few: <= max basket cardinality)
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(int(m), k=1)
+            segs = starts[sizes == m]
+            base = np.repeat(segs, len(iu))
+            p1_parts.append(pk[base + np.tile(iu, len(segs))])
+            p2_parts.append(pk[base + np.tile(ju, len(segs))])
+        if not p1_parts:
+            return pair_schema.empty_table()
+        pairs = pa.table({
+            "p1": pa.array(np.concatenate(p1_parts), pa.int64()),
+            "p2": pa.array(np.concatenate(p2_parts), pa.int64()),
+        })
+        g = pairs.group_by(["p1", "p2"]).aggregate([("p1", "count")])
+        return pa.table({
+            "p1": g["p1"], "p2": g["p2"],
+            "support": g["p1_count"].cast(pa.int64()),
+        })
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    partials = _window_exchange(
+        items, keys=["l_orderkey"], cols=["l_orderkey", "l_partkey"],
+        num_partitions=None, kernel=kernel, out_schema=pair_schema,
+    )
+    folded = grouped_aggregate(
+        partials, keys=["p1", "p2"], aggs={"support": ("support", "sum")},
+        schema=pair_schema,
+    )
+    return folded.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["support"], BASKET_MIN_SUPPORT)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["orders_basket_pairs"] = q_basket_pairs
+DATA_ORACLES["orders_basket_pairs"] = SQL_BASKET_PAIRS
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern match (MATCH_RECOGNIZE-lite) over per-user event strings.
+# ---------------------------------------------------------------------------
+
+SEQ_PATTERN = "c+p"  # one-or-more clicks immediately followed by a purchase
+
+SQL_SEQ_MATCH = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p'
+                      WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e'
+                      ELSE 'v' END, ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, '{SEQ_PATTERN}')) AS BIGINT)
+           AS n_matches
+FROM s
+"""
+
+
+def q_seq_match(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: count non-overlapping occurrences of the
+    event-pattern regex ``c+p`` (a click burst ending in a purchase) in
+    each user's time-ordered event sequence. Each event type folds to a
+    1-char code map-side (vectorized dictionary take), grouped_string_agg
+    assembles per-user sequence strings in ONE keyed exchange with the
+    deterministic (ts, event_id) tie order, and the compiled regex runs
+    once per USER string (RE2-compatible pattern, identical
+    non-overlapping leftmost semantics in Python re and DuckDB
+    regexp_extract_all). Per-user strings are bounded by the window
+    operators' documented mega-group cap.
+
+    Reference analog: none (SURVEY §2.5 sequence-analytics extension)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_string_agg,
+    )
+
+    def encode(batch: pa.Table) -> pa.Table:
+        # vectorized 1-char encoding via chained equality masks
+        et_s = batch["event_type"].cast(pa.string())
+        code = pc.if_else(
+            pc.equal(et_s, "click"), pa.scalar("c"),
+            pc.if_else(
+                pc.equal(et_s, "purchase"), pa.scalar("p"),
+                pc.if_else(
+                    pc.equal(et_s, "signup"), pa.scalar("s"),
+                    pc.if_else(
+                        pc.equal(et_s, "error"), pa.scalar("e"),
+                        pa.scalar("v"),
+                    ),
+                ),
+            ),
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "event_id": batch["event_id"],
+            "code": code,
+        })
+
+    import re
+
+    pat = re.compile(SEQ_PATTERN)
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_matches", pa.int64()),
+    ])
+
+    def count_matches(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        seqs = batch["seq"].to_pylist()
+        n = np.fromiter(
+            (len(pat.findall(s or "")) for s in seqs),
+            np.int64, count=len(seqs),
+        )
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n_matches": pa.array(n, pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(encode, batch_format="pyarrow")
+    seqs = grouped_string_agg(
+        events, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="code", sep="", out_col="seq",
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("event_id", pa.int64()), ("code", pa.string()),
+        ]),
+    )
+    return seqs.map_batches(count_matches, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_seq_match"] = q_seq_match
+DATA_ORACLES["user_seq_match"] = SQL_SEQ_MATCH
+
+
+# ---------------------------------------------------------------------------
+# Per-user behavioral diversity (Gini-Simpson index over event types).
+# ---------------------------------------------------------------------------
+
+SQL_TYPE_DIVERSITY = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, sum(cnt) AS n, sum(cnt * cnt) AS s2
+  FROM c GROUP BY 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS diversity
+FROM u
+"""
+
+
+def q_type_diversity(sf_dir: str):
+    """Gini-Simpson behavioral diversity per user (1 - sum(p_i^2), the
+    probability two random events of a user differ in type) — chosen
+    over Shannon entropy deliberately: it needs only +, *, / on exact
+    int64 partials, so the one float division is bit-identical to the
+    oracle's (the house float rule, see SQL_CORR). Per-batch (user,type)
+    count combiner bounds the first exchange by touched vocabulary; the
+    squared fold keys only by user; the division runs map-side.
+
+    Reference analog: none (SURVEY §2.5 analytics extension)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    cnt_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("cnt", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        g = batch.group_by(["user_id", "event_type"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table({
+            "user_id": g["user_id"],
+            "event_type": g["event_type"],
+            "cnt": g["user_id_count"].cast(pa.int64()),
+        })
+
+    def square(batch: pa.Table) -> pa.Table:
+        c = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n": batch["cnt"],
+            "s2": pa.array(c * c, pa.int64()),
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = batch["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = n * n
+        div = (n2 - s2).astype(np.float64) / n2.astype(np.float64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n_events": pa.array(n, pa.int64()),
+            "diversity": pa.array(div, pa.float64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id", "event_type"], aggs={"cnt": ("cnt", "sum")},
+        schema=cnt_schema,
+    )
+    per_user = grouped_aggregate(
+        counts.map_batches(square, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"n": ("n", "sum"), "s2": ("s2", "sum")},
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("n", pa.int64()),
+            ("s2", pa.int64()),
+        ]),
+    )
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_type_diversity"] = q_type_diversity
+DATA_ORACLES["user_type_diversity"] = SQL_TYPE_DIVERSITY
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed lifetime value (halving per whole week of age).
+# ---------------------------------------------------------------------------
+
+LTV_HALFLIFE_DAYS = 7
+LTV_MAX_SHIFT = 62
+
+SQL_LTV_DECAY = f"""
+WITH mx AS (
+  SELECT max(CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS md FROM events
+), e AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         LEAST(((SELECT md FROM mx)
+                - CAST(floor(epoch(ts) / 86400) AS BIGINT))
+               // {LTV_HALFLIFE_DAYS}, {LTV_MAX_SHIFT}) AS k
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(CAST(floor(vc / power(2.0, k)) AS BIGINT)) AS BIGINT)
+           AS ltv_decayed_cents
+FROM e GROUP BY user_id
+"""
+
+
+def q_ltv_decay(sf_dir: str):
+    """Exponentially time-decayed lifetime value per user with EXACT
+    integer arithmetic: value halves per whole week of age, implemented
+    as an arithmetic right shift of integer cents (floor(vc / 2^k) ==
+    vc >> k, and the oracle's double division by a power of two is
+    exact below 2^53, so floor agrees bit-for-bit — no transcendental
+    exp/pow in either engine). The global max-day is one tiny aggregate
+    pass; the decayed contribution and per-user partial sums are a
+    per-batch combiner; ONE keyed exchange folds users.
+
+    Reference analog: none (SURVEY §2.5 analytics extension)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    part_schema = pa.schema([
+        ("user_id", pa.int64()), ("ltv_decayed_cents", pa.int64()),
+    ])
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    md = int(
+        events.map_batches(
+            lambda t: pa.table({
+                "day": pc.cast(
+                    pc.floor(pc.divide(
+                        pc.cast(t["ts"].cast(pa.timestamp("us")),
+                                pa.int64()),
+                        86400_000_000,
+                    )),
+                    pa.int64(),
+                )
+            }),
+            batch_format="pyarrow",
+        ).max("day")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        k = np.minimum((md - day) // LTV_HALFLIFE_DAYS, LTV_MAX_SHIFT)
+        vc = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        contrib = vc >> k
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "c": pa.array(contrib, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("c", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "ltv_decayed_cents": g["c_sum"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"ltv_decayed_cents": ("ltv_decayed_cents", "sum")},
+        schema=part_schema,
+    )
+
+
+DATA_QUERIES["user_ltv_decay"] = q_ltv_decay
+DATA_ORACLES["user_ltv_decay"] = SQL_LTV_DECAY
+
+
+# ---------------------------------------------------------------------------
+# cume_dist window (completes the rank-family surface).
+# ---------------------------------------------------------------------------
+
+SQL_CUME_DIST = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS v_e2,
+       cume_dist() OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(round(value * 100) AS BIGINT)) AS cume
+FROM events
+"""
+
+
+def q_cume_dist(sf_dir: str):
+    """SQL cume_dist() per user over integer-cent value: rows at or
+    before each row's tie run divided by group size — grouped_rank's
+    cume_dist kernel (one exchange, segment/run vectorization), the
+    single int64/int64 division bit-identical to DuckDB's.
+
+    Completes the window-family surface next to dense_rank / ntile /
+    percent_rank (SURVEY §2 O-family)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rank,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"],
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "v_e2": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    return grouped_rank(
+        events, keys=["user_id"], order_by=[("v_e2", "ascending")],
+        method="cume_dist", out_col="cume",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("v_e2", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["user_value_cume_dist"] = q_cume_dist
+DATA_ORACLES["user_value_cume_dist"] = SQL_CUME_DIST

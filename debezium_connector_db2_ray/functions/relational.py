@@ -1785,6 +1785,16 @@ def broadcast_join(left, right, *, on: str, right_on: str | None = None,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
+        # Fractional CPU per probe actor: a query chaining several
+        # broadcast joins spawns one actor pool per join, and pools hold
+        # their reservation while idle — at integer CPU per actor a deep
+        # chain on a small cluster (gate fixture: 4 CPUs) can reserve
+        # EVERY slot and starve the task-based exchange ops downstream
+        # (observed as a full streaming-executor deadlock on TPC-H Q2's
+        # 3-join chain). The probe is a memory-light searchsorted lookup,
+        # so packing two actors per core is also the right throughput
+        # call, not just a deadlock fix.
+        num_cpus=0.5,
     )
 
 
