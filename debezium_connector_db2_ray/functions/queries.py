@@ -10604,3 +10604,268 @@ def q_cume_dist(sf_dir: str):
 
 DATA_QUERIES["user_value_cume_dist"] = q_cume_dist
 DATA_ORACLES["user_value_cume_dist"] = SQL_CUME_DIST
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: most frequent per-session event paths.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+PATH_TOP_K = 20
+
+SQL_SESSION_PATHS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'click' THEN 'c'
+                         WHEN 'purchase' THEN 'p'
+                         WHEN 'signup' THEN 's'
+                         WHEN 'error' THEN 'e'
+                         ELSE 'v' END AS code,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, code,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+), p AS (
+  SELECT user_id, sess,
+         string_agg(code, '' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOP_K}
+"""
+
+
+def q_session_paths(sf_dir: str):
+    """Top navigation paths: sessionize each user's event stream by a
+    {SESSION_GAP_MIN}-minute inactivity gap, collapse each session to its
+    1-char event-code path string, and rank the {PATH_TOP_K} most common
+    paths — the clickstream-mining composite (funnel discovery, UX path
+    audit). ONE user-keyed exchange; the partition kernel does the gap
+    scan, session segmentation and per-session string assembly with the
+    offsets/binary_join trick (no per-session loop), then emits per-path
+    PARTIAL counts so the second exchange is bounded by touched path
+    vocabulary; global_top_k never sorts more than k rows per batch.
+
+    Reference analog: none (SURVEY §2.5 sequence-analytics extension);
+    same exchange skeleton as grouped_string_agg."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        global_top_k,
+        grouped_aggregate,
+    )
+
+    cnt_schema = pa.schema([
+        ("path", pa.string()), ("n_sessions", pa.int64()),
+    ])
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return cnt_schema.empty_table()
+        t = part.sort_by([
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").astype(np.int64)
+        )
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (
+            (ts[1:] - ts[:-1]) > gap_us
+        )
+        starts = np.flatnonzero(new_sess)
+        offsets = np.append(starts, n)
+        codes = t["code"]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        paths = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), codes
+            ),
+            "",
+        )
+        g = pa.table({"path": paths}).group_by(["path"]).aggregate(
+            [("path", "count")]
+        )
+        return pa.table({
+            "path": g["path"],
+            "n_sessions": g["path_count"].cast(pa.int64()),
+        })
+
+    def encode(batch: pa.Table) -> pa.Table:
+        et_s = batch["event_type"].cast(pa.string())
+        code = pc.if_else(
+            pc.equal(et_s, "click"), pa.scalar("c"),
+            pc.if_else(
+                pc.equal(et_s, "purchase"), pa.scalar("p"),
+                pc.if_else(
+                    pc.equal(et_s, "signup"), pa.scalar("s"),
+                    pc.if_else(
+                        pc.equal(et_s, "error"), pa.scalar("e"),
+                        pa.scalar("v"),
+                    ),
+                ),
+            ),
+        )
+        return pa.table({
+            "user_id": batch["user_id"], "ts": batch["ts"],
+            "event_id": batch["event_id"], "code": code,
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).map_batches(encode, batch_format="pyarrow")
+    partials = _window_exchange(
+        events, keys=["user_id"],
+        cols=["user_id", "ts", "event_id", "code"],
+        num_partitions=None, kernel=kernel, out_schema=cnt_schema,
+    )
+    folded = grouped_aggregate(
+        partials, keys=["path"],
+        aggs={"n_sessions": ("n_sessions", "sum")}, schema=cnt_schema,
+    )
+    return global_top_k(
+        folded,
+        order_by=[("n_sessions", "descending"), ("path", "ascending")],
+        k=PATH_TOP_K, schema=cnt_schema,
+    )
+
+
+DATA_QUERIES["events_session_paths"] = q_session_paths
+DATA_ORACLES["events_session_paths"] = SQL_SESSION_PATHS
+
+
+# ---------------------------------------------------------------------------
+# Churn-label generation: per-user activity features + recency label.
+# ---------------------------------------------------------------------------
+
+CHURN_RECENCY_DAYS = 1
+
+SQL_CHURN_LABELS = f"""
+WITH d AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT max(day) AS md FROM d
+), u AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS active_days,
+         max(day) AS last_day
+  FROM d GROUP BY 1
+)
+SELECT user_id, n_events, active_days,
+       CAST(last_day AS BIGINT) AS last_day,
+       CAST((SELECT md FROM mx) - last_day AS BIGINT) AS recency_days,
+       CAST(CASE WHEN (SELECT md FROM mx) - last_day
+                      > {CHURN_RECENCY_DAYS}
+                 THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM u
+"""
+
+
+def q_churn_labels(sf_dir: str):
+    """Training-label generation for churn models: per-user event count,
+    distinct active days, last-seen day, recency, and a thresholded
+    churn label — the feature/label table a downstream trainer consumes.
+    Per-batch (user, day) count combiner bounds the first exchange by
+    user-day vocabulary; the per-user fold (sum / count / max) is the
+    second; the corpus max-day comes from one single-column scan (the
+    same tiny-aggregate pattern as user_ltv_decay) and the label compare
+    is map-side integer arithmetic.
+
+    Reference analog: none (SURVEY §2.5 analytics extension)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    day_schema = pa.schema([
+        ("user_id", pa.int64()), ("day", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return day_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pa.array(day, pa.int64()),
+        })
+        g = t.group_by(["user_id", "day"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table({
+            "user_id": g["user_id"], "day": g["day"],
+            "n": g["user_id_count"].cast(pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    days = grouped_aggregate(
+        events.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id", "day"], aggs={"n": ("n", "sum")},
+        schema=day_schema,
+    )
+    md = int(
+        events.map_batches(
+            lambda t: pa.table({
+                "day": pa.array(
+                    t["ts"].cast(pa.timestamp("us")).to_numpy(
+                        zero_copy_only=False
+                    ).astype("datetime64[D]").astype(np.int64),
+                    pa.int64(),
+                )
+            }),
+            batch_format="pyarrow",
+        ).max("day")
+    )
+
+    per_user = grouped_aggregate(
+        days, keys=["user_id"],
+        aggs={"n_events": ("n", "sum"), "active_days": ("day", "count"),
+              "last_day": ("day", "max")},
+        schema=day_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        last = batch["last_day"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rec = md - last
+        return pa.table({
+            "user_id": batch["user_id"],
+            "n_events": batch["n_events"],
+            "active_days": batch["active_days"],
+            "last_day": batch["last_day"],
+            "recency_days": pa.array(rec, pa.int64()),
+            "churned": pa.array(
+                (rec > CHURN_RECENCY_DAYS).astype(np.int64)
+            ),
+        })
+
+    return per_user.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_churn_labels"] = q_churn_labels
+DATA_ORACLES["user_churn_labels"] = SQL_CHURN_LABELS

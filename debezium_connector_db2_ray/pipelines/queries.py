@@ -2486,3 +2486,77 @@ def q_ivm_conv_chars(sf_dir: str):
 
 CDC_QUERIES["cdc_ivm_conv_chars"] = q_ivm_conv_chars
 CDC_ORACLES["cdc_ivm_conv_chars"] = SQL_IVM_CONV_CHARS
+
+
+# ---------------------------------------------------------------------------
+# Filter SMT + predicates — drop-by-predicate with negate support.
+# ---------------------------------------------------------------------------
+
+SQL_MESSAGE_FILTER = f"""
+WITH {SQL_CHANGELOG.strip()},
+routed AS (
+  SELECT conv_id, CAST(lsn AS BIGINT) AS lsn, role, op,
+         CASE role WHEN 'view' THEN 'audit.views'
+                   WHEN 'click' THEN 'cdc.clicks'
+                   WHEN 'signup' THEN 'cdc.signups'
+                   WHEN 'purchase' THEN 'cdc.purchases'
+                   WHEN 'error' THEN 'cdc.errors'
+                   ELSE 'cdc.default' END AS topic
+  FROM changelog
+)
+SELECT conv_id, lsn, role, topic
+FROM routed
+WHERE NOT (op = 1)
+  AND regexp_matches(topic, '^cdc\\..*$')
+"""
+
+
+def q_message_filter(sf_dir: str):
+    """Filter SMT + predicate parity (Kafka Connect Filter with
+    Debezium's documented predicate pairing): two chained map-side
+    filters over the routed envelope feed — RecordIsTombstone drops
+    delete events (their payload column is NULL, the tombstone triplet
+    shape), then TopicNameMatches with ``negate=true`` keeps only
+    ``cdc.*`` topics (dropping the audit.* route). Both predicates bite
+    independently (tombstones are errors, audit topics are views).
+    MAP-ONLY: boolean kernels per batch, no exchange."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        content_based_route,
+        message_filter,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        routed = content_based_route(
+            cl, column="role",
+            routes={"view": "audit.views", "click": "cdc.clicks",
+                    "signup": "cdc.signups",
+                    "purchase": "cdc.purchases", "error": "cdc.errors"},
+            default_topic="cdc.default",
+        )
+        # delete events carry a NULL payload (tombstone triplet shape)
+        is_del = pc.equal(routed["op"], OP_DELETE)
+        routed = routed.append_column(
+            "payload",
+            pc.if_else(is_del, pa.scalar(None, pa.string()),
+                       routed["text"].cast(pa.string())),
+        )
+        kept = message_filter(
+            routed, predicate="is_tombstone", tombstone_cols=("payload",),
+        )
+        kept = message_filter(
+            kept, predicate="topic_matches", pattern="cdc\\..*",
+            negate=True,
+        )
+        return pa.table({
+            "conv_id": kept["conv_id"],
+            "lsn": kept["commit_lsn_lo"].cast(pa.int64()),
+            "role": kept["role"],
+            "topic": kept["topic"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_message_filter"] = q_message_filter
+CDC_ORACLES["cdc_message_filter"] = SQL_MESSAGE_FILTER

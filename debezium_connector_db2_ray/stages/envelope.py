@@ -875,3 +875,57 @@ def ivm_signed_deltas(
     cols = {c: env[c] for c in group_cols}
     cols["delta"] = pa.array(delta, pa.int64())
     return pa.table(cols)
+
+
+def message_filter(
+    env: pa.Table,
+    *,
+    predicate: str,
+    negate: bool = False,
+    topic_col: str = "topic",
+    pattern: str | None = None,
+    tombstone_cols: tuple[str, ...] = (),
+) -> pa.Table:
+    """Kafka Connect Filter SMT with its predicate surface (the
+    transform Debezium's docs pair with ``predicates=...``): drop every
+    record the predicate matches, or — with ``negate`` — every record it
+    does NOT match (``predicate.<name>.negate=true``).
+
+    Predicates implemented, mirroring the upstream trio:
+    - ``topic_matches`` (TopicNameMatches): RE2 full-match of ``pattern``
+      against ``topic_col``, vectorized via Arrow's match_substring_regex
+      with explicit ^...$ anchoring. NULL topics never match.
+    - ``is_tombstone`` (RecordIsTombstone): true when every column in
+      ``tombstone_cols`` is NULL (the engine's tombstone triplet carries a
+      NULL payload; HasHeaderKey is n/a — headers are columns here).
+
+    Map-only: one boolean kernel per batch, no exchange, streams with
+    backpressure at any corpus size."""
+    import pyarrow.compute as pc
+
+    if predicate == "topic_matches":
+        if pattern is None:
+            raise ValueError("topic_matches needs a pattern")
+        anchored = pattern
+        if not anchored.startswith("^"):
+            anchored = "^" + anchored
+        if not anchored.endswith("$"):
+            anchored = anchored + "$"
+        m = pc.fill_null(
+            pc.match_substring_regex(
+                env[topic_col].cast(pa.string()), anchored
+            ),
+            False,
+        )
+    elif predicate == "is_tombstone":
+        if not tombstone_cols:
+            raise ValueError("is_tombstone needs tombstone_cols")
+        m = None
+        for c in tombstone_cols:
+            nn = pc.is_null(env[c])
+            m = nn if m is None else pc.and_(m, nn)
+    else:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    # Filter drops matching records; negate inverts the predicate first.
+    drop = pc.invert(m) if negate else m
+    return env.filter(pc.invert(drop))

@@ -1690,3 +1690,104 @@ def test_ivm_deltas_equal_recomputed_view(ray_session):
         want_rows.index
     )]
     assert extra.empty
+
+
+def test_message_filter_predicates():
+    """Filter SMT: topic regex is anchored and NULL-safe; negate inverts;
+    is_tombstone requires EVERY listed column NULL."""
+    from debezium_connector_db2_ray.stages.envelope import message_filter
+
+    t = pa.table({
+        "topic": pa.array(["cdc.a", "cdc.ab", "audit.a", None]),
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "p1": pa.array(["x", None, None, None]),
+        "p2": pa.array([None, "y", None, "z"]),
+    })
+    # drop records whose topic matches cdc\..* (anchored full match)
+    kept = message_filter(t, predicate="topic_matches",
+                          pattern="cdc\\..*")
+    assert kept["k"].to_pylist() == [3, 4]  # NULL topic never matches
+    # negate: keep ONLY the matching topics (NULL still dropped)
+    kept = message_filter(t, predicate="topic_matches",
+                          pattern="cdc\\..*", negate=True)
+    assert kept["k"].to_pylist() == [1, 2]
+    # anchoring: 'cdc.a' as a bare pattern must not match 'cdc.ab'
+    kept = message_filter(t, predicate="topic_matches",
+                          pattern="cdc\\.a", negate=True)
+    assert kept["k"].to_pylist() == [1]
+    # tombstone: all listed payload columns NULL (row 3 only)
+    kept = message_filter(t, predicate="is_tombstone",
+                          tombstone_cols=("p1", "p2"))
+    assert kept["k"].to_pylist() == [1, 2, 4]
+
+
+def test_basket_pair_kernel_edges(ray_session):
+    """Basket pair mining: single-item baskets emit nothing, duplicate
+    (order, part) rows dedupe before pairing, pairs are p1 < p2."""
+    import ray.data as rd
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    t = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "l_partkey": pa.array([10, 20, 10, 30, 10, 20], pa.int64()),
+    })
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = q.DATA_QUERIES["orders_basket_pairs"](d).to_pandas()
+    # baskets: {10,20} (order 1, dup 10 deduped), {30} (nothing),
+    # {10,20} (order 3) -> pair (10,20) support 2 >= threshold
+    assert out.to_dict("records") == [
+        {"p1": 10, "p2": 20, "support": 2}
+    ]
+
+
+def test_session_gap_boundary(ray_session):
+    """Sessionize: a gap of exactly the threshold stays in-session
+    (> semantics, mirroring the oracle's INTERVAL compare)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    gap = q.SESSION_GAP_MIN * 60_000_000
+    ts = pa.array(
+        np.array([0, gap, 2 * gap, 3 * gap + 1], np.int64),
+        pa.timestamp("us"),
+    )
+    t = pa.table({
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "event_type": pa.array(
+            ["click", "click", "purchase", "view"]
+        ),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = q.DATA_QUERIES["events_session_paths"](d).to_pandas()
+    rows = {(r["path"], r["n_sessions"])
+            for r in out.to_dict("records")}
+    # first three events chain with exact-gap spacing -> one session
+    # 'ccp'; the fourth arrives gap+1 after -> its own session 'v'
+    assert rows == {("ccp", 1), ("v", 1)}
+
+
+def test_ltv_decay_shift_cap():
+    """The decay shift k caps at LTV_MAX_SHIFT so ancient events cannot
+    produce an invalid >63-bit shift."""
+    import debezium_connector_db2_ray.functions.queries as q
+
+    md = 1000
+    day = np.array([1000, 1000 - 70 * q.LTV_HALFLIFE_DAYS], np.int64)
+    k = np.minimum((md - day) // q.LTV_HALFLIFE_DAYS, q.LTV_MAX_SHIFT)
+    assert k.tolist() == [0, q.LTV_MAX_SHIFT]
+    vc = np.array([12345, np.int64(2) ** 62], np.int64)
+    assert (vc >> k).tolist() == [12345, 1]
