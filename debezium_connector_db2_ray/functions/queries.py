@@ -10869,3 +10869,263 @@ def q_churn_labels(sf_dir: str):
 
 DATA_QUERIES["user_churn_labels"] = q_churn_labels
 DATA_ORACLES["user_churn_labels"] = SQL_CHURN_LABELS
+
+
+# ---------------------------------------------------------------------------
+# Interpolated percentiles (SQL percentile_cont / quantile_cont semantics).
+# ---------------------------------------------------------------------------
+
+CONT_QS = [0.25, 0.5, 0.9]
+
+SQL_PERCENTILES_CONT = f"""
+WITH v AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS c FROM v
+), qs(q) AS (
+  SELECT CAST({CONT_QS[0]} AS DOUBLE) UNION ALL
+  SELECT CAST({CONT_QS[1]} AS DOUBLE) UNION ALL
+  SELECT CAST({CONT_QS[2]} AS DOUBLE)
+), r AS (
+  SELECT q,
+         CAST(floor(q * (c - 1)) AS BIGINT) AS lo,
+         CAST(ceil(q * (c - 1)) AS BIGINT) AS hi,
+         q * (c - 1) - floor(q * (c - 1)) AS f
+  FROM qs, n
+), s AS (
+  SELECT x, row_number() OVER (ORDER BY x) - 1 AS rn FROM v
+)
+SELECT CAST(r.q AS DOUBLE) AS q,
+       CAST(a.x AS DOUBLE) + CAST(b.x - a.x AS DOUBLE) * r.f AS value
+FROM r JOIN s a ON a.rn = r.lo JOIN s b ON b.rn = r.hi
+"""
+
+
+def q_percentiles_cont(sf_dir: str):
+    """EXACT interpolated percentiles (SQL percentile_cont): the two
+    neighbor elements at ranks floor/ceil(q*(n-1)) come from the same
+    no-sort histogram-narrowing kth-element selection as the discrete
+    family (exact_percentiles with a rank override — O(rounds) map-only
+    scans, never a distributed sort), and the linear interpolation
+    a + (b-a)*f is written with the identical operation order in both
+    engines, so the doubles agree bit-for-bit (the oracle's f = q*(n-1)
+    - floor(...) is exact for these q). The oracle's window-ranked CTE
+    is the sort-based formulation this operator exists to avoid.
+
+    Reference analog: none (SURVEY §2 A-family extension beyond
+    quantile_disc)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+    )
+
+    cents = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    ).map_batches(
+        lambda t: pa.table({
+            "x": pc.cast(
+                pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                pa.int64(),
+            )
+        }).filter(pc.is_valid(t["l_extendedprice"])),
+        batch_format="pyarrow",
+    )
+    n = int(
+        cents.map_batches(
+            lambda t: pa.table({
+                "c": pa.array([t.num_rows], pa.int64())
+            }),
+            batch_format="pyarrow",
+        ).sum("c")
+    )
+    lo_t = exact_percentiles(
+        cents, col="x", qs=CONT_QS,
+        rank_of=lambda q, nn: int(np.floor(q * (nn - 1))),
+    )
+    hi_t = exact_percentiles(
+        cents, col="x", qs=CONT_QS,
+        rank_of=lambda q, nn: int(np.ceil(q * (nn - 1))),
+    )
+    a = lo_t["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = hi_t["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qarr = np.array(CONT_QS, np.float64)
+    f = qarr * (n - 1) - np.floor(qarr * (n - 1))
+    val = a.astype(np.float64) + (b - a).astype(np.float64) * f
+    return pa.table({
+        "q": pa.array(qarr, pa.float64()),
+        "value": pa.array(val, pa.float64()),
+    })
+
+
+DATA_QUERIES["percentiles_price_cont"] = q_percentiles_cont
+DATA_ORACLES["percentiles_price_cont"] = SQL_PERCENTILES_CONT
+
+
+# ---------------------------------------------------------------------------
+# Least-squares regression line (slope + intercept from integer partials).
+# ---------------------------------------------------------------------------
+
+SQL_PRICE_REGRESSION = """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS sx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sy,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+FROM s
+"""
+
+
+def q_price_regression(sf_dir: str):
+    """Distributed least-squares fit (price-cents vs quantity): the five
+    sufficient statistics (n, sx, sy, sxx, sxy) are EXACT int64 per-batch
+    partials folded through one tiny aggregate — the regression never
+    sees rows twice and never shuffles — and slope/intercept are final
+    double expressions written with the oracle's exact operation order
+    (the SQL_CORR float rule). The regr_slope/regr_intercept surface for
+    model-diagnostics pipelines.
+
+    Reference analog: none (SURVEY §2 A-family extension)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    part_schema = pa.schema([
+        ("g", pa.int64()), ("n", pa.int64()), ("sx", pa.int64()),
+        ("sy", pa.int64()), ("sxx", pa.int64()), ("sxy", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        x = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "g": pa.array([0], pa.int64()),
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["g"],
+        aggs={"n": ("n", "sum"), "sx": ("sx", "sum"),
+              "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+              "sxy": ("sxy", "sum")},
+        num_partitions=1, schema=part_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("n", pa.int64()), ("slope", pa.float64()),
+                ("intercept", pa.float64()),
+            ]).empty_table()
+        n = float(batch["n"][0].as_py())
+        sx = float(batch["sx"][0].as_py())
+        sy = float(batch["sy"][0].as_py())
+        sxx = float(batch["sxx"][0].as_py())
+        sxy = float(batch["sxy"][0].as_py())
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            "n": batch["n"],
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["lineitem_price_regression"] = q_price_regression
+DATA_ORACLES["lineitem_price_regression"] = SQL_PRICE_REGRESSION
+
+
+# ---------------------------------------------------------------------------
+# nth_value window (full-partition frame).
+# ---------------------------------------------------------------------------
+
+SQL_NTH_VALUE = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS v_e2,
+       nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS second_value
+FROM events
+"""
+
+
+def q_nth_value(sf_dir: str):
+    """SQL nth_value(v, 2) over the full partition frame: every event
+    carries its user's second-ever value (NULL for one-event users) —
+    grouped_nth_value's one-exchange segment kernel with the
+    deterministic (ts, event_id) order. Completes the window value
+    family next to first/last_value and lag/lead."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_nth_value,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(
+        lambda t: pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "v_e2": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    out = grouped_nth_value(
+        events, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="v_e2", nth=2, out_col="second_value",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("v_e2", pa.int64()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["ts"]), batch_format="pyarrow"
+    )
+
+
+DATA_QUERIES["user_second_value"] = q_nth_value
+DATA_ORACLES["user_second_value"] = SQL_NTH_VALUE

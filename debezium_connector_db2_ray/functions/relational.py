@@ -1312,7 +1312,8 @@ def grouped_string_agg(ds, *, keys: list[str],
 
 
 def exact_percentiles(ds, *, col: str, qs: list[float],
-                      hist_bits: int = 12, collect_limit: int = 65_536):
+                      hist_bits: int = 12, collect_limit: int = 65_536,
+                      rank_of=None):
     """EXACT discrete percentiles (SQL ``quantile_disc`` semantics: the
     element at 0-indexed rank ``max(0, ceil(q*n) - 1)`` of the non-null
     sorted column) computed by distributed kth-element SELECTION — no sort,
@@ -1413,7 +1414,12 @@ def exact_percentiles(ds, *, col: str, qs: list[float],
                     "value": pa.nulls(len(qs), out_type),
                 })
             for s in state:
-                s["k"] = s["rank"] = max(0, int(np.ceil(s["q"] * n)) - 1)
+                # default: quantile_disc's 0-indexed rank; rank_of lets
+                # percentile_cont select its floor/ceil neighbor ranks
+                s["k"] = s["rank"] = (
+                    int(rank_of(s["q"], n)) if rank_of is not None
+                    else max(0, int(np.ceil(s["q"] * n)) - 1)
+                )
         for i, lo, hi in act:
             s = state[i]
             width = (hi - lo) // np.uint64(B) + np.uint64(1)
@@ -3123,5 +3129,69 @@ def grouped_adjacent_pairs(ds, *, keys: list[str],
 
     return _window_exchange(
         ds, keys=keys, cols=need, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )
+
+
+def grouped_nth_value(ds, *, keys: list[str],
+                      order_by: list[tuple[str, str]], col: str,
+                      nth: int, out_col: str = "nth",
+                      num_partitions: int | None = None,
+                      schema: "pa.Schema | None" = None):
+    """SQL ``nth_value(col, nth) OVER (PARTITION BY keys ORDER BY ...
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)``: every
+    row of a group carries the group's nth-ordered value (NULL when the
+    group has fewer than ``nth`` rows). Same one-exchange skeleton as
+    grouped_first_last: hash exchange on part(keys), partition-local
+    Arrow sort, segment starts from adjacent compares, then ONE take at
+    ``start + nth - 1`` per segment broadcast back with np.repeat — no
+    per-group loop, no pre-combiner possible (the nth element is a
+    global property per group), mega-group caveat as documented for the
+    window family.
+
+    Reference analog: none (SURVEY §2 O-family window completion)."""
+    if nth < 1:
+        raise ValueError("nth must be >= 1")
+    if schema is not None:
+        sch = schema
+    else:
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols]
+        + [(out_col, sch.field(col).type)]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        n = t.num_rows
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, n))
+        has = sizes >= nth
+        # take the nth element of qualifying segments; short segments
+        # take index 0 as a placeholder and get NULLed by the mask
+        idx = np.where(has, starts + (nth - 1), 0)
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        seg_vals = v.take(pa.array(idx, pa.int64()))
+        per_row = seg_vals.take(
+            pa.array(np.repeat(np.arange(len(starts)), sizes), pa.int64())
+        )
+        mask = pa.array(np.repeat(has, sizes))
+        per_row = pc.if_else(
+            mask, per_row, pa.scalar(None, v.type)
+        )
+        return t.append_column(out_col, per_row)
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )

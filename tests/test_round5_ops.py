@@ -1791,3 +1791,35 @@ def test_ltv_decay_shift_cap():
     assert k.tolist() == [0, q.LTV_MAX_SHIFT]
     vc = np.array([12345, np.int64(2) ** 62], np.int64)
     assert (vc >> k).tolist() == [12345, 1]
+
+
+def test_grouped_nth_value_short_groups(ray_session):
+    """nth_value: groups shorter than nth yield NULL for every row;
+    order ties break on the secondary key."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_nth_value,
+    )
+
+    t = pa.table({
+        "g": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "o": pa.array([2, 1, 3, 1, 1, 1], pa.int64()),
+        "tie": pa.array([0, 0, 0, 0, 5, 4], pa.int64()),
+        "v": pa.array([20, 10, 30, 99, 7, 8], pa.int64()),
+    })
+    out = grouped_nth_value(
+        rd.from_arrow(t), keys=["g"],
+        order_by=[("o", "ascending"), ("tie", "ascending")],
+        col="v", nth=2, out_col="nv", schema=t.schema,
+    ).to_pandas().sort_values(["g", "o", "tie"]).reset_index(drop=True)
+    got = list(out["nv"].astype("Int64"))
+    # g=1 ordered values [10,20,30] -> 2nd = 20 for all rows
+    # g=2 has one row -> NULL; g=3 tie-ordered [8,7] -> 2nd = 7
+    assert got == [20, 20, 20] + [pd_na()] + [7, 7]
+
+
+def pd_na():
+    import pandas as pd
+
+    return pd.NA
