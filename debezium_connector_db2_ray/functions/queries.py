@@ -1001,6 +1001,12 @@ def q_asof_join(sf_dir: str):
         ).filter(expr="event_type == 'purchase'"),
         keys=["user_id", "ts"],
         aggs={"pid": ("event_id", "max")},
+        # Filter loses the lazy schema; without this, grouped_aggregate
+        # would re-execute the filtered read just to learn column names
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("event_type", pa.string()),
+        ]),
     )
     out = asof_join(
         left, right, key="user_id", ts="ts", value_cols=("pid",)
@@ -1525,6 +1531,10 @@ def q_grouped_agg(sf_dir: str):
             "max_price": ("l_extendedprice", "max"),
             "avg_qty": ("l_quantity", "mean"),
         },
+        schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("l_quantity", pa.int64()),
+            ("l_extendedprice", pa.float64()),
+        ]),
     )
 
 
@@ -11129,3 +11139,166 @@ def q_nth_value(sf_dir: str):
 
 DATA_QUERIES["user_second_value"] = q_nth_value
 DATA_ORACLES["user_second_value"] = SQL_NTH_VALUE
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group WITH TIES (RANK <= n, not row_number).
+# ---------------------------------------------------------------------------
+
+SQL_TOP_ORDERS_TIES = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_e2,
+         rank() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC
+         ) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_e2, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 2
+"""
+
+
+def q_top_orders_ties(sf_dir: str):
+    """SQL FETCH FIRST n WITH TIES per group: each customer's top-2
+    orders by price where equal prices share a rank and ALL tied rows
+    survive (row_number()'s arbitrary tie drop is exactly what WITH TIES
+    exists to avoid — integer-cent prices make ties real). grouped_rank's
+    one-exchange rank kernel + a map-side filter."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rank,
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "price_e2": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                pa.int64(),
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    ranked = grouped_rank(
+        orders, keys=["o_custkey"],
+        order_by=[("price_e2", "descending")],
+        method="rank", out_col="rnk",
+        schema=pa.schema([
+            ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+            ("price_e2", pa.int64()),
+        ]),
+    )
+    return ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t["rnk"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["top_orders_with_ties"] = q_top_orders_ties
+DATA_ORACLES["top_orders_with_ties"] = SQL_TOP_ORDERS_TIES
+
+
+# ---------------------------------------------------------------------------
+# Per-user session statistics (sessionize + fold in one kernel).
+# ---------------------------------------------------------------------------
+
+SQL_SESSION_STATS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+), per_sess AS (
+  SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(max(n) AS BIGINT) AS longest_session
+FROM per_sess GROUP BY user_id
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Per-user session profile (session count, total events, longest
+    session) — the engagement summary a retention model consumes. ONE
+    user-keyed exchange; the partition kernel runs the same vectorized
+    gap scan as events_session_paths and then folds per user directly
+    (a user's rows are co-located by construction, so the session sizes
+    reduce with np.add.reduceat / np.maximum.reduceat — no second
+    exchange at all)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+    )
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+        ("n_events", pa.int64()), ("longest_session", pa.int64()),
+    ])
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by([
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").astype(np.int64)
+        )
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_sess = new_user.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess_starts = np.flatnonzero(new_sess)
+        sess_sizes = np.diff(np.append(sess_starts, n))
+        # fold sessions per user: each session belongs to the user of its
+        # first row; users' sessions are contiguous in sess_starts order
+        sess_user_new = new_user[sess_starts]
+        user_starts = np.flatnonzero(sess_user_new)
+        n_sessions = np.diff(
+            np.append(user_starts, len(sess_starts))
+        )
+        n_events = np.add.reduceat(sess_sizes, user_starts)
+        longest = np.maximum.reduceat(sess_sizes, user_starts)
+        users = uid[sess_starts[user_starts]]
+        return pa.table({
+            "user_id": pa.array(users.astype(np.int64), pa.int64()),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "longest_session": pa.array(longest.astype(np.int64)),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+    return _window_exchange(
+        events, keys=["user_id"], cols=["user_id", "ts", "event_id"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["user_session_stats"] = q_session_stats
+DATA_ORACLES["user_session_stats"] = SQL_SESSION_STATS

@@ -2560,3 +2560,51 @@ def q_message_filter(sf_dir: str):
 
 CDC_QUERIES["cdc_message_filter"] = q_message_filter
 CDC_ORACLES["cdc_message_filter"] = SQL_MESSAGE_FILTER
+
+
+# ---------------------------------------------------------------------------
+# HoistField / ExtractField SMT round-trip through a real Arrow struct.
+# ---------------------------------------------------------------------------
+
+SQL_HOIST_EXTRACT = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT conv_id, CAST(lsn AS BIGINT) AS lsn,
+       role AS role_extracted, text AS text_kept
+FROM changelog
+"""
+
+
+def q_hoist_extract(sf_dir: str):
+    """HoistField -> ExtractField round-trip (the two Kafka Connect core
+    SMTs that re-nest and un-nest a value): the payload columns are
+    hoisted into ONE real Arrow struct (zero-copy child buffers), then a
+    single field is extracted back top-level via the struct_field kernel
+    — proving the engine carries genuine nested values through an SMT
+    chain, not flat columns with dotted names. The oracle states the
+    invariant: extraction after hoisting is the identity on the field.
+    MAP-ONLY, no exchange."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        extract_field,
+        hoist_field,
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cl = derive_changelog(batch)
+        hoisted = hoist_field(cl, fields=("role", "text"), into="payload")
+        assert "role" not in hoisted.column_names
+        ext = extract_field(hoisted, source="payload", field="role",
+                            out_col="role_extracted")
+        ext = extract_field(ext, source="payload", field="text",
+                            out_col="text_kept")
+        return pa.table({
+            "conv_id": ext["conv_id"],
+            "lsn": ext["commit_lsn_lo"].cast(pa.int64()),
+            "role_extracted": ext["role_extracted"],
+            "text_kept": ext["text_kept"],
+        })
+
+    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+CDC_QUERIES["cdc_hoist_extract"] = q_hoist_extract
+CDC_ORACLES["cdc_hoist_extract"] = SQL_HOIST_EXTRACT

@@ -929,3 +929,33 @@ def message_filter(
     # Filter drops matching records; negate inverts the predicate first.
     drop = pc.invert(m) if negate else m
     return env.filter(pc.invert(drop))
+
+
+def hoist_field(env: pa.Table, *, fields: tuple[str, ...],
+                into: str = "payload") -> pa.Table:
+    """HoistField SMT (Kafka Connect core, applied by Debezium users to
+    re-nest a flat value): wrap the named columns into ONE real Arrow
+    struct column and drop the flat originals. Map-only, zero-copy — the
+    struct references the same child buffers."""
+    arrs = []
+    for f in fields:
+        c = env[f]
+        arrs.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c)
+    struct = pa.StructArray.from_arrays(arrs, names=list(fields))
+    out = env.drop_columns(list(fields))
+    return out.append_column(into, struct)
+
+
+def extract_field(env: pa.Table, *, source: str, field: str,
+                  out_col: str | None = None) -> pa.Table:
+    """ExtractField SMT: pull one field out of a struct column into a
+    top-level column (the inverse of hoist_field). Map-only via Arrow's
+    struct_field kernel; NULL structs yield NULL fields."""
+    import pyarrow.compute as pc
+
+    col = env[source]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return env.append_column(out_col or field,
+                             pc.struct_field(col, field))

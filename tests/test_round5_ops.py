@@ -1823,3 +1823,61 @@ def pd_na():
     import pandas as pd
 
     return pd.NA
+
+
+def test_hoist_extract_roundtrip_null_safety():
+    """HoistField then ExtractField is the identity on the field,
+    including NULL values inside the struct."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        extract_field,
+        hoist_field,
+    )
+
+    t = pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array(["x", None, "z"]),
+        "b": pa.array([10, 20, None], pa.int64()),
+    })
+    h = hoist_field(t, fields=("a", "b"), into="payload")
+    assert h.column_names == ["k", "payload"]
+    assert pa.types.is_struct(h["payload"].type)
+    e = extract_field(h, source="payload", field="a", out_col="a2")
+    e = extract_field(e, source="payload", field="b", out_col="b2")
+    assert e["a2"].to_pylist() == ["x", None, "z"]
+    assert e["b2"].to_pylist() == [10, 20, None]
+
+
+def test_session_stats_fold_matches_recompute(ray_session):
+    """The single-kernel session fold (reduceat per user) agrees with a
+    naive per-user recompute on a crafted multi-user, multi-session
+    fixture."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    gap = q.SESSION_GAP_MIN * 60_000_000
+    # user 1: sessions of sizes 2, 1; user 2: one session of 3
+    ts = np.array([
+        0, 10, 10 + gap + 1,          # user 1
+        5, 6, 7,                      # user 2
+    ], np.int64)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            q.DATA_QUERIES["user_session_stats"](d)
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+    assert out.to_dict("records") == [
+        {"user_id": 1, "n_sessions": 2, "n_events": 3,
+         "longest_session": 2},
+        {"user_id": 2, "n_sessions": 1, "n_events": 3,
+         "longest_session": 3},
+    ]
