@@ -11302,3 +11302,144 @@ def q_session_stats(sf_dir: str):
 
 DATA_QUERIES["user_session_stats"] = q_session_stats
 DATA_ORACLES["user_session_stats"] = SQL_SESSION_STATS
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster size histogram (the dedup audit report).
+# ---------------------------------------------------------------------------
+
+SQL_CLUSTER_SIZES = SQL_DEDUP_COMPONENTS.replace(
+    ")\nSELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u",
+    """),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u
+),
+sizes AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS size
+  FROM comp GROUP BY 1
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1""",
+)
+
+
+def q_cluster_sizes(sf_dir: str):
+    """Dedup audit report: the histogram of near-dup cluster sizes (how
+    many duplicate groups of 2, of 3, ... — the number a curation run
+    reports before applying drops, and the skew signal for pathological
+    template clusters). Rides the existing component labels: one
+    canonical-keyed fold counts each cluster, a per-batch combiner
+    histograms the sizes, and the final fold is vocabulary-bounded (at
+    most one row per distinct cluster size). All exchanges are over
+    cluster-count-sized data, never the corpus."""
+    from debezium_connector_db2_ray.functions.dedup import (
+        minhash_duplicate_pairs,
+    )
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+        grouped_aggregate,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
+    sizes = grouped_aggregate(
+        comp, keys=["canonical_id"],
+        aggs={"size": ("doc_id", "count")},
+        schema=pa.schema([
+            ("doc_id", pa.int64()), ("canonical_id", pa.int64()),
+        ]),
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("size", pa.int64()), ("n_clusters", pa.int64()),
+            ]).empty_table()
+        g = batch.group_by(["size"]).aggregate([("size", "count")])
+        return pa.table({
+            "size": g["size"],
+            "n_clusters": g["size_count"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        sizes.map_batches(hist, batch_format="pyarrow"),
+        keys=["size"], aggs={"n_clusters": ("n_clusters", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("size", pa.int64()), ("n_clusters", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["dedup_cluster_sizes"] = q_cluster_sizes
+DATA_ORACLES["dedup_cluster_sizes"] = SQL_CLUSTER_SIZES
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier audit vs the labeled column).
+# ---------------------------------------------------------------------------
+
+SQL_LANG_CONFUSION = """
+WITH hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the','and'))) AS en_hits,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('le','et'))) AS fr_hits
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN en_hits >= fr_hits
+              THEN (CASE WHEN en_hits > 0 THEN 'en' ELSE 'unknown' END)
+              ELSE 'fr' END AS lang_guess
+  FROM hits
+)
+SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2
+"""
+
+
+def q_lang_confusion(sf_dir: str):
+    """Classifier-audit confusion matrix: the n-gram language-ID
+    heuristic's predictions crossed with the labeled ``lang`` column —
+    the quality report a curation pipeline emits before trusting a
+    model-derived column. Rides lang_id_batch map-side; the per-batch
+    (lang, guess) count combiner bounds the one exchange by the tiny
+    label-vocabulary cross product."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import lang_id_batch
+
+    cm_schema = pa.schema([
+        ("lang", pa.string()), ("lang_guess", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cm_schema.empty_table()
+        pred = lang_id_batch(batch.select(["doc_id", "text"]))
+        t = pa.table({
+            "lang": batch["lang"],
+            "lang_guess": pred["lang_guess"],
+        })
+        g = t.group_by(["lang", "lang_guess"]).aggregate(
+            [("lang", "count")]
+        )
+        return pa.table({
+            "lang": g["lang"], "lang_guess": g["lang_guess"],
+            "n": g["lang_count"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        _docs(sf_dir, columns=["doc_id", "text", "lang"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["lang", "lang_guess"], aggs={"n": ("n", "sum")},
+        num_partitions=1, schema=cm_schema,
+    )
+
+
+DATA_QUERIES["docs_lang_confusion"] = q_lang_confusion
+DATA_ORACLES["docs_lang_confusion"] = SQL_LANG_CONFUSION

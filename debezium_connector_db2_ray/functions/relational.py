@@ -2583,7 +2583,8 @@ def grouped_rolling_range_sum(ds, *, keys: list[str], order_col: str,
 
 
 def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
-             num_partitions: int | None = None):
+             num_partitions: int | None = None,
+             broadcast_nodes_budget: int = 2_000_000):
     """Distributed PageRank over an UNDIRECTED edge list (columns
     ``src, dst`` — callers pass both directions of each edge, so every
     node has out-degree > 0 and no dangling-mass correction is needed).
@@ -2642,11 +2643,24 @@ def pagerank(edges, *, damping: float = 0.85, iters: int = 2,
         }),
         batch_format="pyarrow",
     ).materialize()
+    # The rank vector is (node, r) — n_nodes rows, already counted on the
+    # driver. Below the budget, broadcast it and probe map-side: each
+    # iteration drops from 3 exchanges (join moves BOTH sides + the dst
+    # fold) to 1 (the fold only) — the edge table never moves again after
+    # the one-time degree join. Above the budget the repartition join is
+    # the scale path (auto-switched on the MEASURED count, not a
+    # docstring promise).
+    small_ranks = n_nodes <= broadcast_nodes_budget
     for _ in range(iters):
-        contrib = repartition_join(
-            ej, ranks, on="src", num_partitions=num_partitions,
-            left_schema=ej_schema, right_schema=ranks_schema,
-        ).map_batches(
+        joined = (
+            broadcast_join(ej, ranks, on="src")
+            if small_ranks else
+            repartition_join(
+                ej, ranks, on="src", num_partitions=num_partitions,
+                left_schema=ej_schema, right_schema=ranks_schema,
+            )
+        )
+        contrib = joined.map_batches(
             lambda t: pa.table({
                 "node": t["dst"],
                 "c": pc.divide(

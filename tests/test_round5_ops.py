@@ -1881,3 +1881,32 @@ def test_session_stats_fold_matches_recompute(ray_session):
         {"user_id": 2, "n_sessions": 1, "n_events": 3,
          "longest_session": 3},
     ]
+
+
+def test_pagerank_broadcast_matches_repartition(ray_session):
+    """pagerank's auto-switched broadcast-rank path (small node count)
+    agrees with the repartition-join scale path on quantized ranks."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import pagerank
+
+    # undirected triangle + pendant: both directions per edge
+    e = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = pa.table({
+        "src": pa.array([a for a, b in e] + [b for a, b in e], pa.int64()),
+        "dst": pa.array([b for a, b in e] + [a for a, b in e], pa.int64()),
+    })
+    def run(budget):
+        out = pagerank(
+            rd.from_arrow(edges), iters=3, num_partitions=2,
+            broadcast_nodes_budget=budget,
+        ).to_pandas().sort_values("node").reset_index(drop=True)
+        return out
+
+    bc = run(1_000_000)   # broadcast path (4 nodes << budget)
+    rp = run(0)           # forced repartition path
+    assert list(bc["node"]) == list(rp["node"]) == [1, 2, 3, 4]
+    assert np.allclose(bc["r"], rp["r"], rtol=0, atol=1e-12)
+    # sanity: the high-degree node outranks the pendant
+    r = dict(zip(bc["node"], bc["r"]))
+    assert r[3] > r[4] and abs(sum(r.values()) - 1.0) < 1e-9
