@@ -11443,3 +11443,279 @@ def q_lang_confusion(sf_dir: str):
 
 DATA_QUERIES["docs_lang_confusion"] = q_lang_confusion
 DATA_ORACLES["docs_lang_confusion"] = SQL_LANG_CONFUSION
+
+
+# ---------------------------------------------------------------------------
+# Modal value per event type (deterministic mode).
+# ---------------------------------------------------------------------------
+
+SQL_MODE_PER_TYPE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v_e2,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, v_e2, cnt,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY cnt DESC, v_e2 ASC) AS rn
+  FROM c
+)
+SELECT event_type, v_e2 AS mode_e2, cnt
+FROM r WHERE rn = 1
+"""
+
+
+def q_mode_per_type(sf_dir: str):
+    """Deterministic MODE() per group (most frequent integer-cent value,
+    ties to the smallest value): per-batch (type, value) count combiner,
+    one keyed fold, then top_n_per_group's segment-rank kernel at n=1 —
+    the SQL mode()/top-1-by-count surface without a per-group UDF."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        top_n_per_group,
+    )
+
+    cnt_schema = pa.schema([
+        ("event_type", pa.string()), ("v_e2", pa.int64()),
+        ("cnt", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "v_e2": pc.cast(
+                pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+                pa.int64(),
+            ),
+        })
+        g = t.group_by(["event_type", "v_e2"]).aggregate(
+            [("v_e2", "count")]
+        )
+        return pa.table({
+            "event_type": g["event_type"], "v_e2": g["v_e2"],
+            "cnt": g["v_e2_count"].cast(pa.int64()),
+        })
+
+    counts = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["event_type", "v_e2"], aggs={"cnt": ("cnt", "sum")},
+        schema=cnt_schema,
+    )
+    top = top_n_per_group(
+        counts, keys=["event_type"],
+        order_by=[("cnt", "descending"), ("v_e2", "ascending")],
+        n=1, schema=cnt_schema, out_rank="rn",
+    )
+    return top.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "mode_e2": t["v_e2"],
+            "cnt": t["cnt"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["events_mode_per_type"] = q_mode_per_type
+DATA_ORACLES["events_mode_per_type"] = SQL_MODE_PER_TYPE
+
+
+# ---------------------------------------------------------------------------
+# Daily revenue 7-day moving average (time-series smoothing).
+# ---------------------------------------------------------------------------
+
+SQL_DAILY_MA = """
+WITH d AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), w AS (
+  SELECT day, cents,
+         sum(cents) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS s7,
+         count(*) OVER (
+           ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+  FROM d
+)
+SELECT day, cents, CAST(s7 AS BIGINT) AS s7,
+       CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS ma7
+FROM w
+"""
+
+
+def q_daily_ma(sf_dir: str):
+    """Time-series smoothing: 7-row moving average over the daily revenue
+    series. The heavy step is the per-day total — a 366-cell-per-batch
+    combiner plus one vocabulary-bounded fold (day count stays tiny at
+    ANY corpus size; it grows with time, not data) — and the rolling
+    window then runs on the reduced day series in one partition:
+    cumulative-sum differences for s7, min(rn, 7) for the short head
+    windows, one exact int64/int64 division for the average."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    day_schema = pa.schema([
+        ("day", pa.int64()), ("cents", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return day_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        vc = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "cents": pa.array(vc, pa.int64()),
+        })
+        g = t.group_by(["day"]).aggregate([("cents", "sum")])
+        return pa.table({
+            "day": g["day"], "cents": g["cents_sum"].cast(pa.int64()),
+        })
+
+    daily = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "value"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["day"], aggs={"cents": ("cents", "sum")},
+        num_partitions=1, schema=day_schema,
+    )
+
+    def rolling(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("day", pa.int64()), ("cents", pa.int64()),
+                ("s7", pa.int64()), ("ma7", pa.float64()),
+            ]).empty_table()
+        t = batch.sort_by([("day", "ascending")])
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(c)
+        n = len(c)
+        idx = np.arange(n)
+        s7 = cum - np.where(idx >= 7, cum[np.maximum(idx - 7, 0)], 0)
+        n7 = np.minimum(idx + 1, 7)
+        ma = s7.astype(np.float64) / n7.astype(np.float64)
+        return pa.table({
+            "day": t["day"], "cents": t["cents"],
+            "s7": pa.array(s7, pa.int64()),
+            "ma7": pa.array(ma, pa.float64()),
+        })
+
+    # the day series is one tiny partition after the fold — a single
+    # whole-partition batch computes the window
+    return daily.repartition(1).map_batches(
+        rolling, batch_format="pyarrow", batch_size=None,
+    )
+
+
+DATA_QUERIES["orders_daily_revenue_ma"] = q_daily_ma
+DATA_ORACLES["orders_daily_revenue_ma"] = SQL_DAILY_MA
+
+
+# ---------------------------------------------------------------------------
+# Revenue share-of-total per brand (broadcast dim + one fold + one division).
+# ---------------------------------------------------------------------------
+
+SQL_BRAND_SHARE = """
+WITH f AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), b AS (
+  SELECT p_brand, CAST(sum(rev_e4) AS BIGINT) AS rev_e4
+  FROM f GROUP BY 1
+), t AS (
+  SELECT sum(rev_e4) AS total FROM b
+)
+SELECT p_brand, rev_e4,
+       CAST(rev_e4 AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+           AS share
+FROM b
+"""
+
+
+def q_brand_share(sf_dir: str):
+    """Share-of-total report: each brand's exact discounted revenue and
+    its fraction of the global total. The part dimension broadcasts once
+    (the fact table never shuffles), per-batch (brand, rev) partials
+    bound the single fold by brand vocabulary, and the total is summed
+    from the reduced brand table itself — one extra tiny pass, zero
+    extra scans of lineitem. The share division is one exact
+    int64/int64 -> double op, bit-identical to the oracle."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    b_schema = pa.schema([
+        ("p_brand", pa.string()), ("rev_e4", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return b_schema.empty_table()
+        price = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            batch["l_discount"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "p_brand": batch["p_brand"],
+            "rev_e4": pa.array(price * (100 - disc), pa.int64()),
+        })
+        g = t.group_by(["p_brand"]).aggregate([("rev_e4", "sum")])
+        return pa.table({
+            "p_brand": g["p_brand"],
+            "rev_e4": g["rev_e4_sum"].cast(pa.int64()),
+        })
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    parts = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brands = grouped_aggregate(
+        broadcast_join(items, parts, on="l_partkey",
+                       right_on="p_partkey")
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["p_brand"], aggs={"rev_e4": ("rev_e4", "sum")},
+        num_partitions=1, schema=b_schema,
+    ).materialize()
+    total = int(brands.sum("rev_e4"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch["rev_e4"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return batch.append_column(
+            "share",
+            pa.array(r.astype(np.float64) / np.float64(total),
+                     pa.float64()),
+        )
+
+    return brands.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["part_brand_share"] = q_brand_share
+DATA_ORACLES["part_brand_share"] = SQL_BRAND_SHARE
