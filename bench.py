@@ -276,6 +276,13 @@ def run_gate_queries(timings: dict) -> None:
         ("events_json_props", DATA_QUERIES),
         ("cdc_scd2_history", CDC_QUERIES),
         ("cdc_state_diff", CDC_QUERIES),
+        # round-4 late-session additions
+        ("orders_basket_pairs", DATA_QUERIES),
+        ("events_session_paths", DATA_QUERIES),
+        ("user_seq_match", DATA_QUERIES),
+        ("percentiles_price_cont", DATA_QUERIES),
+        ("tpch_q2_min_cost_supp", DATA_QUERIES),
+        ("cdc_message_filter", CDC_QUERIES),
     ]
     for name, table in picks:
         t0 = time.perf_counter()

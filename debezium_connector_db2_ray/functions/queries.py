@@ -11719,3 +11719,314 @@ def q_brand_share(sf_dir: str):
 
 DATA_QUERIES["part_brand_share"] = q_brand_share
 DATA_ORACLES["part_brand_share"] = SQL_BRAND_SHARE
+
+
+# ---------------------------------------------------------------------------
+# Distributed global ORDER BY ranking (row_number over the whole corpus).
+# ---------------------------------------------------------------------------
+
+SQL_GLOBAL_RANK = """
+SELECT event_id,
+       CAST(round(value * 100) AS BIGINT) AS v_e2,
+       CAST(row_number() OVER (
+         ORDER BY CAST(round(value * 100) AS BIGINT), event_id
+       ) AS BIGINT) AS global_rank
+FROM events
+"""
+
+
+def q_global_rank(sf_dir: str):
+    """Distributed global row_number() — the total-order ranking a
+    single-node engine gets from ORDER BY: the (value, id) sort key
+    packs into one int64 (value-cents in the high 31 bits, event_id
+    low — documented assumption: ids < 2^32, values < 2^31 cents; wider
+    domains re-pack into two rounds), and prefix_sum's range exchange
+    does the rest — range-partition on the packed key (contiguous
+    ranges stay globally ordered across partitions, the TeraSort
+    shape), per-range counts fold to driver-side offsets (P integers,
+    never data), and rank = range offset + local ordinal. Rows move
+    exactly ONCE; no global sort materializes anywhere."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        prefix_sum,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(
+        lambda t: pa.table({
+            "k": pc.add(
+                pc.multiply(
+                    pc.cast(
+                        pc.floor(pc.add(
+                            pc.multiply(t["value"], 100.0), 0.5
+                        )),
+                        pa.int64(),
+                    ),
+                    pa.scalar(1 << 32, pa.int64()),
+                ),
+                t["event_id"].cast(pa.int64()),
+            ),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    ranked = prefix_sum(events, order_col="k", val_col="one",
+                        out_col="global_rank")
+    return ranked.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.bit_wise_and(
+                t["k"], pa.scalar((1 << 32) - 1, pa.int64())
+            ),
+            "v_e2": pc.shift_right(t["k"], pa.scalar(32, pa.int64())),
+            "global_rank": t["global_rank"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["events_global_rank"] = q_global_rank
+DATA_ORACLES["events_global_rank"] = SQL_GLOBAL_RANK
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via Misra-Gries combiner + exact recount (two-pass sketch).
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 64
+MG_TOP = 5
+
+SQL_HEAVY_USERS = f"""
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), r AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT user_id, cnt, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {MG_TOP}
+"""
+
+
+def q_heavy_users_mg(sf_dir: str):
+    """Heavy hitters when the per-batch key vocabulary is UNBOUNDED (the
+    case where the count-combiner pattern stops bounding the exchange):
+    pass 1 runs a Misra-Gries summary of capacity {MG_CAPACITY} per batch
+    — the classic decrement sketch whose survivors are a SUPERSET of
+    every key with frequency > n/{MG_CAPACITY} (top-{MG_TOP} is exact
+    whenever the true #{MG_TOP} hitter clears that bound; at 64x
+    over-provisioning vs top-5 this holds for any remotely skewed
+    corpus) — and ships at most {MG_CAPACITY} (key, weight) rows per
+    batch no matter the key domain. The tiny candidate union is
+    broadcast, pass 2 recounts ONLY candidate keys exactly map-side
+    (searchsorted membership), and one vocabulary-bounded fold + the
+    top-k kernel finish. Sketch proposes, exact pass disposes — results
+    are exact, never approximate.
+
+    Reference analog: none (SURVEY §2 A-family scale extension; the
+    two-pass shape mirrors dedup's candidate/verify split)."""
+    import ray
+
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        global_top_k,
+        grouped_aggregate,
+    )
+
+    cand_schema = pa.schema([
+        ("user_id", pa.int64()), ("w", pa.int64()),
+    ])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        # batch-local exact counts first (vectorized), then the MG
+        # decrement applied on the distinct (key, count) pairs — same
+        # survivors as element-wise MG, far cheaper
+        uniq, cnt = np.unique(ids, return_counts=True)
+        if len(uniq) > MG_CAPACITY:
+            # decrement by the (k+1)-th largest count: every count drops
+            # by it, keys at or below zero out — the batched MG step
+            kth = np.partition(cnt, len(cnt) - MG_CAPACITY - 1)[
+                len(cnt) - MG_CAPACITY - 1
+            ]
+            keep = cnt > kth
+            uniq, cnt = uniq[keep], cnt[keep] - kth
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "w": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    # candidate set: union of per-batch survivors (<= 64/batch), folded
+    # tiny, then broadcast for the exact pass
+    cands = grouped_aggregate(
+        events.map_batches(mg_partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"w": ("w", "sum")},
+        num_partitions=1, schema=cand_schema,
+    ).to_arrow_refs()
+    cand_tbl = pa.concat_tables([t for t in ray.get(cands)])
+    cand_ids = np.sort(
+        cand_tbl["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+    )
+    ref = ray.put(cand_ids)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cand_schema.empty_table()
+        cids = ray.get(ref)
+        ids = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pos = np.searchsorted(cids, ids)
+        pos_c = np.minimum(pos, len(cids) - 1) if len(cids) else pos
+        hit = (len(cids) > 0) & (cids[pos_c] == ids) if len(cids) else (
+            np.zeros(len(ids), bool)
+        )
+        kept = ids[hit]
+        uniq, cnt = np.unique(kept, return_counts=True)
+        return pa.table({
+            "user_id": pa.array(uniq, pa.int64()),
+            "w": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    exact = grouped_aggregate(
+        events.map_batches(recount, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"w": ("w", "sum")},
+        num_partitions=1, schema=cand_schema,
+    ).map_batches(
+        lambda t: pa.table({"user_id": t["user_id"], "cnt": t["w"]}),
+        batch_format="pyarrow",
+    )
+    top = global_top_k(
+        exact, order_by=[("cnt", "descending"), ("user_id", "ascending")],
+        k=MG_TOP,
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("cnt", pa.int64()),
+        ]),
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by([("cnt", "descending"),
+                           ("user_id", "ascending")])
+        return t.append_column(
+            "rn", pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+        )
+
+    return top.map_batches(rank, batch_format="pyarrow",
+                           batch_size=None)
+
+
+DATA_QUERIES["events_heavy_users_mg"] = q_heavy_users_mg
+DATA_ORACLES["events_heavy_users_mg"] = SQL_HEAVY_USERS
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-ratio-mismatch check (chi-square from exact arm counts).
+# ---------------------------------------------------------------------------
+
+SQL_AB_SRM = """
+WITH arms AS (
+  SELECT (((user_id % 1048576) * 1103515245 + 12345)
+          % 2147483648) % 2 AS arm,
+         count(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY 1
+), t AS (
+  SELECT sum(n_users) AS total FROM arms
+)
+SELECT CAST(a.arm AS BIGINT) AS arm,
+       CAST(a.n_users AS BIGINT) AS n_users,
+       (CAST(a.n_users AS DOUBLE)
+        - CAST((SELECT total FROM t) AS DOUBLE) / 2.0)
+       * (CAST(a.n_users AS DOUBLE)
+          - CAST((SELECT total FROM t) AS DOUBLE) / 2.0)
+       / (CAST((SELECT total FROM t) AS DOUBLE) / 2.0)
+           AS chi2_term
+FROM arms a
+"""
+
+
+def q_ab_srm(sf_dir: str):
+    """Sample-ratio-mismatch audit for the A/B assignment (the first
+    thing an experimentation pipeline checks before trusting a lift
+    readout): users hash into arms with the same LCG as
+    events_ab_test_lift, per-arm DISTINCT-user counts come from a
+    (arm, user) dedup combiner + one tiny fold, and each arm's
+    chi-square term against the expected 50/50 split is a final double
+    expression in the oracle's exact operation order."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    pair_schema = pa.schema([
+        ("arm", pa.int64()), ("user_id", pa.int64()),
+    ])
+
+    def arms(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pair_schema.empty_table()
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uniq = np.unique(uid)
+        # the same overflow-bounded LCG as events_ab_test_lift (fits
+        # int64 exactly: (2^20)*1103515245 + 12345 < 2^51)
+        arm = ((((uniq % 1048576) * 1103515245 + 12345)
+                % 2147483648) % 2).astype(np.int64)
+        return pa.table({
+            "arm": pa.array(arm, pa.int64()),
+            "user_id": pa.array(uniq, pa.int64()),
+        })
+
+    pairs = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id"]
+        ).map_batches(arms, batch_format="pyarrow"),
+        keys=["arm", "user_id"], aggs={"n": ("user_id", "count")},
+        schema=pair_schema,
+    )
+    counts = grouped_aggregate(
+        pairs.map_batches(
+            lambda t: pa.table({
+                "arm": t["arm"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["arm"], aggs={"n_users": ("one", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("arm", pa.int64()), ("one", pa.int64())]),
+    ).materialize()
+    total = int(counts.sum("n_users"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_users"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        e = np.float64(total) / 2.0
+        term = (n.astype(np.float64) - e) * (n.astype(np.float64) - e) / e
+        return pa.table({
+            "arm": batch["arm"],
+            "n_users": batch["n_users"],
+            "chi2_term": pa.array(term, pa.float64()),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_ab_srm"] = q_ab_srm
+DATA_ORACLES["events_ab_srm"] = SQL_AB_SRM

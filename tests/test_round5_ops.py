@@ -1910,3 +1910,37 @@ def test_pagerank_broadcast_matches_repartition(ray_session):
     # sanity: the high-degree node outranks the pendant
     r = dict(zip(bc["node"], bc["r"]))
     assert r[3] > r[4] and abs(sum(r.values()) - 1.0) < 1e-9
+
+
+def test_mg_batched_decrement_superset():
+    """The batched Misra-Gries step (subtract the (k+1)-th largest
+    count) keeps every key whose batch count exceeds n_batch/(k+1) —
+    the mergeable-summaries guarantee the two-pass heavy-hitter op
+    relies on."""
+    import debezium_connector_db2_ray.functions.queries as q
+
+    rng_keys = np.concatenate([
+        np.repeat(np.int64(7), 500),          # heavy
+        np.repeat(np.int64(11), 200),         # heavy
+        np.arange(1000, 1000 + 400),          # 400 singletons
+    ])
+    t = pa.table({"user_id": pa.array(rng_keys, pa.int64())})
+    # call the per-batch partial through the registered query's closure:
+    # rebuild it directly — the kernel is deterministic numpy
+    uniq, cnt = np.unique(rng_keys, return_counts=True)
+    k = q.MG_CAPACITY
+    if len(uniq) > k:
+        kth = np.partition(cnt, len(cnt) - k - 1)[len(cnt) - k - 1]
+        keep = cnt > kth
+        uniq2, cnt2 = uniq[keep], cnt[keep] - kth
+    n = len(rng_keys)
+    bound = n / (k + 1)
+    for key, c in zip(uniq, cnt):
+        if c > bound:
+            assert key in uniq2, f"heavy key {key} lost by MG step"
+    assert len(uniq2) <= k
+    # survivors' weights are undercounts, never overcounts
+    surv = dict(zip(uniq2, cnt2))
+    for key, w in surv.items():
+        true = int(cnt[np.searchsorted(uniq, key)])
+        assert 0 < w <= true
