@@ -1949,7 +1949,18 @@ def q_tpch_q3(sf_dir: str):
     co = repartition_join(
         cust.select_columns(["c_custkey"]), orders, on="c_custkey",
     ).select_columns(["l_orderkey", "o_orderdate"])
-    j = repartition_join(co, li, on="l_orderkey")
+    # co has the first join's exchange upstream: a schemaless second join
+    # would execute that whole join once extra just to learn dtypes
+    j = repartition_join(
+        co, li, on="l_orderkey",
+        left_schema=pa.schema([
+            ("l_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]),
+        right_schema=pa.schema([
+            ("l_orderkey", pa.int64()), ("rev_e4", pa.int64()),
+        ]),
+    )
     agg = grouped_aggregate(
         j.select_columns(["l_orderkey", "o_orderdate", "rev_e4"]),
         keys=["l_orderkey", "o_orderdate"],
@@ -2890,7 +2901,15 @@ def q_q13_custdist(sf_dir: str):
     ).map_batches(
         lambda b: b.rename_columns(["custkey"]), batch_format="pyarrow"
     )
-    joined = repartition_join(cust, per_cust, on="custkey", how="left_outer")
+    # per_cust has an exchange upstream: pass schemas so the join never
+    # executes the aggregate just to learn dtypes
+    joined = repartition_join(
+        cust, per_cust, on="custkey", how="left_outer",
+        left_schema=pa.schema([("custkey", pa.int64())]),
+        right_schema=pa.schema([
+            ("custkey", pa.int64()), ("n", pa.int64()),
+        ]),
+    )
 
     def ccount(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -3025,6 +3044,15 @@ def q_tpch_q5(sf_dir: str, *, supplier_broadcast_bytes: int = 256 << 20):
             batch_format="pyarrow",
         ),
         on="orderkey", how="inner",
+        # j1 is itself a join (exchange upstream): schemas here keep j2
+        # from executing the whole first join once extra for dtypes
+        left_schema=pa.schema([
+            ("orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+            ("rev_e4", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("orderkey", pa.int64()), ("c_nationkey", pa.int32()),
+        ]),
     )
 
     def name_nations(kept: pa.Table) -> pa.Table:
@@ -4595,7 +4623,20 @@ def q_tpch_q4(sf_dir: str):
             ("max_ship", pa.timestamp("us")),
         ]),
     )
-    j = repartition_join(max_ship, orders, on="o_orderkey")
+    j = repartition_join(
+        max_ship, orders, on="o_orderkey",
+        # max_ship has the aggregate exchange upstream — static schema
+        # keeps the join from executing it once extra for dtypes
+        left_schema=pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("max_ship", pa.timestamp("us")),
+        ]),
+        right_schema=pa.schema([
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ]),
+    )
 
     def late(batch: pa.Table) -> pa.Table:
         m = pc.greater(batch["max_ship"], batch["o_orderdate"])
@@ -4878,7 +4919,18 @@ def q_tpch_q18(sf_dir: str):
         }),
         batch_format="pyarrow",
     )
-    j = repartition_join(qty, orders, on="o_orderkey")
+    j = repartition_join(
+        qty, orders, on="o_orderkey",
+        # qty carries the aggregate exchange upstream — static schemas
+        # keep the join from executing it once extra for dtypes
+        left_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("sum_qty", pa.int64()),
+        ]),
+        right_schema=pa.schema([
+            ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]),
+    )
     return j.map_batches(
         lambda t: t.select(
             ["o_custkey", "o_orderkey", "total_cents", "sum_qty"]
