@@ -12082,3 +12082,82 @@ def q_ab_srm(sf_dir: str):
 
 DATA_QUERIES["events_ab_srm"] = q_ab_srm
 DATA_ORACLES["events_ab_srm"] = SQL_AB_SRM
+
+
+# ---------------------------------------------------------------------------
+# Per-group interpolated percentiles (percentile_cont GROUP BY).
+# ---------------------------------------------------------------------------
+
+SQL_GROUPED_CONT = """
+WITH v AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT user_id, x,
+         row_number() OVER (PARTITION BY user_id ORDER BY x) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) - 1 AS m1
+  FROM v
+), pick AS (
+  -- q MUST be DOUBLE: a DECIMAL 0.9 makes ceil(0.9*m1) differ from the
+  -- engine's binary-float ceil at exact-decimal products (m1=10 -> 9.0
+  -- decimal vs 9.000000000000002 double)
+  SELECT user_id, m1,
+         max(CASE WHEN rn = CAST(floor(CAST(0.5 AS DOUBLE) * m1)
+                           AS BIGINT) THEN x END) AS a50,
+         max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * m1)
+                           AS BIGINT) THEN x END) AS b50,
+         max(CASE WHEN rn = CAST(floor(CAST(0.9 AS DOUBLE) * m1)
+                           AS BIGINT) THEN x END) AS a90,
+         max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE) * m1)
+                           AS BIGINT) THEN x END) AS b90
+  FROM s GROUP BY user_id, m1
+)
+SELECT user_id,
+       CAST(a50 AS DOUBLE)
+       + (CAST(b50 AS DOUBLE) - CAST(a50 AS DOUBLE))
+         * (CAST(0.5 AS DOUBLE) * m1
+            - floor(CAST(0.5 AS DOUBLE) * m1)) AS p50,
+       CAST(a90 AS DOUBLE)
+       + (CAST(b90 AS DOUBLE) - CAST(a90 AS DOUBLE))
+         * (CAST(0.9 AS DOUBLE) * m1
+            - floor(CAST(0.9 AS DOUBLE) * m1)) AS p90
+FROM pick
+"""
+
+
+def q_grouped_cont(sf_dir: str):
+    """Per-group percentile_cont (interpolated p50/p90 of each user's
+    integer-cent values): grouped_percentiles' one-exchange segment
+    kernel in interpolate mode — neighbor elements at floor/ceil
+    (q*(m-1)) per segment, blended as a + (b-a)*f in the oracle's exact
+    double operation order. Completes the percentile surface:
+    global disc, global cont, grouped disc, grouped cont."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_percentiles,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "x": pc.cast(
+                pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                pa.int64(),
+            ),
+        }).filter(pc.is_valid(t["value"])),
+        batch_format="pyarrow",
+    )
+    return grouped_percentiles(
+        events, keys=["user_id"], col="x",
+        qs={"p50": 0.5, "p90": 0.9}, interpolate=True,
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("x", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["grouped_percentiles_cont"] = q_grouped_cont
+DATA_ORACLES["grouped_percentiles_cont"] = SQL_GROUPED_CONT

@@ -141,6 +141,8 @@ def interval_join(
     end: str,
     value_cols: tuple[str, ...],
     num_partitions: int | None = None,
+    points_schema: "pa.Schema | None" = None,
+    intervals_schema: "pa.Schema | None" = None,
 ):
     """Range join: every point row gets the value columns of the interval
     row with the same key whose [start, end] contains its timestamp
@@ -154,9 +156,12 @@ def interval_join(
     ``num_partitions`` defaults size-derived (derive_num_partitions)."""
     if num_partitions is None:
         num_partitions = derive_num_partitions(points, intervals)
-    pschema = (points.schema(fetch_if_missing=False)
+    # pass points_schema/intervals_schema when a side has an exchange
+    # upstream: Dataset.schema() on such a side executes the whole
+    # upstream pipeline just to learn dtypes (and the real run repeats it)
+    pschema = points_schema or (points.schema(fetch_if_missing=False)
           or points.schema())
-    ischema = (intervals.schema(fetch_if_missing=False)
+    ischema = intervals_schema or (intervals.schema(fetch_if_missing=False)
           or intervals.schema())
     p_types = dict(zip(pschema.names, pschema.types))
     i_types = dict(zip(ischema.names, ischema.types))
@@ -1489,7 +1494,8 @@ def exact_percentiles(ds, *, col: str, qs: list[float],
 def grouped_percentiles(ds, *, keys: list[str], col: str,
                         qs: dict[str, float],
                         num_partitions: int | None = None,
-                        schema: "pa.Schema | None" = None):
+                        schema: "pa.Schema | None" = None,
+                        interpolate: bool = False):
     """Per-GROUP exact discrete percentiles (SQL ``quantile_disc(col, q)
     GROUP BY keys`` — element at rank ``ceil(q*m)-1`` of each group's m
     non-null values) at any key cardinality: ONE hash exchange on
@@ -1514,8 +1520,13 @@ def grouped_percentiles(ds, *, keys: list[str], col: str,
             sch = sch.base_schema
     types = dict(zip(sch.names, sch.types))
     val_t = types[col]
+    # interpolate=True is SQL percentile_cont per group: the two neighbor
+    # elements at floor/ceil(q*(m-1)) blend as a + (b-a)*f in float64 —
+    # written in that exact operation order so a manually-mirrored oracle
+    # matches bit-for-bit (quantile_disc semantics stay the default)
+    out_t = pa.float64() if interpolate else val_t
     out_schema = pa.schema(
-        [(k, types[k]) for k in keys] + [(o, val_t) for o in qs]
+        [(k, types[k]) for k in keys] + [(o, out_t) for o in qs]
     )
     in_cols = keys + ([col] if col not in keys else [])
 
@@ -1553,6 +1564,24 @@ def grouped_percentiles(ds, *, keys: list[str], col: str,
             vals_sorted = vals_sorted.combine_chunks()
         cols = {k: t[k].take(pa.array(starts, pa.int64())) for k in keys}
         for out, q in qlist:
+            if interpolate:
+                m1 = np.maximum(m - 1, 0)
+                lo = np.floor(q * m1).astype(np.int64)
+                hi = np.ceil(q * m1).astype(np.int64)
+                f = q * m1 - np.floor(q * m1)
+                a = vals_sorted.take(
+                    pa.array(starts + np.minimum(lo, m1), pa.int64())
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                b = vals_sorted.take(
+                    pa.array(starts + np.minimum(hi, m1), pa.int64())
+                ).to_numpy(zero_copy_only=False).astype(np.float64)
+                blended = a + (b - a) * f
+                cols[out] = pc.if_else(
+                    pa.array(m > 0),
+                    pa.array(blended, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                )
+                continue
             rank = np.maximum(0, np.ceil(q * m).astype(np.int64) - 1)
             idx = starts + np.minimum(rank, np.maximum(m - 1, 0))
             picked = vals_sorted.take(pa.array(idx, pa.int64()))

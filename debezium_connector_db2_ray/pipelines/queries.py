@@ -2608,3 +2608,143 @@ def q_hoist_extract(sf_dir: str):
 
 CDC_QUERIES["cdc_hoist_extract"] = q_hoist_extract
 CDC_ORACLES["cdc_hoist_extract"] = SQL_HOIST_EXTRACT
+
+
+# ---------------------------------------------------------------------------
+# Temporal (SCD2) dimension join — fact probes against validity intervals.
+# ---------------------------------------------------------------------------
+
+PROBE_DELTA = 3
+SCD2_OPEN_END = 1 << 62
+
+SQL_SCD2_TEMPORAL = f"""
+WITH {SQL_CHANGELOG.strip()},
+scd2 AS (
+  SELECT CAST(substr(conv_id, 6) AS BIGINT) * {TURN_MOD}
+         + CAST(turn_idx AS BIGINT) AS k,
+         lsn AS valid_from_lsn,
+         lead(lsn) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY lsn) AS valid_to_lsn,
+         CAST(op AS BIGINT) AS op
+  FROM changelog
+), probes AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(substr(conv_id, 6) AS BIGINT) * {TURN_MOD}
+         + CAST(turn_idx AS BIGINT) AS k,
+         lsn + {PROBE_DELTA} AS probe_lsn
+  FROM changelog
+)
+SELECT p.conv_id, p.turn_idx, CAST(p.probe_lsn AS BIGINT) AS probe_lsn,
+       CAST(v.valid_from_lsn AS BIGINT) AS iv_valid_from_lsn,
+       CAST(v.op AS BIGINT) AS iv_op
+FROM probes p
+LEFT JOIN scd2 v
+  ON v.k = p.k
+ AND v.valid_from_lsn <= p.probe_lsn
+ AND (v.valid_to_lsn IS NULL OR p.probe_lsn < v.valid_to_lsn)
+"""
+
+
+def q_scd2_temporal_join(sf_dir: str):
+    """Temporal dimension join — the consumer-side query every SCD2
+    table exists for: each fact probe (an event observed PROBE_DELTA
+    ticks after its LSN) picks up the dimension VERSION valid at its
+    timestamp, via interval_join over the [valid_from, valid_to)
+    validity chain (exclusive end re-expressed as the inclusive
+    valid_to - 1; the open current version gets a +inf sentinel). The
+    composite (conv, turn) key packs into one int64 exactly. ONE sort
+    exchange; version chains are non-overlapping by construction, so
+    output size == probe count.
+
+    Reference analog: warehouse consumers of Debezium SCD2 topics
+    (SURVEY §2.9 downstream shape); machinery shared with
+    events_interval_join."""
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        interval_join,
+    )
+
+    cl = _events(sf_dir).map_batches(
+        derive_changelog, batch_format="pyarrow"
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(
+            pc.utf8_slice_codeunits(t["conv_id"], 5, 99), pa.int64()
+        )
+        turn = t["turn_idx"].cast(pa.int64())
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": turn,
+            "k": pc.add(
+                pc.multiply(uid, pa.scalar(TURN_MOD, pa.int64())), turn
+            ),
+            "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+            "op": t["op"].cast(pa.int64()),
+        })
+
+    keyed_ds = cl.map_batches(keyed, batch_format="pyarrow")
+    iv_schema = pa.schema([
+        ("k", pa.int64()), ("valid_from_lsn", pa.int64()),
+        ("valid_end_incl", pa.int64()), ("op", pa.int64()),
+    ])
+
+    def versions(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return iv_schema.empty_table()
+        t = part.sort_by([("k", "ascending"), ("lsn", "ascending")])
+        n = t.num_rows
+        starts = _segment_starts(t, ["k"])
+        last = np.zeros(n, bool)
+        last[np.append(starts[1:] - 1, n - 1)] = True
+        lsn = t["lsn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nxt = np.empty(n, np.int64)
+        nxt[:-1] = lsn[1:] - 1          # inclusive end of this version
+        nxt[n - 1] = 0
+        end = np.where(last, SCD2_OPEN_END, nxt)
+        return pa.table({
+            "k": t["k"], "valid_from_lsn": t["lsn"],
+            "valid_end_incl": pa.array(end, pa.int64()),
+            "op": t["op"],
+        })
+
+    intervals = _window_exchange(
+        keyed_ds.select_columns(["k", "lsn", "op"]),
+        keys=["k"], cols=["k", "lsn", "op"],
+        num_partitions=None, kernel=versions, out_schema=iv_schema,
+    )
+    probes = keyed_ds.map_batches(
+        lambda t: pa.table({
+            "k": t["k"], "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "probe_lsn": pc.add(
+                t["lsn"], pa.scalar(PROBE_DELTA, pa.int64())
+            ),
+        }),
+        batch_format="pyarrow",
+    )
+    out = interval_join(
+        probes, intervals, key="k", ts="probe_lsn",
+        start="valid_from_lsn", end="valid_end_incl",
+        value_cols=("valid_from_lsn", "op"),
+        points_schema=pa.schema([
+            ("k", pa.int64()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()), ("probe_lsn", pa.int64()),
+        ]),
+        intervals_schema=iv_schema,
+    )
+    return out.map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "probe_lsn": t["probe_lsn"],
+            "iv_valid_from_lsn": t["iv_valid_from_lsn"],
+            "iv_op": t["iv_op"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+CDC_QUERIES["cdc_scd2_temporal_join"] = q_scd2_temporal_join
+CDC_ORACLES["cdc_scd2_temporal_join"] = SQL_SCD2_TEMPORAL

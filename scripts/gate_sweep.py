@@ -60,7 +60,8 @@ def main() -> None:
             try:
                 # dtype-width tolerant, like the driver's value hash
                 # (int32 vs int64 normalizes; Decimal-vs-int still fails)
-                pd.testing.assert_frame_equal(g, x, check_dtype=False)
+                pd.testing.assert_frame_equal(g, x, check_dtype=False,
+                                              check_exact=True)
                 print(f"{name}: ok ({len(g)})")
             except AssertionError as err:
                 print(f"{name}: VALUES {str(err).splitlines()[0]}")

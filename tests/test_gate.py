@@ -86,7 +86,10 @@ def test_query_matches_oracle(ray_session, name):
                 f"{name}.{c}: engine dtype {gd} != oracle dtype {wd} "
                 "(driver hash is dtype-sensitive — CAST the oracle or fix the engine)"
             )
-    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # check_exact: the driver hashes VALUES — a float off by one ulp
+    # passes rtol but fails the driver, so the replica must be exact
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
 
 
 def test_entry_smoke(ray_session):

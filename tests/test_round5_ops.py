@@ -1944,3 +1944,25 @@ def test_mg_batched_decrement_superset():
     for key, w in surv.items():
         true = int(cnt[np.searchsorted(uniq, key)])
         assert 0 < w <= true
+
+
+def test_grouped_percentiles_interpolate_edges(ray_session):
+    """interpolate mode: single-value groups return that value, even
+    splits blend halfway, all-null groups stay NULL."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_percentiles,
+    )
+
+    t = pa.table({
+        "g": pa.array([1, 2, 2, 3], pa.int64()),
+        "v": pa.array([10, 10, 20, None], pa.int64()),
+    })
+    out = grouped_percentiles(
+        rd.from_arrow(t), keys=["g"], col="v", qs={"p50": 0.5},
+        interpolate=True, schema=t.schema,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    assert out["p50"][0] == 10.0          # m=1 -> the value itself
+    assert out["p50"][1] == 15.0          # blend of 10 and 20 at f=0.5
+    assert np.isnan(out["p50"][2])        # all-null group -> NULL
