@@ -3307,8 +3307,12 @@ def q_corr(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
-        y = pc.cast(pc.round(b["l_extendedprice"]), pa.int64())
+        # floor(v + 0.5), NOT pc.round: Arrow rounds half-to-even while
+        # SQL round() is half-away — 58 exact-.5 prices at sf0.001 made
+        # the integer partials (and thus corr) differ from the oracle
+        x = pc.cast(pc.floor(pc.add(b["l_quantity"], 0.5)), pa.int64())
+        y = pc.cast(pc.floor(pc.add(b["l_extendedprice"], 0.5)),
+                    pa.int64())
         xn = x.to_numpy(zero_copy_only=False)
         yn = y.to_numpy(zero_copy_only=False)
         return pa.table({
