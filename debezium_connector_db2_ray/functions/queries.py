@@ -12165,3 +12165,109 @@ def q_grouped_cont(sf_dir: str):
 
 DATA_QUERIES["grouped_percentiles_cont"] = q_grouped_cont
 DATA_ORACLES["grouped_percentiles_cont"] = SQL_GROUPED_CONT
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching plan (inference/training batch planner).
+# ---------------------------------------------------------------------------
+
+BUCKET_TOKEN_BUDGET = 4096
+
+SQL_LENGTH_BUCKETS = f"""
+WITH toks AS (
+  SELECT CAST(len(list_filter(string_split_regex(
+           coalesce(text, ''), '\\s+'), x -> x <> '')) AS BIGINT)
+         AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CASE WHEN n_tokens <= 0 THEN -1
+              ELSE CAST(floor(log2(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+         END AS bucket,
+         n_tokens
+  FROM toks
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(ceil(CAST(sum(n_tokens) AS DOUBLE)
+                 / {BUCKET_TOKEN_BUDGET}) AS BIGINT) AS n_batches
+FROM b GROUP BY bucket
+"""
+
+
+def q_length_buckets(sf_dir: str):
+    """Length-bucketed batching plan — the padding-waste killer every
+    batched-inference pipeline runs first: docs group into power-of-two
+    token-length buckets (floor(log2 n), exact via int bit_length — the
+    oracle's float log2 agrees for n < 2^30 where the double rounds
+    distinctly below each power) and each bucket reports docs, tokens,
+    and the batch count at a {BUCKET_TOKEN_BUDGET}-token budget.
+    Map-only tokenize + a <= 32-cell combiner; the fold is
+    bucket-vocabulary-sized at any corpus size."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    b_schema = pa.schema([
+        ("bucket", pa.int64()), ("n_docs", pa.int64()),
+        ("total_tokens", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return b_schema.empty_table()
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"text": batch["text"]}))
+        n = (
+            df.with_columns(
+                pl.col("text").fill_null("")
+                .str.extract_all(TOKEN_PATTERN)
+                .list.len().alias("n")
+            )["n"].to_numpy().astype(np.int64)
+        )
+        # frexp: n = m * 2^e with m in [0.5, 1) -> floor(log2 n) = e - 1
+        bucket = np.where(
+            n <= 0, -1,
+            np.frexp(np.maximum(n, 1).astype(np.float64))[1] - 1
+        ).astype(np.int64)
+        t = pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+        })
+        g = t.group_by(["bucket"]).aggregate(
+            [("n", "sum"), ("n", "count")]
+        )
+        return pa.table({
+            "bucket": g["bucket"],
+            "n_docs": g["n_count"].cast(pa.int64()),
+            "total_tokens": g["n_sum"].cast(pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        _docs(sf_dir, columns=["text"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["bucket"],
+        aggs={"n_docs": ("n_docs", "sum"),
+              "total_tokens": ("total_tokens", "sum")},
+        num_partitions=1, schema=b_schema,
+    )
+
+    def plan(batch: pa.Table) -> pa.Table:
+        tt = batch["total_tokens"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nb = np.ceil(
+            tt.astype(np.float64) / np.float64(BUCKET_TOKEN_BUDGET)
+        ).astype(np.int64)
+        return batch.append_column("n_batches", pa.array(nb, pa.int64()))
+
+    return folded.map_batches(plan, batch_format="pyarrow")
+
+
+DATA_QUERIES["docs_length_buckets"] = q_length_buckets
+DATA_ORACLES["docs_length_buckets"] = SQL_LENGTH_BUCKETS
