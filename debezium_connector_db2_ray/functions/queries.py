@@ -12271,3 +12271,126 @@ def q_length_buckets(sf_dir: str):
 
 DATA_QUERIES["docs_length_buckets"] = q_length_buckets
 DATA_ORACLES["docs_length_buckets"] = SQL_LENGTH_BUCKETS
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift monitor: centroid cosine between two corpus slices.
+# ---------------------------------------------------------------------------
+
+DRIFT_SCALE = 1_000_000
+
+SQL_EMB_DRIFT = f"""
+WITH h AS (
+  SELECT CAST((max(vec_id) + 1) // 2 AS BIGINT) AS half FROM embeddings
+), q AS (
+  SELECT vec_id, r.range AS dim,
+         CAST(CASE WHEN CAST(embedding[r.range] AS DOUBLE)
+                        * {DRIFT_SCALE} >= 0
+                   THEN floor(CAST(embedding[r.range] AS DOUBLE)
+                              * {DRIFT_SCALE} + 0.5)
+                   ELSE ceil(CAST(embedding[r.range] AS DOUBLE)
+                             * {DRIFT_SCALE} - 0.5)
+              END AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) r
+), s AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN vec_id < (SELECT half FROM h)
+                       THEN qv ELSE 0 END) AS BIGINT) AS su,
+         CAST(sum(CASE WHEN vec_id >= (SELECT half FROM h)
+                       THEN qv ELSE 0 END) AS BIGINT) AS sv
+  FROM q GROUP BY dim
+), d AS (
+  SELECT CAST(sum(su * sv) AS BIGINT) AS uv,
+         CAST(sum(su * su) AS BIGINT) AS uu,
+         CAST(sum(sv * sv) AS BIGINT) AS vv
+  FROM s
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id < (SELECT half FROM h)) AS n_first,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+        WHERE vec_id >= (SELECT half FROM h)) AS n_second,
+       CAST(uv AS DOUBLE)
+       / (sqrt(CAST(uu AS DOUBLE)) * sqrt(CAST(vv AS DOUBLE)))
+           AS centroid_cosine
+FROM d
+"""
+
+
+def q_emb_drift(sf_dir: str):
+    """Embedding drift monitor — the health check a pipeline runs when a
+    new corpus slice lands: cosine between the centroid of the first
+    half (by vec_id) and the second. Components quantize to integers
+    (half-away, matching SQL round semantics for negatives), so the
+    per-dim half-sums are EXACT int64 (order-free — float centroid sums
+    would depend on aggregation order), and the one cosine at the end is
+    a double expression in the oracle's operation order. Per-batch
+    combiner emits 64 (dim, su, sv) rows; everything after the fold is
+    driver-side arithmetic on 64 integers."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    dim_schema = pa.schema([
+        ("dim", pa.int64()), ("su", pa.int64()), ("sv", pa.int64()),
+    ])
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    half = (int(emb.max("vec_id")) + 1) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return dim_schema.empty_table()
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        m = np.stack(
+            batch["embedding"].to_numpy(zero_copy_only=False)
+        ).astype(np.float64) * DRIFT_SCALE
+        q = np.where(m >= 0, np.floor(m + 0.5),
+                     np.ceil(m - 0.5)).astype(np.int64)
+        first = vid < half
+        su = q[first].sum(axis=0, dtype=np.int64)
+        sv = q[~first].sum(axis=0, dtype=np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+            "su": pa.array(su, pa.int64()),
+            "sv": pa.array(sv, pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        emb.map_batches(partial, batch_format="pyarrow"),
+        keys=["dim"],
+        aggs={"su": ("su", "sum"), "sv": ("sv", "sum")},
+        num_partitions=1, schema=dim_schema,
+    )
+    # the folded table is 64 rows — driver-side arithmetic from here
+    t = folded.to_pandas()
+    su = t.sort_values("dim")["su"].to_numpy().astype(np.int64)
+    sv = t.sort_values("dim")["sv"].to_numpy().astype(np.int64)
+    uv = int((su * sv).sum())
+    uu = int((su * su).sum())
+    vv = int((sv * sv).sum())
+    import math
+
+    cos = float(uv) / (math.sqrt(float(uu)) * math.sqrt(float(vv)))
+    n1 = int(emb.map_batches(
+        lambda b: pa.table({
+            "c": pa.array([int((b["vec_id"].to_numpy(
+                zero_copy_only=False) < half).sum())], pa.int64())
+        }),
+        batch_format="pyarrow",
+    ).sum("c"))
+    n2 = int(emb.count()) - n1
+    return pa.table({
+        "n_first": pa.array([n1], pa.int64()),
+        "n_second": pa.array([n2], pa.int64()),
+        "centroid_cosine": pa.array([cos], pa.float64()),
+    })
+
+
+DATA_QUERIES["emb_drift_report"] = q_emb_drift
+DATA_ORACLES["emb_drift_report"] = SQL_EMB_DRIFT
