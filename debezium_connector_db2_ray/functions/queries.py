@@ -12394,3 +12394,235 @@ def q_emb_drift(sf_dir: str):
 
 DATA_QUERIES["emb_drift_report"] = q_emb_drift
 DATA_ORACLES["emb_drift_report"] = SQL_EMB_DRIFT
+
+
+# ---------------------------------------------------------------------------
+# Per-group Pearson correlation (grouped sufficient statistics).
+# ---------------------------------------------------------------------------
+
+SQL_GROUPED_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sx,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS sy,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sxx,
+         sum(CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS syy,
+         sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+FROM s
+"""
+
+
+def q_grouped_corr(sf_dir: str):
+    """Per-GROUP Pearson correlation (quantity vs price within each
+    return flag — the segmented-relationship diagnostic): the five
+    sufficient statistics accumulate as exact int64 per-batch partials
+    PER KEY (a combiner bounded by the tiny flag vocabulary), one keyed
+    fold, and the per-group finish mirrors the oracle's double
+    expression (floor(v + 0.5) on both sides — the half-even lesson from
+    the global corr applied from the start)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    s_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("n", pa.int64()),
+        ("sx", pa.int64()), ("sy", pa.int64()), ("sxx", pa.int64()),
+        ("syy", pa.int64()), ("sxy", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return s_schema.empty_table()
+        x = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "syy": pa.array(y * y),
+            "sxy": pa.array(x * y),
+        })
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        )
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "n": g["n_sum"].cast(pa.int64()),
+            "sx": g["sx_sum"].cast(pa.int64()),
+            "sy": g["sy_sum"].cast(pa.int64()),
+            "sxx": g["sxx_sum"].cast(pa.int64()),
+            "syy": g["syy_sum"].cast(pa.int64()),
+            "sxy": g["sxy_sum"].cast(pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["l_returnflag"],
+        aggs={c: (c, "sum")
+              for c in ("n", "sx", "sy", "sxx", "syy", "sxy")},
+        num_partitions=1, schema=s_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        syy = batch["syy"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        corr = (n * sxy - sx * sy) / (
+            np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        )
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"],
+            "corr": pa.array(corr, pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["lineitem_corr_by_flag"] = q_grouped_corr
+DATA_ORACLES["lineitem_corr_by_flag"] = SQL_GROUPED_CORR
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivorship report per source (curation QA dimension).
+# ---------------------------------------------------------------------------
+
+SQL_DUP_BY_SOURCE = SQL_DEDUP_COMPONENTS.replace(
+    ")\nSELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u",
+    """),
+comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u
+),
+drops AS (
+  SELECT doc_id FROM comp WHERE doc_id <> canonical_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(x.doc_id) AS BIGINT) AS n_dropped,
+       CAST(count(*) - count(x.doc_id) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN drops x ON x.doc_id = d.doc_id
+GROUP BY 1""",
+)
+
+
+def q_dup_by_source(sf_dir: str):
+    """Dedup survivorship per source — the per-provenance QA table a
+    curation run publishes (which feeds are duplicate-heavy, what
+    survives): near-dup drop decisions come from the existing component
+    labels, the drop set filters map-side through the same sorted-array
+    membership dedup_apply uses (broadcast once, corpus never shuffles),
+    and the per-source counts fold through a source-vocabulary-bounded
+    combiner."""
+    import ray
+
+    from debezium_connector_db2_ray.functions.dedup import (
+        minhash_duplicate_pairs,
+    )
+    from debezium_connector_db2_ray.functions.relational import (
+        duplicate_components,
+        grouped_aggregate,
+    )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
+    drop_refs = comp.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t["doc_id"], t["canonical_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+    drops = np.sort(np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+         for t in ray.get(drop_refs)] or [np.array([], np.int64)]
+    ))
+    ref = ray.put(drops)
+
+    src_schema = pa.schema([
+        ("source", pa.string()), ("n_docs", pa.int64()),
+        ("n_dropped", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return src_schema.empty_table()
+        dr = ray.get(ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(dr):
+            pos = np.minimum(np.searchsorted(dr, ids), len(dr) - 1)
+            dropped = dr[pos] == ids
+        else:
+            dropped = np.zeros(len(ids), bool)
+        t = pa.table({
+            "source": batch["source"],
+            "one": pa.array(np.ones(len(ids), np.int64)),
+            "dropped": pa.array(dropped.astype(np.int64)),
+        })
+        g = t.group_by(["source"]).aggregate(
+            [("one", "sum"), ("dropped", "sum")]
+        )
+        return pa.table({
+            "source": g["source"],
+            "n_docs": g["one_sum"].cast(pa.int64()),
+            "n_dropped": g["dropped_sum"].cast(pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["source"],
+        aggs={"n_docs": ("n_docs", "sum"),
+              "n_dropped": ("n_dropped", "sum")},
+        num_partitions=1, schema=src_schema,
+    )
+    return folded.map_batches(
+        lambda t: t.append_column(
+            "n_kept",
+            pc.subtract(t["n_docs"], t["n_dropped"]).cast(pa.int64()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["dedup_by_source"] = q_dup_by_source
+DATA_ORACLES["dedup_by_source"] = SQL_DUP_BY_SOURCE
