@@ -606,13 +606,63 @@ class CdcEngine:
         import logging
 
         from debezium_connector_db2_ray.state.signals import (
+            is_paused,
             mark_processed,
             pending_signals,
+            set_paused,
         )
 
         log = logging.getLogger(__name__)
         out: list[WindowManifest] = []
-        for sig in pending_signals(self.out_dir):
+        sigs = pending_signals(self.out_dir)
+        # stop-snapshot cancels a pending/incomplete execute-snapshot by
+        # tag (data {"tag": <signal id>} or {"tag": "all"}) — collected
+        # up-front so a stop enqueued AFTER a killed-mid-chunks snapshot
+        # cancels its resumption, matching the reference's
+        # StopSnapshotAction on in-flight incremental snapshots
+        stop_tags = {
+            (s.data or {}).get("tag", "all")
+            for s in sigs if s.type == "stop-snapshot"
+        }
+        stop_all = "all" in stop_tags
+        # control-plane signals (stop/pause/resume) apply BEFORE the
+        # data-plane pass, in enqueue order — so a resume enqueued after a
+        # paused execute lets THIS drain run it (the reference's signal
+        # actions mutate coordinator state before the next poll acts)
+        control = [s for s in sigs if s.type in (
+            "stop-snapshot", "pause-snapshot", "resume-snapshot")]
+        for sig in control:
+            if sig.type == "stop-snapshot":
+                log.info("stop-snapshot: cancelling %s", stop_tags)
+            elif sig.type == "pause-snapshot":
+                set_paused(self.out_dir, True)
+            else:
+                set_paused(self.out_dir, False)
+            mark_processed(self.out_dir, sig.id)
+            self.notifications.emit(
+                "Signal", "PROCESSED",
+                {"signal_id": sig.id, "type": sig.type},
+            )
+        for sig in sigs:
+            if sig in control:
+                continue
+            if sig.type == "execute-snapshot":
+                if stop_all or sig.id in stop_tags:
+                    self.notifications.emit(
+                        "Incremental Snapshot", "ABORTED",
+                        {"signal_id": sig.id},
+                    )
+                    mark_processed(self.out_dir, sig.id)
+                    continue
+                if is_paused(self.out_dir):
+                    # paused: leave the signal PENDING (not acked) so a
+                    # later resume-snapshot drain picks it up — the
+                    # reference's PauseIncrementalSnapshot semantics
+                    self.notifications.emit(
+                        "Incremental Snapshot", "PAUSED",
+                        {"signal_id": sig.id},
+                    )
+                    continue
             if sig.type == "execute-snapshot":
                 mode = (sig.data or {}).get("type", "INCREMENTAL").upper()
                 wm = committed_watermark(self.out_dir)

@@ -19,7 +19,14 @@ Supported types mirror the reference's actions:
   superseding prior state, streaming resumes after
   (BlockingSnapshotIT.java:132-138);
 - ``log`` — write the message to the engine log (the reference's Log
-  action).
+  action);
+- ``stop-snapshot`` data ``{"tag": <signal id> | "all"}`` — cancel a
+  pending / killed-mid-chunks incremental snapshot before it (re)runs
+  (the reference's StopSnapshotAction);
+- ``pause-snapshot`` / ``resume-snapshot`` — durable pause latch: while
+  paused, execute-snapshot signals stay PENDING un-acked and are picked
+  up by the first drain after resume (PauseIncrementalSnapshot /
+  ResumeIncrementalSnapshot).
 Unknown types are logged and acknowledged (the reference warns and skips).
 """
 
@@ -88,3 +95,24 @@ def mark_processed(out_dir: str, signal_id: str) -> None:
     for name in os.listdir(d):
         if name.endswith(f"-{signal_id}.json"):
             os.replace(os.path.join(d, name), os.path.join(done, name))
+
+
+PAUSE_MARKER = "_paused"
+
+
+def set_paused(out_dir: str, paused: bool) -> None:
+    """Durable pause latch for incremental snapshots (the reference's
+    pause-snapshot / resume-snapshot signal pair persists the paused
+    state in the offsets; here it is a marker file under _signals/)."""
+    p = os.path.join(_sdir(out_dir), PAUSE_MARKER)
+    os.makedirs(_sdir(out_dir), exist_ok=True)
+    if paused:
+        with open(p + ".tmp", "w") as f:
+            f.write("paused")
+        os.replace(p + ".tmp", p)
+    elif os.path.exists(p):
+        os.remove(p)
+
+
+def is_paused(out_dir: str) -> bool:
+    return os.path.exists(os.path.join(_sdir(out_dir), PAUSE_MARKER))

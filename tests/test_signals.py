@@ -191,3 +191,54 @@ def test_notification_channel_records_progress(ray_session, scenario, tmp_path):
     assert kinds.index(("Initial Snapshot", "STARTED")) < kinds.index(
         ("Initial Snapshot", "COMPLETED")
     )
+
+
+def test_stop_snapshot_cancels_pending(ray_session, scenario, tmp_path):
+    """A stop-snapshot signal cancels a pending execute-snapshot (by tag
+    and by 'all') without running its chunks — the StopSnapshotAction
+    shape on a killed-mid-flight snapshot."""
+    import ray.data as rd
+
+    sc, data_dir, _ = scenario
+    out = str(tmp_path / "stop")
+    eng = CdcEngine(out_dir=out, num_partitions=4)
+    lake = lambda: rd.read_parquet(os.path.join(data_dir, "lake.parquet"))  # noqa: E731
+    eng.snapshot(lake(), sc.snapshot_lsn)
+    sid = send_signal(out, "execute-snapshot",
+                      {"type": "INCREMENTAL", "chunks": 3})
+    send_signal(out, "stop-snapshot", {"tag": sid})
+    ms = eng.drain_signals(lake)
+    assert ms == []  # nothing ran
+    assert pending_signals(out) == []  # both signals durably acked
+    kinds = [m.kind for m in load_manifests(out)]
+    assert not any(k.startswith("snapshot_chunk") for k in kinds)
+    from debezium_connector_db2_ray.state.notifications import (
+        NotificationLog,
+    )
+
+    notes = NotificationLog(out).read()
+    assert any(n.type == "ABORTED" for n in notes)
+
+
+def test_pause_resume_snapshot_latch(ray_session, scenario, tmp_path):
+    """pause-snapshot leaves execute-snapshot signals PENDING un-acked;
+    after resume-snapshot the next drain runs them to completion."""
+    import ray.data as rd
+
+    sc, data_dir, _ = scenario
+    out = str(tmp_path / "pause")
+    eng = CdcEngine(out_dir=out, num_partitions=4)
+    lake = lambda: rd.read_parquet(os.path.join(data_dir, "lake.parquet"))  # noqa: E731
+    eng.snapshot(lake(), sc.snapshot_lsn)
+    send_signal(out, "pause-snapshot")
+    sid = send_signal(out, "execute-snapshot",
+                      {"type": "INCREMENTAL", "chunks": 2})
+    assert eng.drain_signals(lake) == []
+    # the execute signal is still pending (paused), the pause is acked
+    assert [s.id for s in pending_signals(out)] == [sid]
+    send_signal(out, "resume-snapshot")
+    ms = eng.drain_signals(lake)
+    assert len(ms) == 2  # both chunks ran after resume
+    assert pending_signals(out) == []
+    kinds = [m.kind for m in load_manifests(out)]
+    assert sum(k.startswith(f"snapshot_chunk:{sid}") for k in kinds) == 2
