@@ -12626,3 +12626,72 @@ def q_dup_by_source(sf_dir: str):
 
 DATA_QUERIES["dedup_by_source"] = q_dup_by_source
 DATA_ORACLES["dedup_by_source"] = SQL_DUP_BY_SOURCE
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption plan (T5-style pretraining objective planner).
+# ---------------------------------------------------------------------------
+
+CORRUPT_RATE_PCT = 15
+MEAN_SPAN_LEN = 3
+
+SQL_SPAN_PLAN = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(
+           coalesce(text, ''), '\\s+'), x -> x <> '')) AS BIGINT)
+         AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_tokens * {CORRUPT_RATE_PCT} // 100 AS BIGINT)
+           AS n_corrupted,
+       CAST((n_tokens * {CORRUPT_RATE_PCT} // 100 + {MEAN_SPAN_LEN} - 1)
+            // {MEAN_SPAN_LEN} AS BIGINT) AS n_spans
+FROM toks
+"""
+
+
+def q_span_plan(sf_dir: str):
+    """Span-corruption planning (the T5/UL2 denoising-objective sizing
+    pass): per document, the corrupted-token budget at a fixed noise
+    rate and the span count at a mean span length — all integer floor
+    arithmetic (DuckDB's BIGINT division floors like numpy //), so the
+    plan is deterministic and cluster-size independent. Map-only: one
+    tokenizer pass per batch, no exchange anywhere."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
+
+    def plan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                ("n_corrupted", pa.int64()), ("n_spans", pa.int64()),
+            ]).empty_table()
+        import polars as pl
+
+        df = pl.from_arrow(pa.table({"text": batch["text"]}))
+        n = (
+            df.with_columns(
+                pl.col("text").fill_null("")
+                .str.extract_all(TOKEN_PATTERN)
+                .list.len().alias("n")
+            )["n"].to_numpy().astype(np.int64)
+        )
+        nc = n * CORRUPT_RATE_PCT // 100
+        ns = (nc + MEAN_SPAN_LEN - 1) // MEAN_SPAN_LEN
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_corrupted": pa.array(nc, pa.int64()),
+            "n_spans": pa.array(ns, pa.int64()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(plan, batch_format="pyarrow")
+
+
+DATA_QUERIES["docs_span_corruption_plan"] = q_span_plan
+DATA_ORACLES["docs_span_corruption_plan"] = SQL_SPAN_PLAN
