@@ -2748,3 +2748,63 @@ def q_scd2_temporal_join(sf_dir: str):
 
 CDC_QUERIES["cdc_scd2_temporal_join"] = q_scd2_temporal_join
 CDC_ORACLES["cdc_scd2_temporal_join"] = SQL_SCD2_TEMPORAL
+
+
+# ---------------------------------------------------------------------------
+# JSONL envelope sink round-trip (the Kafka-record output shape, durably).
+# ---------------------------------------------------------------------------
+
+SQL_ENVELOPE_JSONL = SQL_ENVELOPE
+
+
+def q_envelope_jsonl_roundtrip(sf_dir: str):
+    """Envelope SINK parity: the reference's output IS a stream of JSON
+    change records (Kafka values); here the same envelope feed streams
+    through Ray's JSONL writer into a partitioned directory (one file
+    per block — the resumable many-files layout, never one giant file)
+    and is read BACK through the JSONL source, proving the sink/source
+    pair round-trips every envelope field losslessly. The gate compares
+    the round-tripped feed against the same oracle as cdc_envelope_feed
+    — any serialization loss (dtype widening, NULL coercion, string
+    mangling) fails the value hash. turn_idx/serial re-cast from JSON's
+    int64 on the way back; all other columns round-trip natively."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    feed = q_envelope_feed(sf_dir)
+    out = tempfile.mkdtemp(prefix="cdc_envelope_jsonl_")
+    try:
+        feed.write_json(out)
+        back = rd.read_json(out).map_batches(
+            lambda t: pa.table({
+                "lsn": t["lsn"].cast(pa.int64()),
+                "serial": t["serial"].cast(pa.int32()),
+                "op_char": t["op_char"].cast(pa.string()),
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "turn_idx": t["turn_idx"].cast(pa.int32()),
+                "before_text": t["before_text"].cast(pa.string()),
+                "after_text": t["after_text"].cast(pa.string()),
+            }),
+            batch_format="pyarrow",
+        )
+        # materialize before deleting the staging dir (lazy reads would
+        # hit a missing path)
+        tbl = pa.concat_tables(
+            [b for b in back.iter_batches(batch_format="pyarrow")]
+            or [pa.schema([
+                ("lsn", pa.int64()), ("serial", pa.int32()),
+                ("op_char", pa.string()), ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("before_text", pa.string()),
+                ("after_text", pa.string()),
+            ]).empty_table()]
+        )
+        return tbl
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+CDC_QUERIES["cdc_envelope_jsonl_sink"] = q_envelope_jsonl_roundtrip
+CDC_ORACLES["cdc_envelope_jsonl_sink"] = SQL_ENVELOPE_JSONL
