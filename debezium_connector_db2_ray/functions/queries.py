@@ -11006,16 +11006,22 @@ def q_percentiles_cont(sf_dir: str):
             batch_format="pyarrow",
         ).sum("c")
     )
-    lo_t = exact_percentiles(
-        cents, col="x", qs=CONT_QS,
-        rank_of=lambda q, nn: int(np.floor(q * (nn - 1))),
+    # ONE selection run for all six neighbor ranks: q values above 1
+    # encode the ceil twin of q-1, so nearby lo/hi states share candidate
+    # ranges (and thus histogram scans) inside exact_percentiles instead
+    # of paying the multi-round scan cost twice
+    def rank_of(q, nn):
+        if q <= 1.0:
+            return int(np.floor(q * (nn - 1)))
+        return int(np.ceil((q - 1.0) * (nn - 1)))
+
+    both = exact_percentiles(
+        cents, col="x", qs=CONT_QS + [q + 1.0 for q in CONT_QS],
+        rank_of=rank_of,
     )
-    hi_t = exact_percentiles(
-        cents, col="x", qs=CONT_QS,
-        rank_of=lambda q, nn: int(np.ceil(q * (nn - 1))),
-    )
-    a = lo_t["value"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = hi_t["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = both["value"].to_numpy(zero_copy_only=False).astype(np.int64)
+    a = vals[: len(CONT_QS)]
+    b = vals[len(CONT_QS):]
     qarr = np.array(CONT_QS, np.float64)
     f = qarr * (n - 1) - np.floor(qarr * (n - 1))
     val = a.astype(np.float64) + (b - a).astype(np.float64) * f
