@@ -2808,3 +2808,111 @@ def q_envelope_jsonl_roundtrip(sf_dir: str):
 
 CDC_QUERIES["cdc_envelope_jsonl_sink"] = q_envelope_jsonl_roundtrip
 CDC_ORACLES["cdc_envelope_jsonl_sink"] = SQL_ENVELOPE_JSONL
+
+
+# ---------------------------------------------------------------------------
+# Bitemporal read: state valid-at T as-known-at LSN L.
+# ---------------------------------------------------------------------------
+
+SQL_BITEMPORAL = f"""
+WITH {SQL_CHANGELOG.strip()},
+lim AS (
+  SELECT CAST(max(lsn) * 6 // 10 AS BIGINT) AS known_l,
+         min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts)))
+           * 7 // 10 AS valid_t
+  FROM changelog
+), f AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, lsn, op, text, ts
+  FROM changelog
+  WHERE lsn <= (SELECT known_l FROM lim)
+    AND epoch_us(ts) <= (SELECT valid_t FROM lim)
+), r AS (
+  SELECT conv_id, turn_idx, lsn, CAST(op AS BIGINT) AS op, text,
+         row_number() OVER (
+           PARTITION BY conv_id, turn_idx
+           ORDER BY ts DESC, lsn DESC) AS rn
+  FROM f
+)
+SELECT conv_id, turn_idx, CAST(lsn AS BIGINT) AS known_lsn, op, text
+FROM r WHERE rn = 1
+"""
+
+
+def q_bitemporal_read(sf_dir: str):
+    """Bitemporal read — the two-axis query a corrected-history consumer
+    asks: for each key, the version VALID at time T as KNOWN at LSN L
+    (late-arriving corrections with lsn <= L but newer valid-time win;
+    corrections landed after L are invisible). Both cutoffs derive from
+    the corpus (60% of max LSN, 70% of the time span) so the query is
+    scale-free. Map-side double filter, then top_n_per_group's ONE
+    keyed exchange with the (valid_ts DESC, lsn DESC) argmax — never a
+    per-key UDF.
+
+    Reference analog: none as an operator — the consumer-side pattern
+    over Debezium's (source.ts_ms, LSN) pair (SURVEY §2.9 downstream
+    shape)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        top_n_per_group,
+    )
+
+    cl = _events(sf_dir).map_batches(
+        derive_changelog, batch_format="pyarrow"
+    ).map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+            "op": t["op"].cast(pa.int64()),
+            "text": t["text"].cast(pa.string()),
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+    # one tiny stats pass for both cutoffs
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    st = cl.aggregate(
+        _Max("lsn", alias_name="max_lsn"),
+        _Min("ts_us", alias_name="min_ts"),
+        _Max("ts_us", alias_name="max_ts"),
+    )
+    known_l = int(st["max_lsn"]) * 6 // 10
+    valid_t = int(st["min_ts"]) + (
+        int(st["max_ts"]) - int(st["min_ts"])
+    ) * 7 // 10
+
+    filt = cl.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.less_equal(t["lsn"], known_l),
+                pc.less_equal(t["ts_us"], valid_t),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    top = top_n_per_group(
+        filt, keys=["conv_id", "turn_idx"],
+        order_by=[("ts_us", "descending"), ("lsn", "descending")],
+        n=1,
+        schema=pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+            ("lsn", pa.int64()), ("op", pa.int64()),
+            ("text", pa.string()), ("ts_us", pa.int64()),
+        ]),
+        out_rank="rn",
+    )
+    return top.map_batches(
+        lambda t: pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "known_lsn": t["lsn"],
+            "op": t["op"],
+            "text": t["text"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+CDC_QUERIES["cdc_bitemporal_read"] = q_bitemporal_read
+CDC_ORACLES["cdc_bitemporal_read"] = SQL_BITEMPORAL
