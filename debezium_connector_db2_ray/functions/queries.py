@@ -12701,3 +12701,205 @@ def q_span_plan(sf_dir: str):
 
 DATA_QUERIES["docs_span_corruption_plan"] = q_span_plan
 DATA_ORACLES["docs_span_corruption_plan"] = SQL_SPAN_PLAN
+
+
+# ---------------------------------------------------------------------------
+# Item-based collaborative filtering: top-k similar parts by basket Jaccard.
+# ---------------------------------------------------------------------------
+
+SIM_TOP_K = 3
+
+SQL_SIMILAR_ITEMS = f"""
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), freq AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM d GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS support
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), both_dirs AS (
+  SELECT p1 AS part, p2 AS other, support FROM pairs
+  UNION ALL
+  SELECT p2 AS part, p1 AS other, support FROM pairs
+), scored AS (
+  SELECT bd.part, bd.other,
+         CAST(bd.support AS DOUBLE)
+         / CAST(fa.f + fb.f - bd.support AS DOUBLE) AS sim
+  FROM both_dirs bd
+  JOIN freq fa ON fa.l_partkey = bd.part
+  JOIN freq fb ON fb.l_partkey = bd.other
+), r AS (
+  SELECT part, other, sim,
+         row_number() OVER (
+           PARTITION BY part ORDER BY sim DESC, other ASC) AS rn
+  FROM scored
+)
+SELECT part, other, sim, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= {SIM_TOP_K}
+"""
+
+
+def q_similar_items(sf_dir: str):
+    """Item-based collaborative filtering — 'customers who bought X also
+    bought': each part's top-{SIM_TOP_K} neighbors by basket Jaccard
+    (support / (f_a + f_b - support), one exact int64/int64 double
+    division). Composes the existing primitives end-to-end: the basket
+    pair mining exchange (per-size triu emission, no self-join), a part
+    frequency fold, TWO broadcast joins to attach frequencies (the freq
+    table is part-vocabulary-sized — never a shuffle of the pair
+    stream), and top_n_per_group's segment-rank kernel with
+    deterministic (sim DESC, other ASC) ties."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        broadcast_join,
+        grouped_aggregate,
+        top_n_per_group,
+    )
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pair_schema = pa.schema([
+        ("p1", pa.int64()), ("p2", pa.int64()), ("support", pa.int64()),
+    ])
+    freq_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("f", pa.int64()),
+    ])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pair_schema.empty_table()
+        t = part.sort_by([("l_orderkey", "ascending"),
+                          ("l_partkey", "ascending")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        n = len(ok)
+        starts = np.flatnonzero(
+            np.concatenate(([True], ok[1:] != ok[:-1]))
+        )
+        sizes = np.diff(np.append(starts, n))
+        p1_parts, p2_parts = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            iu, ju = np.triu_indices(int(m), k=1)
+            segs = starts[sizes == m]
+            base = np.repeat(segs, len(iu))
+            p1_parts.append(pk[base + np.tile(iu, len(segs))])
+            p2_parts.append(pk[base + np.tile(ju, len(segs))])
+        if not p1_parts:
+            return pair_schema.empty_table()
+        pairs = pa.table({
+            "p1": pa.array(np.concatenate(p1_parts), pa.int64()),
+            "p2": pa.array(np.concatenate(p2_parts), pa.int64()),
+        })
+        g = pairs.group_by(["p1", "p2"]).aggregate([("p1", "count")])
+        return pa.table({
+            "p1": g["p1"], "p2": g["p2"],
+            "support": g["p1_count"].cast(pa.int64()),
+        })
+
+    def freq_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return freq_schema.empty_table()
+        t = batch.sort_by([("l_orderkey", "ascending"),
+                           ("l_partkey", "ascending")])
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ok), bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        u, c = np.unique(pk[keep], return_counts=True)
+        return pa.table({
+            "l_partkey": pa.array(u, pa.int64()),
+            "f": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    pairs = grouped_aggregate(
+        _window_exchange(
+            items, keys=["l_orderkey"],
+            cols=["l_orderkey", "l_partkey"],
+            num_partitions=None, kernel=kernel, out_schema=pair_schema,
+        ),
+        keys=["p1", "p2"], aggs={"support": ("support", "sum")},
+        schema=pair_schema,
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["support"], BASKET_MIN_SUPPORT)
+        ),
+        batch_format="pyarrow",
+    )
+    # (order, part) distinct within the SAME orderkey exchange would be
+    # exact; the per-batch dedup here is a partial — the fold sums the
+    # per-batch distinct counts, so route through the orderkey exchange
+    # to make (order, part) globally unique first
+    freq = grouped_aggregate(
+        _window_exchange(
+            items, keys=["l_orderkey"],
+            cols=["l_orderkey", "l_partkey"],
+            num_partitions=None, kernel=freq_partial,
+            out_schema=freq_schema,
+        ),
+        keys=["l_partkey"], aggs={"f": ("f", "sum")},
+        schema=freq_schema,
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pa.concat_arrays([
+                t["p1"].combine_chunks(), t["p2"].combine_chunks()
+            ]),
+            "other": pa.concat_arrays([
+                t["p2"].combine_chunks(), t["p1"].combine_chunks()
+            ]),
+            "support": pa.concat_arrays([
+                t["support"].combine_chunks(),
+                t["support"].combine_chunks(),
+            ]),
+        })
+
+    bd = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    j = broadcast_join(
+        broadcast_join(bd, freq, on="part", right_on="l_partkey"),
+        freq.map_batches(
+            lambda t: pa.table({"other": t["l_partkey"],
+                                "fb": t["f"]}),
+            batch_format="pyarrow",
+        ),
+        on="other",
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        s = t["support"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = t["fb"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = s.astype(np.float64) / (fa + fb - s).astype(np.float64)
+        return pa.table({
+            "part": t["part"], "other": t["other"],
+            "sim": pa.array(sim, pa.float64()),
+        })
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+    return top_n_per_group(
+        scored, keys=["part"],
+        order_by=[("sim", "descending"), ("other", "ascending")],
+        n=SIM_TOP_K,
+        schema=pa.schema([
+            ("part", pa.int64()), ("other", pa.int64()),
+            ("sim", pa.float64()),
+        ]),
+        out_rank="rn",
+    )
+
+
+DATA_QUERIES["part_similar_items"] = q_similar_items
+DATA_ORACLES["part_similar_items"] = SQL_SIMILAR_ITEMS
