@@ -12903,3 +12903,95 @@ def q_similar_items(sf_dir: str):
 
 DATA_QUERIES["part_similar_items"] = q_similar_items
 DATA_ORACLES["part_similar_items"] = SQL_SIMILAR_ITEMS
+
+
+# ---------------------------------------------------------------------------
+# Next-event majority-baseline accuracy (from the transition matrix).
+# ---------------------------------------------------------------------------
+
+SQL_NEXT_EVENT_BASELINE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), t AS (
+  SELECT event_type AS from_type, next_type AS to_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+), agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(sum(mx) AS BIGINT) AS correct
+  FROM (SELECT from_type, max(n) AS mx, sum(n) AS n
+        FROM t GROUP BY from_type)
+)
+SELECT total, correct,
+       CAST(correct AS DOUBLE) / CAST(total AS DOUBLE) AS accuracy
+FROM agg
+"""
+
+
+def q_next_event_baseline(sf_dir: str):
+    """Majority-class next-event baseline — the sanity floor every
+    sequence model must beat, evaluated in CLOSED FORM from the
+    transition matrix: accuracy = sum_a max_b t(a,b) / sum t, so the
+    corpus is scanned ONCE (the grouped_adjacent_pairs exchange that
+    already powers the Markov counts) and the evaluation itself reads a
+    |vocab|^2 table — no second pass, no prediction materialization.
+    The single division is exact int64 -> double."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_adjacent_pairs,
+        grouped_aggregate,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    pairs = grouped_adjacent_pairs(
+        events, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        from_cols=["event_type"], to_cols=["event_type"],
+    )
+    cnt_schema = pa.schema([
+        ("from_type", pa.string()), ("to_type", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return cnt_schema.empty_table()
+        t = pa.table({
+            "from_type": batch["from_event_type"],
+            "to_type": batch["to_event_type"],
+        })
+        g = t.group_by(["from_type", "to_type"]).aggregate(
+            [("from_type", "count")]
+        )
+        return pa.table({
+            "from_type": g["from_type"], "to_type": g["to_type"],
+            "n": g["from_type_count"].cast(pa.int64()),
+        })
+
+    counts = grouped_aggregate(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        keys=["from_type", "to_type"], aggs={"n": ("n", "sum")},
+        num_partitions=1, schema=cnt_schema,
+    )
+    t = counts.to_pandas()
+    total = int(t["n"].sum())
+    correct = int(t.groupby("from_type")["n"].max().sum())
+    return pa.table({
+        "total": pa.array([total], pa.int64()),
+        "correct": pa.array([correct], pa.int64()),
+        "accuracy": pa.array(
+            [float(correct) / float(total)], pa.float64()
+        ),
+    })
+
+
+DATA_QUERIES["events_next_event_baseline"] = q_next_event_baseline
+DATA_ORACLES["events_next_event_baseline"] = SQL_NEXT_EVENT_BASELINE
