@@ -11929,14 +11929,46 @@ def q_heavy_users_mg(sf_dir: str):
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id"]
     )
-    # candidate set: union of per-batch survivors (<= 64/batch), folded
-    # tiny, then broadcast for the exact pass
+
+    MG_GLOBAL_CAP = 4096
+
+    def global_cut(batch: pa.Table) -> pa.Table:
+        # second-level mergeable-summaries cut on the folded candidates:
+        # without it the candidate union grows ~64 * n_batches on
+        # adversarial data (new keys every batch) and the driver collect
+        # below would scale with corpus size. Subtracting the (C+1)-th
+        # largest folded weight keeps <= C survivors and preserves the
+        # guarantee (any key with true frequency > n/(C+1) survives),
+        # which the exact recount then turns into exact counts.
+        if batch.num_rows <= MG_GLOBAL_CAP:
+            return batch
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kth = np.partition(w, len(w) - MG_GLOBAL_CAP - 1)[
+            len(w) - MG_GLOBAL_CAP - 1
+        ]
+        keep = w > kth
+        return pa.table({
+            "user_id": batch["user_id"].filter(pa.array(keep)),
+            "w": pa.array(w[keep] - kth, pa.int64()),
+        })
+
+    # candidate set: union of per-batch survivors (<= 64/batch), folded,
+    # cut to a driver-bounded cap, then broadcast for the exact pass
     cands = grouped_aggregate(
         events.map_batches(mg_partial, batch_format="pyarrow"),
         keys=["user_id"], aggs={"w": ("w", "sum")},
         num_partitions=1, schema=cand_schema,
+    ).map_batches(
+        global_cut, batch_format="pyarrow", batch_size=None,
     ).to_arrow_refs()
-    cand_tbl = pa.concat_tables([t for t in ray.get(cands)])
+    # drop empty blocks before concat: a zero-row block can surface with
+    # a bare/metadata-less schema that select() rejects
+    parts = [
+        t.select(["user_id", "w"]).cast(cand_schema)
+        for t in ray.get(cands) if t.num_rows
+    ]
+    cand_tbl = (pa.concat_tables(parts) if parts
+                else cand_schema.empty_table())
     cand_ids = np.sort(
         cand_tbl["user_id"].to_numpy(zero_copy_only=False).astype(
             np.int64
