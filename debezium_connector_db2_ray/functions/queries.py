@@ -12563,6 +12563,8 @@ DATA_ORACLES["lineitem_corr_by_flag"] = SQL_GROUPED_CORR
 # Dedup survivorship report per source (curation QA dimension).
 # ---------------------------------------------------------------------------
 
+DEDUP_REPORT_BROADCAST_CAP = 5_000_000
+
 SQL_DUP_BY_SOURCE = SQL_DEDUP_COMPONENTS.replace(
     ")\nSELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u",
     """),
@@ -12601,15 +12603,75 @@ def q_dup_by_source(sf_dir: str):
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     comp = duplicate_components(minhash_duplicate_pairs(ds, threshold=0.5))
-    drop_refs = comp.map_batches(
+    # drops stay in the OBJECT STORE; count read from block metadata so
+    # the routing decision never concatenates them on the driver
+    drops_ds = comp.map_batches(
         lambda t: t.filter(
             pc.not_equal(t["doc_id"], t["canonical_id"])
         ).select(["doc_id"]),
         batch_format="pyarrow",
-    ).to_arrow_refs()
+    ).materialize()
+    n_drops = drops_ds.count()
+    if n_drops > DEDUP_REPORT_BROADCAST_CAP:
+        # high-duplication corpus: per-source dropped counts via ONE hash
+        # exchange (drops join docs on doc_id), totals from the docs scan
+        # — the corpus and the drop set never land on the driver
+        from debezium_connector_db2_ray.functions.relational import (
+            repartition_join,
+        )
+
+        dropped_src = repartition_join(
+            drops_ds,
+            _docs(sf_dir, columns=["doc_id", "source"]),
+            on="doc_id",
+            left_schema=pa.schema([("doc_id", pa.int64())]),
+            right_schema=pa.schema([
+                ("doc_id", pa.int64()), ("source", pa.string()),
+            ]),
+        )
+        dropped_counts = grouped_aggregate(
+            dropped_src.map_batches(
+                lambda t: pa.table({
+                    "source": t["source"],
+                    "n_dropped": pa.array(
+                        np.ones(t.num_rows, np.int64)),
+                }),
+                batch_format="pyarrow",
+            ),
+            keys=["source"], aggs={"n_dropped": ("n_dropped", "sum")},
+            num_partitions=1,
+            schema=pa.schema([
+                ("source", pa.string()), ("n_dropped", pa.int64()),
+            ]),
+        ).to_pandas()
+        totals = grouped_aggregate(
+            _docs(sf_dir, columns=["source"]).map_batches(
+                lambda t: pa.table({
+                    "source": t["source"],
+                    "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                }),
+                batch_format="pyarrow",
+            ),
+            keys=["source"], aggs={"n_docs": ("n_docs", "sum")},
+            num_partitions=1,
+            schema=pa.schema([
+                ("source", pa.string()), ("n_docs", pa.int64()),
+            ]),
+        ).to_pandas()
+        merged = totals.merge(dropped_counts, on="source", how="left")
+        nd = merged["n_dropped"].fillna(0).astype("int64")
+        return pa.table({
+            "source": pa.array(merged["source"], pa.string()),
+            "n_docs": pa.array(merged["n_docs"], pa.int64()),
+            "n_dropped": pa.array(nd, pa.int64()),
+            "n_kept": pa.array(
+                merged["n_docs"].astype("int64") - nd, pa.int64()
+            ),
+        })
     drops = np.sort(np.concatenate(
         [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-         for t in ray.get(drop_refs)] or [np.array([], np.int64)]
+         for t in ray.get(drops_ds.to_arrow_refs())]
+        or [np.array([], np.int64)]
     ))
     ref = ray.put(drops)
 

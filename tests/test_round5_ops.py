@@ -1966,3 +1966,25 @@ def test_grouped_percentiles_interpolate_edges(ray_session):
     assert out["p50"][0] == 10.0          # m=1 -> the value itself
     assert out["p50"][1] == 15.0          # blend of 10 and 20 at f=0.5
     assert np.isnan(out["p50"][2])        # all-null group -> NULL
+
+
+def test_dedup_by_source_join_path_matches_broadcast(ray_session):
+    """Forcing the over-budget repartition-join path produces the same
+    per-source survivorship report as the broadcast path."""
+    import debezium_connector_db2_ray.functions.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    a = q.DATA_QUERIES["dedup_by_source"](sf)
+    a = (a.to_pandas() if hasattr(a, "to_pandas") else a)
+    a = a.sort_values("source").reset_index(drop=True)
+    old = q.DEDUP_REPORT_BROADCAST_CAP
+    q.DEDUP_REPORT_BROADCAST_CAP = 0
+    try:
+        b = q.DATA_QUERIES["dedup_by_source"](sf)
+        b = (b.to_pandas() if hasattr(b, "to_pandas") else b)
+        b = b.sort_values("source").reset_index(drop=True)
+    finally:
+        q.DEDUP_REPORT_BROADCAST_CAP = old
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
