@@ -13089,3 +13089,26 @@ def q_next_event_baseline(sf_dir: str):
 
 DATA_QUERIES["events_next_event_baseline"] = q_next_event_baseline
 DATA_ORACLES["events_next_event_baseline"] = SQL_NEXT_EVENT_BASELINE
+
+
+# ---------------------------------------------------------------------------
+# zlib compression-ratio quality signal (rows-only: not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+
+def q_compression_ratio(sf_dir: str):
+    """Compression-ratio curation signal (the Gopher/RefinedWeb-family
+    repetition filter): per-doc deflate ratio + a too-repetitive flag,
+    map-only over the documents table. No SQL oracle (DuckDB has no
+    deflate) — rows-only at the driver, pinned exactly by
+    tests/test_round5_ops.py::test_compression_ratio_pytest_oracle."""
+    from debezium_connector_db2_ray.functions.text import (
+        compression_ratio_batch,
+    )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow"
+    )
+
+
+DATA_QUERIES["docs_compression_ratio"] = q_compression_ratio

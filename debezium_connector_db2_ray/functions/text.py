@@ -785,3 +785,33 @@ def json_extract_int(ds, *, col: str, path: str, out_col: str,
         return pa.table(cols)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def compression_ratio_batch(batch: pa.Table, *, level: int = 6,
+                            flag_below: float = 0.35) -> pa.Table:
+    """Per-document zlib compression ratio — the repetition/garbage
+    signal real curation stacks run (highly repetitive or templated text
+    compresses far below natural prose; near-random bytes barely
+    compress). Emits ``compressed_ratio`` = deflate(text)/len(text)
+    (1.0 for empty docs) and ``too_repetitive`` at the given threshold.
+
+    Per-document compression is inherently per-blob work (same contract
+    as the multimodal decoders) but each call is a single C-level zlib
+    pass; the stage is embarrassingly parallel and map-only. Not
+    SQL-expressible -> rows-only gate row pinned by a pytest oracle."""
+    import zlib
+
+    texts = batch["text"].to_pylist()
+    n = len(texts)
+    ratios = np.empty(n, np.float64)
+    for i, t in enumerate(texts):
+        if not t:
+            ratios[i] = 1.0
+            continue
+        raw = t.encode("utf-8")
+        ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "compressed_ratio": pa.array(ratios, pa.float64()),
+        "too_repetitive": pa.array(ratios < flag_below),
+    })

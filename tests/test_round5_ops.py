@@ -1988,3 +1988,40 @@ def test_dedup_by_source_join_path_matches_broadcast(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_compression_ratio_pytest_oracle(ray_session):
+    """The compression-ratio stage matches a direct zlib recompute and
+    flags a planted highly-repetitive document."""
+    import zlib
+
+    import debezium_connector_db2_ray.functions.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    out = (
+        q.DATA_QUERIES["docs_compression_ratio"](sf)
+        .to_pandas().set_index("doc_id")
+    )
+    import pyarrow.parquet as pq_
+
+    docs = pq_.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+    for did in list(docs.index[:50]):
+        t = docs.loc[did, "text"]
+        exp = (
+            1.0 if not t else
+            len(zlib.compress(t.encode("utf-8"), 6))
+            / len(t.encode("utf-8"))
+        )
+        assert out.loc[did, "compressed_ratio"] == exp
+    # planted repetition compresses under the flag threshold
+    rep = "spam ham " * 500
+    from debezium_connector_db2_ray.functions.text import (
+        compression_ratio_batch,
+    )
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array([rep])})
+    r = compression_ratio_batch(t)
+    assert bool(r["too_repetitive"][0].as_py())
