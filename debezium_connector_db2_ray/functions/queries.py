@@ -13112,3 +13112,142 @@ def q_compression_ratio(sf_dir: str):
 
 
 DATA_QUERIES["docs_compression_ratio"] = q_compression_ratio
+
+
+# ---------------------------------------------------------------------------
+# Stickiness (DAU / trailing-7-day WAU) per day.
+# ---------------------------------------------------------------------------
+
+SQL_STICKINESS = """
+WITH a AS (
+  SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+         user_id
+  FROM events
+), dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1
+), days AS (
+  SELECT DISTINCT day FROM a
+), wau AS (
+  SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM days d JOIN a ON a.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+def q_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per day — the engagement KPI dashboards lead
+    with, computed with EXACT distincts: the (day, user) activity table
+    comes from a per-batch dedup combiner + one keyed fold; each
+    activity row then fans out to the <= 7 trailing window-days it
+    supports (a map-only x7 expansion bounded by the activity table,
+    never the event stream), a second (window-day, user) fold dedups,
+    and the per-day counts divide once in double. The oracle's
+    range-join formulation is the quadratic shape this avoids."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    du_schema = pa.schema([
+        ("day", pa.int64()), ("user_id", pa.int64()),
+    ])
+
+    def day_user(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return du_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        pairs = np.unique(np.stack([day, uid], axis=1), axis=0)
+        return pa.table({
+            "day": pa.array(pairs[:, 0], pa.int64()),
+            "user_id": pa.array(pairs[:, 1], pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    activity = grouped_aggregate(
+        events.map_batches(day_user, batch_format="pyarrow"),
+        keys=["day", "user_id"], aggs={"n": ("day", "count")},
+        schema=du_schema,
+    )
+    dau = grouped_aggregate(
+        activity.map_batches(
+            lambda t: pa.table({
+                "day": t["day"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["day"], aggs={"dau": ("one", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("day", pa.int64()), ("one", pa.int64())]),
+    ).to_pandas()
+    present = np.sort(dau["day"].to_numpy().astype(np.int64))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return du_schema.empty_table()
+        day = batch["day"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        wday = np.repeat(day, 7) + np.tile(np.arange(7), len(day))
+        wuid = np.repeat(uid, 7)
+        # only window-days that exist in the corpus
+        pos = np.minimum(
+            np.searchsorted(present, wday), len(present) - 1
+        )
+        hit = present[pos] == wday
+        t = np.unique(
+            np.stack([wday[hit], wuid[hit]], axis=1), axis=0
+        )
+        return pa.table({
+            "day": pa.array(t[:, 0], pa.int64()),
+            "user_id": pa.array(t[:, 1], pa.int64()),
+        })
+
+    wau = grouped_aggregate(
+        grouped_aggregate(
+            activity.map_batches(expand, batch_format="pyarrow"),
+            keys=["day", "user_id"], aggs={"n": ("day", "count")},
+            schema=du_schema,
+        ).map_batches(
+            lambda t: pa.table({
+                "day": t["day"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }),
+            batch_format="pyarrow",
+        ),
+        keys=["day"], aggs={"wau": ("one", "sum")},
+        num_partitions=1,
+        schema=pa.schema([("day", pa.int64()), ("one", pa.int64())]),
+    ).to_pandas()
+    m = dau.merge(wau, on="day")
+    d = m["dau"].to_numpy().astype(np.int64)
+    w = m["wau"].to_numpy().astype(np.int64)
+    return pa.table({
+        "day": pa.array(m["day"].to_numpy().astype(np.int64),
+                        pa.int64()),
+        "dau": pa.array(d, pa.int64()),
+        "wau": pa.array(w, pa.int64()),
+        "stickiness": pa.array(
+            d.astype(np.float64) / w.astype(np.float64), pa.float64()
+        ),
+    })
+
+
+DATA_QUERIES["events_stickiness"] = q_stickiness
+DATA_ORACLES["events_stickiness"] = SQL_STICKINESS
