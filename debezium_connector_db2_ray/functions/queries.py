@@ -13251,3 +13251,94 @@ def q_stickiness(sf_dir: str):
 
 DATA_QUERIES["events_stickiness"] = q_stickiness
 DATA_ORACLES["events_stickiness"] = SQL_STICKINESS
+
+
+# ---------------------------------------------------------------------------
+# Average order value by customer market segment.
+# ---------------------------------------------------------------------------
+
+SQL_AOV_BY_SEGMENT = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS aov_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1
+"""
+
+
+def q_aov_by_segment(sf_dir: str):
+    """Average order value per market segment — the revenue-mix report:
+    the customer dimension broadcasts once (c_custkey -> segment; the
+    orders fact never shuffles), per-batch (segment, cents, count)
+    partials bound the single fold by segment vocabulary, and the AOV is
+    one exact int64/int64 double division."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    seg_schema = pa.schema([
+        ("c_mktsegment", pa.string()), ("n_orders", pa.int64()),
+        ("total_cents", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return seg_schema.empty_table()
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "c_mktsegment": batch["c_mktsegment"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["c_mktsegment"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        return pa.table({
+            "c_mktsegment": g["c_mktsegment"],
+            "n_orders": g["cents_count"].cast(pa.int64()),
+            "total_cents": g["cents_sum"].cast(pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    folded = grouped_aggregate(
+        broadcast_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey")
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["c_mktsegment"],
+        aggs={"n_orders": ("n_orders", "sum"),
+              "total_cents": ("total_cents", "sum")},
+        num_partitions=1, schema=seg_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        tc = batch["total_cents"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n = batch["n_orders"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return batch.append_column(
+            "aov_cents",
+            pa.array(tc.astype(np.float64) / n.astype(np.float64),
+                     pa.float64()),
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["orders_aov_by_segment"] = q_aov_by_segment
+DATA_ORACLES["orders_aov_by_segment"] = SQL_AOV_BY_SEGMENT
