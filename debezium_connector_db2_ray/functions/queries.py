@@ -13342,3 +13342,236 @@ def q_aov_by_segment(sf_dir: str):
 
 DATA_QUERIES["orders_aov_by_segment"] = q_aov_by_segment
 DATA_ORACLES["orders_aov_by_segment"] = SQL_AOV_BY_SEGMENT
+
+
+# ---------------------------------------------------------------------------
+# Bilateral nation trade balance (supply revenue vs customer spend).
+# ---------------------------------------------------------------------------
+
+SQL_TRADE_BALANCE = """
+WITH supply AS (
+  SELECT s.s_nationkey AS nk,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS supplied_cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+), spend AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS spent_cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n.n_name,
+       coalesce(supply.supplied_cents, 0) AS supplied_cents,
+       coalesce(spend.spent_cents, 0) AS spent_cents,
+       coalesce(supply.supplied_cents, 0)
+       - coalesce(spend.spent_cents, 0) AS balance_cents
+FROM nation n
+LEFT JOIN supply ON supply.nk = n.n_nationkey
+LEFT JOIN spend ON spend.nk = n.n_nationkey
+"""
+
+
+def q_trade_balance(sf_dir: str):
+    """Bilateral nation trade balance: what each nation's suppliers ship
+    (lineitem revenue via the supplier dim) against what its customers
+    spend (order totals via the customer dim) — two independent
+    broadcast-enriched fact scans, each folding to nation-vocabulary
+    partials, merged over the 25-row nation table driver-side. Exact
+    integer cents end to end; neither fact table ever shuffles."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice"],
+    )
+
+    def sup_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("nk", pa.int64()), ("supplied_cents", pa.int64()),
+            ]).empty_table()
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "nk": batch["s_nationkey"].cast(pa.int64()),
+            "c": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["nk"]).aggregate([("c", "sum")])
+        return pa.table({
+            "nk": g["nk"],
+            "supplied_cents": g["c_sum"].cast(pa.int64()),
+        })
+
+    supply = grouped_aggregate(
+        broadcast_join(li, sup, on="l_suppkey", right_on="s_suppkey")
+        .map_batches(sup_partial, batch_format="pyarrow"),
+        keys=["nk"], aggs={"supplied_cents": ("supplied_cents", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("nk", pa.int64()), ("supplied_cents", pa.int64()),
+        ]),
+    ).to_pandas()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema([
+                ("nk", pa.int64()), ("spent_cents", pa.int64()),
+            ]).empty_table()
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "nk": batch["c_nationkey"].cast(pa.int64()),
+            "c": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["nk"]).aggregate([("c", "sum")])
+        return pa.table({
+            "nk": g["nk"],
+            "spent_cents": g["c_sum"].cast(pa.int64()),
+        })
+
+    spend = grouped_aggregate(
+        broadcast_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey")
+        .map_batches(spend_partial, batch_format="pyarrow"),
+        keys=["nk"], aggs={"spent_cents": ("spent_cents", "sum")},
+        num_partitions=1,
+        schema=pa.schema([
+            ("nk", pa.int64()), ("spent_cents", pa.int64()),
+        ]),
+    ).to_pandas()
+
+    import pyarrow.parquet as pq_
+
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    m = nat.merge(supply, left_on="n_nationkey", right_on="nk",
+                  how="left").merge(
+        spend, left_on="n_nationkey", right_on="nk", how="left",
+        suffixes=("", "_s"),
+    )
+    sc = m["supplied_cents"].fillna(0).astype("int64")
+    pc_ = m["spent_cents"].fillna(0).astype("int64")
+    return pa.table({
+        "n_name": pa.array(m["n_name"], pa.string()),
+        "supplied_cents": pa.array(sc, pa.int64()),
+        "spent_cents": pa.array(pc_, pa.int64()),
+        "balance_cents": pa.array(sc - pc_, pa.int64()),
+    })
+
+
+DATA_QUERIES["nation_trade_balance"] = q_trade_balance
+DATA_ORACLES["nation_trade_balance"] = SQL_TRADE_BALANCE
+
+
+# ---------------------------------------------------------------------------
+# Running distinct-types count per user (exploration-depth curve).
+# ---------------------------------------------------------------------------
+
+SQL_RUNNING_DISTINCT = """
+WITH f AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(first_seen) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types_so_far
+FROM f
+"""
+
+
+def q_running_distinct(sf_dir: str):
+    """Running COUNT(DISTINCT) per user over time — the exploration-
+    depth curve (how many event types has this user touched so far),
+    which SQL windows cannot express directly (no DISTINCT frames) and
+    the oracle emulates with a first-occurrence flag + running sum. ONE
+    user-keyed exchange; the kernel finds first occurrences with a
+    (user, type, ts, event) lexsort, maps the flags back through the
+    permutation, and cumsums per user segment — all vectorized."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+    )
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("event_id", pa.int64()),
+        ("distinct_types_so_far", pa.int64()),
+    ])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by([
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # first occurrence of (user, type) in time order: lexsort puts
+        # each (user, type) run together in (ts, event) order, so the run
+        # head is the first touch; map flags back via the permutation
+        et = t["event_type"].cast(pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ev = t["event_id"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((ev, ts, et, uid))
+        u2, e2 = uid[perm], et[perm]
+        head = np.ones(n, bool)
+        head[1:] = (u2[1:] != u2[:-1]) | (e2[1:] != e2[:-1])
+        first = np.empty(n, bool)
+        first[perm] = head
+        starts = _segment_starts(t, ["user_id"])
+        cum = np.cumsum(first.astype(np.int64))
+        base = np.zeros(n, np.int64)
+        base[starts[1:]] = cum[starts[1:] - 1]
+        running = cum - np.maximum.accumulate(base)
+        return pa.table({
+            "user_id": pa.array(uid.astype(np.int64), pa.int64()),
+            "event_id": pa.array(ev.astype(np.int64), pa.int64()),
+            "distinct_types_so_far": pa.array(running, pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    return _window_exchange(
+        events, keys=["user_id"],
+        cols=["user_id", "event_id", "ts", "event_type"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["user_running_distinct_types"] = q_running_distinct
+DATA_ORACLES["user_running_distinct_types"] = SQL_RUNNING_DISTINCT
