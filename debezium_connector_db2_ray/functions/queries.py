@@ -13575,3 +13575,206 @@ def q_running_distinct(sf_dir: str):
 
 DATA_QUERIES["user_running_distinct_types"] = q_running_distinct
 DATA_ORACLES["user_running_distinct_types"] = SQL_RUNNING_DISTINCT
+
+
+# ---------------------------------------------------------------------------
+# Event-type share trend (per-day composition of the stream).
+# ---------------------------------------------------------------------------
+
+SQL_TYPE_SHARE_TREND = """
+WITH c AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT day, CAST(sum(n) AS BIGINT) AS total FROM c GROUP BY 1
+)
+SELECT c.day, c.event_type, c.n, d.total,
+       CAST(c.n AS DOUBLE) / CAST(d.total AS DOUBLE) AS share
+FROM c JOIN d USING (day)
+"""
+
+
+def q_type_share_trend(sf_dir: str):
+    """Stream-composition trend: each event type's share of each day's
+    traffic (the mix-shift monitor that catches instrumentation changes
+    and bot floods). One (day, type) count combiner bounds the exchange
+    by calendar x type vocabulary; day totals come from the same reduced
+    table; the share is an exact int64/int64 double division computed
+    against a broadcast day-total lookup."""
+    import ray
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    c_schema = pa.schema([
+        ("day", pa.int64()), ("event_type", pa.string()),
+        ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return c_schema.empty_table()
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        )
+        day = ts.astype("datetime64[D]").astype(np.int64)
+        t = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "event_type": batch["event_type"],
+        })
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [("day", "count")]
+        )
+        return pa.table({
+            "day": g["day"], "event_type": g["event_type"],
+            "n": g["day_count"].cast(pa.int64()),
+        })
+
+    counts = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["day", "event_type"], aggs={"n": ("n", "sum")},
+        num_partitions=1, schema=c_schema,
+    ).materialize()
+    tot = counts.to_pandas().groupby("day")["n"].sum()
+    days = np.sort(tot.index.to_numpy().astype(np.int64))
+    totals = tot.loc[days].to_numpy().astype(np.int64)
+    ref = ray.put((days, totals))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ds_, ts_ = ray.get(ref)
+        d = batch["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = ts_[np.searchsorted(ds_, d)]
+        return pa.table({
+            "day": batch["day"], "event_type": batch["event_type"],
+            "n": batch["n"],
+            "total": pa.array(t, pa.int64()),
+            "share": pa.array(
+                n.astype(np.float64) / t.astype(np.float64),
+                pa.float64(),
+            ),
+        })
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["events_type_share_trend"] = q_type_share_trend
+DATA_ORACLES["events_type_share_trend"] = SQL_TYPE_SHARE_TREND
+
+
+# ---------------------------------------------------------------------------
+# Per-type price-size slope (grouped least squares over the part catalog).
+# ---------------------------------------------------------------------------
+
+SQL_PRICE_SIZE_SLOPE = """
+WITH s AS (
+  SELECT p_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(p_size AS BIGINT)) AS sx,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sy,
+         sum(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx,
+         sum(CAST(p_size AS BIGINT)
+             * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxy
+  FROM part GROUP BY 1
+)
+SELECT p_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents
+FROM s WHERE n >= 2
+"""
+
+
+def q_price_size_slope(sf_dir: str):
+    """Per-type price-vs-size slope over the part catalog (the pricing
+    curve per product family): grouped least squares from exact int64
+    sufficient statistics — a (type)-keyed combiner, one fold, and the
+    per-group slope in the oracle's double operation order. Groups of
+    one part are excluded (their denominator is zero on both sides)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    s_schema = pa.schema([
+        ("p_type", pa.string()), ("n", pa.int64()), ("sx", pa.int64()),
+        ("sy", pa.int64()), ("sxx", pa.int64()), ("sxy", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return s_schema.empty_table()
+        x = batch["p_size"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        y = np.floor(
+            batch["p_retailprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "p_type": batch["p_type"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxx": pa.array(x * x), "sxy": pa.array(x * y),
+        })
+        g = t.group_by(["p_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]
+        )
+        return pa.table({
+            "p_type": g["p_type"],
+            "n": g["n_sum"].cast(pa.int64()),
+            "sx": g["sx_sum"].cast(pa.int64()),
+            "sy": g["sy_sum"].cast(pa.int64()),
+            "sxx": g["sxx_sum"].cast(pa.int64()),
+            "sxy": g["sxy_sum"].cast(pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_type", "p_size", "p_retailprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["p_type"],
+        aggs={c: (c, "sum") for c in ("n", "sx", "sy", "sxx", "sxy")},
+        num_partitions=1, schema=s_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sy = batch["sy"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxx = batch["sxx"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = n >= 2
+        slope = np.where(
+            keep, (n * sxy - sx * sy)
+            / np.where(keep, n * sxx - sx * sx, 1.0), 0.0
+        )
+        t = pa.table({
+            "p_type": batch["p_type"],
+            "n": batch["n"],
+            "slope_cents": pa.array(slope, pa.float64()),
+        })
+        return t.filter(pa.array(keep))
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["part_price_size_slope"] = q_price_size_slope
+DATA_ORACLES["part_price_size_slope"] = SQL_PRICE_SIZE_SLOPE
