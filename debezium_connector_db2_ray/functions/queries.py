@@ -13778,3 +13778,110 @@ def q_price_size_slope(sf_dir: str):
 
 DATA_QUERIES["part_price_size_slope"] = q_price_size_slope
 DATA_ORACLES["part_price_size_slope"] = SQL_PRICE_SIZE_SLOPE
+
+
+# ---------------------------------------------------------------------------
+# Value-concentration (Pareto) report: top-decile users' share of value.
+# ---------------------------------------------------------------------------
+
+SQL_VALUE_PARETO = """
+WITH u AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+  FROM events GROUP BY 1
+), cut AS (
+  SELECT quantile_disc(cents, 0.9) AS p90 FROM u
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(*) FILTER (cents >= (SELECT p90 FROM cut))
+            AS BIGINT) AS n_top,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents) FILTER (cents >= (SELECT p90 FROM cut))
+            AS BIGINT) AS top_cents,
+       CAST(sum(cents) FILTER (cents >= (SELECT p90 FROM cut))
+            AS DOUBLE)
+       / CAST(sum(cents) AS DOUBLE) AS top_share
+FROM u
+"""
+
+
+def q_value_pareto(sf_dir: str):
+    """Value-concentration report — the Pareto question every revenue
+    team asks (how much do the top users carry?): per-user exact cent
+    sums from ONE combiner exchange, the p90 cut found by the no-sort
+    kth-element selector over the REDUCED user table (distributed — the
+    user table still grows with the corpus, so no driver materialization
+    of it), and map-side filtered sums fold to a single row. The share
+    is one exact int64/int64 double division."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+        grouped_aggregate,
+    )
+
+    u_schema = pa.schema([
+        ("user_id", pa.int64()), ("cents", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return u_schema.empty_table()
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["user_id"]).aggregate([("cents", "sum")])
+        return pa.table({
+            "user_id": g["user_id"],
+            "cents": g["cents_sum"].cast(pa.int64()),
+        })
+
+    users = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"], aggs={"cents": ("cents", "sum")},
+        schema=u_schema,
+    ).materialize()
+    p90 = int(
+        exact_percentiles(users, col="cents", qs=[0.9])["value"][0]
+        .as_py()
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        top = c >= p90
+        return pa.table({
+            "n_users": pa.array([len(c)], pa.int64()),
+            "n_top": pa.array([int(top.sum())], pa.int64()),
+            "total_cents": pa.array([int(c.sum())], pa.int64()),
+            "top_cents": pa.array([int(c[top].sum())], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = users.map_batches(fold, batch_format="pyarrow").aggregate(
+        *(_Sum(c, alias_name=c)
+          for c in ("n_users", "n_top", "total_cents", "top_cents"))
+    )
+    return pa.table({
+        "n_users": pa.array([int(agg["n_users"])], pa.int64()),
+        "n_top": pa.array([int(agg["n_top"])], pa.int64()),
+        "total_cents": pa.array([int(agg["total_cents"])], pa.int64()),
+        "top_cents": pa.array([int(agg["top_cents"])], pa.int64()),
+        "top_share": pa.array(
+            [float(agg["top_cents"]) / float(agg["total_cents"])],
+            pa.float64(),
+        ),
+    })
+
+
+DATA_QUERIES["events_value_pareto"] = q_value_pareto
+DATA_ORACLES["events_value_pareto"] = SQL_VALUE_PARETO
