@@ -13885,3 +13885,111 @@ def q_value_pareto(sf_dir: str):
 
 DATA_QUERIES["events_value_pareto"] = q_value_pareto
 DATA_ORACLES["events_value_pareto"] = SQL_VALUE_PARETO
+
+
+# ---------------------------------------------------------------------------
+# First-order share per day (new-vs-repeat order mix).
+# ---------------------------------------------------------------------------
+
+SQL_FIRST_ORDER_SHARE = """
+WITH f AS (
+  SELECT o_orderdate,
+         CASE WHEN row_number() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM orders
+)
+SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(is_first) AS BIGINT) AS n_first,
+       CAST(sum(is_first) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           AS first_share
+FROM f GROUP BY 1
+"""
+
+
+def q_first_order_share(sf_dir: str):
+    """New-vs-repeat order mix per day — the acquisition-health line on
+    every growth dashboard: each customer's FIRST order (min (date,
+    orderkey), exactly one per customer) is flagged inside ONE
+    custkey-keyed exchange (segment-head after the partition sort — a
+    customer's orders are co-located, so firstness is decided locally),
+    then per-day first/total counts fold through a calendar-bounded
+    combiner and divide exactly once."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    day_schema = pa.schema([
+        ("day", pa.int64()), ("n_orders", pa.int64()),
+        ("n_first", pa.int64()),
+    ])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return day_schema.empty_table()
+        t = part.sort_by([
+            ("o_custkey", "ascending"), ("o_orderdate", "ascending"),
+            ("o_orderkey", "ascending"),
+        ])
+        n = t.num_rows
+        starts = _segment_starts(t, ["o_custkey"])
+        first = np.zeros(n, np.int64)
+        first[starts] = 1
+        day = (
+            t["o_orderdate"].cast(pa.timestamp("us")).to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[D]").astype(np.int64)
+        )
+        g = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "one": pa.array(np.ones(n, np.int64)),
+            "first": pa.array(first, pa.int64()),
+        }).group_by(["day"]).aggregate(
+            [("one", "sum"), ("first", "sum")]
+        )
+        return pa.table({
+            "day": g["day"],
+            "n_orders": g["one_sum"].cast(pa.int64()),
+            "n_first": g["first_sum"].cast(pa.int64()),
+        })
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    folded = grouped_aggregate(
+        _window_exchange(
+            orders, keys=["o_custkey"],
+            cols=["o_custkey", "o_orderkey", "o_orderdate"],
+            num_partitions=None, kernel=kernel, out_schema=day_schema,
+        ),
+        keys=["day"],
+        aggs={"n_orders": ("n_orders", "sum"),
+              "n_first": ("n_first", "sum")},
+        num_partitions=1, schema=day_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_orders"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        f = batch["n_first"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return batch.append_column(
+            "first_share",
+            pa.array(f.astype(np.float64) / n.astype(np.float64),
+                     pa.float64()),
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["orders_first_order_share"] = q_first_order_share
+DATA_ORACLES["orders_first_order_share"] = SQL_FIRST_ORDER_SHARE
