@@ -13993,3 +13993,66 @@ def q_first_order_share(sf_dir: str):
 
 DATA_QUERIES["orders_first_order_share"] = q_first_order_share
 DATA_ORACLES["orders_first_order_share"] = SQL_FIRST_ORDER_SHARE
+
+
+# ---------------------------------------------------------------------------
+# Inter-event gap percentiles (engagement-cadence distribution).
+# ---------------------------------------------------------------------------
+
+GAP_QS = [0.5, 0.9, 0.99]
+
+SQL_GAP_PERCENTILES = f"""
+WITH g AS (
+  SELECT epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST({GAP_QS[0]} AS DOUBLE) AS q,
+       quantile_disc(gap_us, {GAP_QS[0]}) AS value FROM g
+WHERE gap_us IS NOT NULL
+UNION ALL
+SELECT CAST({GAP_QS[1]} AS DOUBLE),
+       quantile_disc(gap_us, {GAP_QS[1]}) FROM g
+WHERE gap_us IS NOT NULL
+UNION ALL
+SELECT CAST({GAP_QS[2]} AS DOUBLE),
+       quantile_disc(gap_us, {GAP_QS[2]}) FROM g
+WHERE gap_us IS NOT NULL
+"""
+
+
+def q_gap_percentiles(sf_dir: str):
+    """Engagement-cadence distribution: exact p50/p90/p99 of per-user
+    inter-event gaps — the composite of the LAG family and the no-sort
+    selector: grouped_lag_delta's one user-keyed exchange computes every
+    gap, and exact_percentiles finds the quantiles with histogram-
+    narrowing scans over the gap column (no sort of the gap stream at
+    any scale). First rows per user (NULL gap) are excluded like the
+    oracle's WHERE."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        exact_percentiles,
+        grouped_lag_delta,
+    )
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts"],
+    )
+    gaps = grouped_lag_delta(
+        events, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="ts", out_col="gap_us",
+    ).map_batches(
+        lambda t: pa.table({"gap_us": t["gap_us"]}).filter(
+            pc.is_valid(t["gap_us"])
+        ),
+        batch_format="pyarrow",
+    )
+    return exact_percentiles(gaps, col="gap_us", qs=GAP_QS)
+
+
+DATA_QUERIES["events_gap_percentiles"] = q_gap_percentiles
+DATA_ORACLES["events_gap_percentiles"] = SQL_GAP_PERCENTILES
