@@ -14056,3 +14056,62 @@ def q_gap_percentiles(sf_dir: str):
 
 DATA_QUERIES["events_gap_percentiles"] = q_gap_percentiles
 DATA_ORACLES["events_gap_percentiles"] = SQL_GAP_PERCENTILES
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile matrix: source x language doc counts and char volume.
+# ---------------------------------------------------------------------------
+
+SQL_SOURCE_LANG_MATRIX = """
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_source_lang_matrix(sf_dir: str):
+    """Corpus composition matrix (source x language, docs and char
+    volume) — the first table in any dataset card. Pure combiner shape:
+    each batch collapses to at most |sources| x |langs| rows before one
+    vocabulary-bounded fold."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    m_schema = pa.schema([
+        ("source", pa.string()), ("lang", pa.string()),
+        ("n_docs", pa.int64()), ("total_chars", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return m_schema.empty_table()
+        t = pa.table({
+            "source": batch["source"], "lang": batch["lang"],
+            "ch": batch["n_chars"].cast(pa.int64()),
+        })
+        g = t.group_by(["source", "lang"]).aggregate(
+            [("ch", "sum"), ("ch", "count")]
+        )
+        return pa.table({
+            "source": g["source"], "lang": g["lang"],
+            "n_docs": g["ch_count"].cast(pa.int64()),
+            "total_chars": g["ch_sum"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        _docs(sf_dir, columns=["source", "lang", "n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["source", "lang"],
+        aggs={"n_docs": ("n_docs", "sum"),
+              "total_chars": ("total_chars", "sum")},
+        num_partitions=1, schema=m_schema,
+    )
+
+
+DATA_QUERIES["docs_source_lang_matrix"] = q_source_lang_matrix
+DATA_ORACLES["docs_source_lang_matrix"] = SQL_SOURCE_LANG_MATRIX
