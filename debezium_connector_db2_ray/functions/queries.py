@@ -14115,3 +14115,108 @@ def q_source_lang_matrix(sf_dir: str):
 
 DATA_QUERIES["docs_source_lang_matrix"] = q_source_lang_matrix
 DATA_ORACLES["docs_source_lang_matrix"] = SQL_SOURCE_LANG_MATRIX
+
+
+# ---------------------------------------------------------------------------
+# Signup -> first-purchase latency percentiles (funnel-latency SLA report).
+# ---------------------------------------------------------------------------
+
+CONV_QS = [0.5, 0.9]
+
+SQL_CONVERSION_PERCENTILES = f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS signup_us
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= s.signup_us
+  GROUP BY 1
+), lat AS (
+  SELECT p.first_purchase_us - s.signup_us AS latency_us
+  FROM p JOIN s ON s.user_id = p.user_id
+)
+SELECT CAST({CONV_QS[0]} AS DOUBLE) AS q,
+       quantile_disc(latency_us, {CONV_QS[0]}) AS value FROM lat
+UNION ALL
+SELECT CAST({CONV_QS[1]} AS DOUBLE),
+       quantile_disc(latency_us, {CONV_QS[1]}) FROM lat
+"""
+
+
+def q_conversion_percentiles(sf_dir: str):
+    """Funnel-latency SLA report: exact p50/p90 of signup -> first
+    post-signup purchase latency. Per-user (signup_min,
+    first_purchase_after_signup) folds in ONE user-keyed exchange — the
+    kernel takes each segment's signup min and the min purchase at or
+    after it in a single sorted pass — and the no-sort selector finds
+    the percentiles over the reduced latency column. Users who never
+    convert contribute nothing (the funnel's inner-join shape)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        exact_percentiles,
+    )
+
+    lat_schema = pa.schema([("latency_us", pa.int64())])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return lat_schema.empty_table()
+        t = part.sort_by([
+            ("user_id", "ascending"), ("ts_us", "ascending"),
+        ])
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = t["event_type"].cast(pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        starts = _segment_starts(t, ["user_id"])
+        sizes = np.diff(np.append(starts, n))
+        is_su = et == "signup"
+        is_pu = et == "purchase"
+        # fully vectorized per-segment argmins (rows are time-sorted):
+        # the first signup index per user, then the first purchase index
+        # at/after that signup — both via masked minimum.reduceat
+        pos = np.arange(n)
+        su_pos = np.minimum.reduceat(np.where(is_su, pos, n), starts)
+        has_su = su_pos < np.append(starts[1:], n)
+        su_ts_seg = np.where(has_su, ts[np.minimum(su_pos, n - 1)],
+                             np.iinfo(np.int64).max)
+        su_ts_row = np.repeat(su_ts_seg, sizes)
+        pu_ok = is_pu & (ts >= su_ts_row)
+        pu_pos = np.minimum.reduceat(np.where(pu_ok, pos, n), starts)
+        has_pu = has_su & (pu_pos < np.append(starts[1:], n))
+        if not has_pu.any():
+            return lat_schema.empty_table()
+        lat = (
+            ts[np.minimum(pu_pos[has_pu], n - 1)]
+            - su_ts_seg[has_pu]
+        ).astype(np.int64)
+        return pa.table({"latency_us": pa.array(lat)})
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_type": t["event_type"],
+        }),
+        batch_format="pyarrow",
+    )
+    lats = _window_exchange(
+        events, keys=["user_id"],
+        cols=["user_id", "ts_us", "event_type"],
+        num_partitions=None, kernel=kernel, out_schema=lat_schema,
+    )
+    return exact_percentiles(lats, col="latency_us", qs=CONV_QS)
+
+
+DATA_QUERIES["events_conversion_percentiles"] = q_conversion_percentiles
+DATA_ORACLES["events_conversion_percentiles"] = SQL_CONVERSION_PERCENTILES
