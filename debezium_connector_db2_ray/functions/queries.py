@@ -14220,3 +14220,96 @@ def q_conversion_percentiles(sf_dir: str):
 
 DATA_QUERIES["events_conversion_percentiles"] = q_conversion_percentiles
 DATA_ORACLES["events_conversion_percentiles"] = SQL_CONVERSION_PERCENTILES
+
+
+# ---------------------------------------------------------------------------
+# Region revenue rollup (snowflake dimension chain: supplier->nation->region).
+# ---------------------------------------------------------------------------
+
+SQL_REGION_REVENUE = """
+SELECT r.r_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1
+"""
+
+
+def q_region_revenue(sf_dir: str):
+    """Snowflake rollup: lineitem revenue through the THREE-level
+    dimension chain supplier -> nation -> region, resolved as a single
+    composed lookup — the supplier/nation/region tables fold driver-side
+    into one suppkey -> region-name map (every level is
+    dimension-small), broadcast once, so the fact table takes ONE
+    map-side enrichment and a region-vocabulary combiner fold. The
+    denormalize-the-snowflake-before-broadcast move is the standard
+    100 TB star-schema play."""
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        broadcast_join,
+        grouped_aggregate,
+    )
+
+    sup = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq_.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_regionkey"],
+    ).to_pandas()
+    reg = pq_.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    dim = (
+        sup.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )[["s_suppkey", "r_name"]]
+    dim_ds = rd.from_arrow(pa.table({
+        "s_suppkey": pa.array(
+            dim["s_suppkey"].to_numpy().astype(np.int64), pa.int64()
+        ),
+        "r_name": pa.array(dim["r_name"], pa.string()),
+    }))
+
+    r_schema = pa.schema([
+        ("r_name", pa.string()), ("revenue_cents", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return r_schema.empty_table()
+        cents = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table({
+            "r_name": batch["r_name"],
+            "c": pa.array(cents, pa.int64()),
+        })
+        g = t.group_by(["r_name"]).aggregate([("c", "sum")])
+        return pa.table({
+            "r_name": g["r_name"],
+            "revenue_cents": g["c_sum"].cast(pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice"],
+    )
+    return grouped_aggregate(
+        broadcast_join(li, dim_ds, on="l_suppkey",
+                       right_on="s_suppkey")
+        .map_batches(partial, batch_format="pyarrow"),
+        keys=["r_name"],
+        aggs={"revenue_cents": ("revenue_cents", "sum")},
+        num_partitions=1, schema=r_schema,
+    )
+
+
+DATA_QUERIES["region_revenue_rollup"] = q_region_revenue
+DATA_ORACLES["region_revenue_rollup"] = SQL_REGION_REVENUE
