@@ -14313,3 +14313,81 @@ def q_region_revenue(sf_dir: str):
 
 DATA_QUERIES["region_revenue_rollup"] = q_region_revenue
 DATA_ORACLES["region_revenue_rollup"] = SQL_REGION_REVENUE
+
+
+# ---------------------------------------------------------------------------
+# JSON property distribution (histogram over an extracted field).
+# ---------------------------------------------------------------------------
+
+PROP_K_BUCKET = 10
+
+SQL_PROP_K_HIST = f"""
+WITH x AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT CAST(k // {PROP_K_BUCKET} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x WHERE k IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_prop_k_hist(sf_dir: str):
+    """Distribution analytics over a semi-structured field: the JSON
+    property $.k extracted per batch (the existing vectorized
+    json_extract_int kernel), bucketed by integer floor-division, and
+    histogram partials folded per bucket with min/max — the
+    semi-structured profiling step beyond plain extraction. NULL /
+    missing properties drop out like the oracle's WHERE."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.functions.text import (
+        json_extract_int,
+    )
+
+    h_schema = pa.schema([
+        ("bucket", pa.int64()), ("n", pa.int64()),
+        ("min_k", pa.int64()), ("max_k", pa.int64()),
+    ])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props"]
+    )
+    ext = json_extract_int(ds, col="props", path="$.k", out_col="k")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return h_schema.empty_table()
+        t = batch.filter(pc.is_valid(batch["k"]))
+        if t.num_rows == 0:
+            return h_schema.empty_table()
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "bucket": pa.array(k // PROP_K_BUCKET, pa.int64()),
+            "k": pa.array(k, pa.int64()),
+        }).group_by(["bucket"]).aggregate(
+            [("k", "count"), ("k", "min"), ("k", "max")]
+        )
+        return pa.table({
+            "bucket": g["bucket"],
+            "n": g["k_count"].cast(pa.int64()),
+            "min_k": g["k_min"].cast(pa.int64()),
+            "max_k": g["k_max"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        ext.map_batches(partial, batch_format="pyarrow"),
+        keys=["bucket"],
+        aggs={"n": ("n", "sum"), "min_k": ("min_k", "min"),
+              "max_k": ("max_k", "max")},
+        num_partitions=1, schema=h_schema,
+    )
+
+
+DATA_QUERIES["events_prop_k_hist"] = q_prop_k_hist
+DATA_ORACLES["events_prop_k_hist"] = SQL_PROP_K_HIST
