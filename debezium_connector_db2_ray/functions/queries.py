@@ -14391,3 +14391,114 @@ def q_prop_k_hist(sf_dir: str):
 
 DATA_QUERIES["events_prop_k_hist"] = q_prop_k_hist
 DATA_ORACLES["events_prop_k_hist"] = SQL_PROP_K_HIST
+
+
+# ---------------------------------------------------------------------------
+# Session-level error/purchase contingency (2x2 co-occurrence table).
+# ---------------------------------------------------------------------------
+
+SQL_SESSION_CONTINGENCY = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM e
+), flags AS (
+  SELECT user_id, sess,
+         CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS has_error,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS has_purchase
+  FROM s GROUP BY 1, 2
+)
+SELECT has_error, has_purchase, CAST(count(*) AS BIGINT) AS n_sessions
+FROM flags GROUP BY 1, 2
+"""
+
+
+def q_session_contingency(sf_dir: str):
+    """Do errors and purchases co-occur in the same session? The 2x2
+    session-level contingency table behind that reliability question:
+    the same vectorized gap scan as the session family, per-session
+    error/purchase flags via maximum.reduceat over the session segments,
+    and a 4-cell combiner fold. ONE user-keyed exchange, everything else
+    vocabulary-sized."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    c_schema = pa.schema([
+        ("has_error", pa.int64()), ("has_purchase", pa.int64()),
+        ("n_sessions", pa.int64()),
+    ])
+    gap_us = SESSION_GAP_MIN * 60_000_000
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return c_schema.empty_table()
+        t = part.sort_by([
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending"),
+        ])
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = (
+            t["ts"].cast(pa.timestamp("us")).to_numpy(
+                zero_copy_only=False
+            ).astype("datetime64[us]").astype(np.int64)
+        )
+        et = t["event_type"].cast(pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        new_sess = np.ones(n, bool)
+        new_sess[1:] = (uid[1:] != uid[:-1]) | (
+            (ts[1:] - ts[:-1]) > gap_us
+        )
+        starts = np.flatnonzero(new_sess)
+        he = np.maximum.reduceat(
+            (et == "error").astype(np.int64), starts
+        )
+        hp = np.maximum.reduceat(
+            (et == "purchase").astype(np.int64), starts
+        )
+        g = pa.table({
+            "has_error": pa.array(he, pa.int64()),
+            "has_purchase": pa.array(hp, pa.int64()),
+            "one": pa.array(np.ones(len(starts), np.int64)),
+        }).group_by(["has_error", "has_purchase"]).aggregate(
+            [("one", "sum")]
+        )
+        return pa.table({
+            "has_error": g["has_error"],
+            "has_purchase": g["has_purchase"],
+            "n_sessions": g["one_sum"].cast(pa.int64()),
+        })
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return grouped_aggregate(
+        _window_exchange(
+            events, keys=["user_id"],
+            cols=["user_id", "ts", "event_id", "event_type"],
+            num_partitions=None, kernel=kernel, out_schema=c_schema,
+        ),
+        keys=["has_error", "has_purchase"],
+        aggs={"n_sessions": ("n_sessions", "sum")},
+        num_partitions=1, schema=c_schema,
+    )
+
+
+DATA_QUERIES["events_session_contingency"] = q_session_contingency
+DATA_ORACLES["events_session_contingency"] = SQL_SESSION_CONTINGENCY
