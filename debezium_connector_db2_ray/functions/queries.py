@@ -14502,3 +14502,121 @@ def q_session_contingency(sf_dir: str):
 
 DATA_QUERIES["events_session_contingency"] = q_session_contingency
 DATA_ORACLES["events_session_contingency"] = SQL_SESSION_CONTINGENCY
+
+
+# ---------------------------------------------------------------------------
+# Purchase-cadence regularity per user (variance ratio of purchase gaps).
+# ---------------------------------------------------------------------------
+
+SQL_PURCHASE_REGULARITY = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'
+), g AS (
+  -- whole seconds, not microseconds: a multi-day gap in us squares past
+  -- int64 (both engines overflow); second-resolution keeps sums exact
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+             AS gap_s
+  FROM p
+), s AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         sum(gap_s) AS sg, sum(gap_s * gap_s) AS sg2
+  FROM g WHERE gap_s IS NOT NULL
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT user_id, n,
+       (CAST(n AS DOUBLE) * CAST(sg2 AS DOUBLE)
+        - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+       / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+           AS gap_variance_ratio
+FROM s
+"""
+
+
+def q_purchase_regularity(sf_dir: str):
+    """Purchase-cadence regularity: the (scale-free) variance ratio of
+    each user's inter-purchase gaps — low means clockwork buyers, high
+    means bursty. Purchase rows filter at the read, gaps come from the
+    LAG exchange, exact int64 (n, sum, sum-of-squares) partials fold per
+    user, and the one double expression mirrors the oracle's operation
+    order (the SQL_CORR float rule). Users with fewer than two gaps drop
+    out on both sides."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+        grouped_lag_delta,
+    )
+
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    ).filter(expr="event_type == 'purchase'").map_batches(
+        lambda t: t.drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    gaps = grouped_lag_delta(
+        purchases, keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="ts", out_col="gap_us",
+        schema=pa.schema([
+            ("user_id", pa.int64()), ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+        ]),
+    )
+    s_schema = pa.schema([
+        ("user_id", pa.int64()), ("n", pa.int64()),
+        ("sg", pa.int64()), ("sg2", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["gap_us"]))
+        if t.num_rows == 0:
+            return s_schema.empty_table()
+        g = (t["gap_us"].to_numpy(zero_copy_only=False)
+             .astype(np.int64) // 1_000_000)
+        tt = pa.table({
+            "user_id": t["user_id"],
+            "n": pa.array(np.ones(len(g), np.int64)),
+            "sg": pa.array(g), "sg2": pa.array(g * g),
+        })
+        f = tt.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("sg", "sum"), ("sg2", "sum")]
+        )
+        return pa.table({
+            "user_id": f["user_id"],
+            "n": f["n_sum"].cast(pa.int64()),
+            "sg": f["sg_sum"].cast(pa.int64()),
+            "sg2": f["sg2_sum"].cast(pa.int64()),
+        })
+
+    folded = grouped_aggregate(
+        gaps.map_batches(partial, batch_format="pyarrow"),
+        keys=["user_id"],
+        aggs={"n": ("n", "sum"), "sg": ("sg", "sum"),
+              "sg2": ("sg2", "sum")},
+        num_partitions=1, schema=s_schema,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n >= 2
+        t = batch.filter(pa.array(keep))
+        nn = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sg = t["sg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sg2 = t["sg2"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        r = (nn * sg2 - sg * sg) / (sg * sg)
+        return pa.table({
+            "user_id": t["user_id"], "n": t["n"],
+            "gap_variance_ratio": pa.array(r, pa.float64()),
+        })
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+DATA_QUERIES["user_purchase_regularity"] = q_purchase_regularity
+DATA_ORACLES["user_purchase_regularity"] = SQL_PURCHASE_REGULARITY
