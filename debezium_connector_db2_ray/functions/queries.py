@@ -14620,3 +14620,69 @@ def q_purchase_regularity(sf_dir: str):
 
 DATA_QUERIES["user_purchase_regularity"] = q_purchase_regularity
 DATA_ORACLES["user_purchase_regularity"] = SQL_PURCHASE_REGULARITY
+
+
+# ---------------------------------------------------------------------------
+# 2-D histogram profile (quantity x price-band density).
+# ---------------------------------------------------------------------------
+
+PRICE_BAND_CENTS = 500_000  # $5,000 bands
+
+SQL_QTY_PRICE_HEATMAP = f"""
+SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       CAST(round(l_extendedprice * 100) AS BIGINT)
+         // {PRICE_BAND_CENTS} AS price_band,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+def q_qty_price_heatmap(sf_dir: str):
+    """2-D density profile (quantity x $5k price band) — the joint-
+    distribution heatmap a data profiler draws before trusting a
+    pricing model. Pure combiner: each batch collapses to at most
+    |qty| x |bands| cells before one vocabulary-bounded fold; integer
+    floor-division banding is exact on both engines."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    h_schema = pa.schema([
+        ("qty", pa.int64()), ("price_band", pa.int64()),
+        ("n", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return h_schema.empty_table()
+        q = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        p = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64) // PRICE_BAND_CENTS
+        g = pa.table({
+            "qty": pa.array(q, pa.int64()),
+            "price_band": pa.array(p, pa.int64()),
+        }).group_by(["qty", "price_band"]).aggregate([("qty", "count")])
+        return pa.table({
+            "qty": g["qty"], "price_band": g["price_band"],
+            "n": g["qty_count"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_quantity", "l_extendedprice"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["qty", "price_band"], aggs={"n": ("n", "sum")},
+        num_partitions=1, schema=h_schema,
+    )
+
+
+DATA_QUERIES["lineitem_qty_price_heatmap"] = q_qty_price_heatmap
+DATA_ORACLES["lineitem_qty_price_heatmap"] = SQL_QTY_PRICE_HEATMAP
