@@ -14686,3 +14686,74 @@ def q_qty_price_heatmap(sf_dir: str):
 
 DATA_QUERIES["lineitem_qty_price_heatmap"] = q_qty_price_heatmap
 DATA_ORACLES["lineitem_qty_price_heatmap"] = SQL_QTY_PRICE_HEATMAP
+
+
+# ---------------------------------------------------------------------------
+# Corpus length-QA report (empty / short / normal doc counts).
+# ---------------------------------------------------------------------------
+
+SHORT_DOC_CHARS = 100
+
+SQL_LENGTH_QA = f"""
+SELECT CASE WHEN n_chars <= 0 THEN 'empty'
+            WHEN n_chars < {SHORT_DOC_CHARS} THEN 'short'
+            ELSE 'normal' END AS length_class,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_length_qa(sf_dir: str):
+    """Corpus length QA (empty / short / normal buckets with ranges) —
+    the first sanity gate a curation run applies. Map-side CASE banding
+    plus a 3-cell combiner fold."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    q_schema = pa.schema([
+        ("length_class", pa.string()), ("n_docs", pa.int64()),
+        ("min_chars", pa.int64()), ("max_chars", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return q_schema.empty_table()
+        n = batch["n_chars"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cls = np.where(
+            n <= 0, "empty",
+            np.where(n < SHORT_DOC_CHARS, "short", "normal"),
+        )
+        g = pa.table({
+            "length_class": pa.array(cls, pa.string()),
+            "n": pa.array(n, pa.int64()),
+        }).group_by(["length_class"]).aggregate(
+            [("n", "count"), ("n", "min"), ("n", "max")]
+        )
+        return pa.table({
+            "length_class": g["length_class"],
+            "n_docs": g["n_count"].cast(pa.int64()),
+            "min_chars": g["n_min"].cast(pa.int64()),
+            "max_chars": g["n_max"].cast(pa.int64()),
+        })
+
+    return grouped_aggregate(
+        _docs(sf_dir, columns=["n_chars"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        keys=["length_class"],
+        aggs={"n_docs": ("n_docs", "sum"),
+              "min_chars": ("min_chars", "min"),
+              "max_chars": ("max_chars", "max")},
+        num_partitions=1, schema=q_schema,
+    )
+
+
+DATA_QUERIES["docs_length_qa"] = q_length_qa
+DATA_ORACLES["docs_length_qa"] = SQL_LENGTH_QA
