@@ -84,6 +84,17 @@ DRIVER_GATE_PINNED = [
     "cdc_classify_multifile",
 ]
 
+# Checked in an earlier round but never hash-green (or parity companions of
+# rows-only entries): re-front these ahead of the unchecked rotation so the
+# round-3 fixes finally get a driver-green row (round-4 verdict, item 1).
+DRIVER_GATE_REFRONT = [
+    "tpch_pricing_summary",
+    "orders_revenue_join",
+    "dedup_simhash_parity",
+    "ann_ivf_parity",
+    "emb_near_dup_parity",
+]
+
 
 def _driver_checked() -> set:
     """Union of query names across all driver CORRECTNESS artifacts that
@@ -105,12 +116,45 @@ def _driver_checked() -> set:
     return seen
 
 
+def _oracle_keys() -> set:
+    """Names that ship an oracle_sql() twin — those produce a full
+    rows+schema+hash driver row; the rest produce a weaker rows-only row."""
+    from debezium_connector_db2_ray.pipelines.queries import CDC_ORACLES
+
+    keys = set(CDC_ORACLES)
+    try:
+        from debezium_connector_db2_ray.functions.queries import DATA_ORACLES
+
+        keys.update(DATA_ORACLES)
+    except ImportError:
+        pass
+    return keys
+
+
 def _ordered(merged: dict) -> dict:
+    """Driver-window ordering (the gate checks the FIRST ~50 entries):
+      1. pinned CDC flagships (re-checked every round),
+      2. previously-checked-but-never-green rows that have an oracle
+         (re-front fixed entries until they finally go green),
+      3. never-driver-checked rows WITH an oracle, registration order,
+      4. already-checked (green) remainder with an oracle,
+      5. no-oracle rows dead last — a slot spent on one yields a
+         guaranteed `no_oracle` row, never a hash-green.
+    """
     checked = _driver_checked()
+    with_oracle = _oracle_keys()
     out = {k: merged[k] for k in DRIVER_GATE_PINNED if k in merged}
     out.update(
+        (k, merged[k]) for k in DRIVER_GATE_REFRONT
+        if k in merged and k not in out
+    )
+    out.update(
         (k, v) for k, v in merged.items()
-        if k not in out and k not in checked
+        if k not in out and k not in checked and k in with_oracle
+    )
+    out.update(
+        (k, v) for k, v in merged.items()
+        if k not in out and k in with_oracle
     )
     out.update((k, v) for k, v in merged.items() if k not in out)
     return out

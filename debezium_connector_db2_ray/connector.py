@@ -36,8 +36,9 @@ class CdcConnector:
     salt: int = 1
     exchange: str = "shuffle"
     validate_pairs: bool = True
-    #: include wins over exclude when both name a table, like the reference
-    #: (table.include.list takes precedence)
+    #: mutually exclusive with table_exclude (config.validate_config errors
+    #: when both are set, matching the relational base config's
+    #: include/exclude exclusivity rule)
     table_include: tuple[str, ...] | None = None
     table_exclude: tuple[str, ...] = ()
     #: per-table payload-column projection — the reference's
@@ -65,6 +66,21 @@ class CdcConnector:
     z_stop_lsn_ignore: bool = False
     routing_col: str = "src_table"
     _engines: dict[str, CdcEngine] = field(default_factory=dict, repr=False)
+
+    def __post_init__(self) -> None:
+        # whole-surface pre-start validation (Db2Connector.java:86-89 /
+        # Db2ConnectorConfigDefTest): every bad knob reported at once
+        from debezium_connector_db2_ray.config import ensure_valid
+
+        ensure_valid(
+            num_partitions=self.num_partitions,
+            salt=self.salt,
+            exchange=self.exchange,
+            validate_pairs=self.validate_pairs,
+            table_include=self.table_include,
+            table_exclude=self.table_exclude,
+            stop_lsns=self.stop_lsns,
+        )
 
     # ---- capture set -------------------------------------------------------
 

@@ -5477,13 +5477,6 @@ def q_tpch_q7(sf_dir: str):
         li.map_batches(rev, batch_format="pyarrow"), sup, on="l_suppkey",
     )
 
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
-    ).map_batches(
-        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
-                            "c_custkey": t["o_custkey"]}),
-        batch_format="pyarrow",
-    )
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
     ).map_batches(
@@ -5493,6 +5486,23 @@ def q_tpch_q7(sf_dir: str):
         }),
         batch_format="pyarrow",
     ).filter(expr=f"cust_nk == {k1} or cust_nk == {k2}")
+    # Bloom-prefilter orders by the 2-nation customer keys BEFORE any
+    # exchange: only ~2/25 of orders survive, so the l_orderkey
+    # repartition join (the query's largest exchange) ships ~8% of the
+    # orders table instead of all of it, and the downstream c_custkey
+    # join shrinks identically. Approximate (no false negatives); the
+    # exact c_custkey repartition join removes the ~1% false positives
+    # (round-4 verdict item 3).
+    from debezium_connector_db2_ray.functions.sketch import bloom_prefilter
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "c_custkey": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    orders = bloom_prefilter(orders, cust, on="c_custkey")
 
     fact_schema = pa.schema([
         ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),

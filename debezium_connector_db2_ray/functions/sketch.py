@@ -361,3 +361,45 @@ def bloom_semi_join(left, right, *, on: str, right_on: str | None = None,
         return batch.filter(pa.array(keep))
 
     return left.map_batches(filt, batch_format="pyarrow")
+
+
+def bloom_prefilter(left, right, *, on: str, right_on: str | None = None,
+                    m_bits: int = 1 << 22):
+    """APPROXIMATE Bloom semi-filter for use UPSTREAM of an exact join:
+    keeps every left row whose key IS in ``right`` (no false negatives)
+    plus ~1% false positives (k=2, 10 bits/key) — the downstream exact
+    join removes the stragglers, so the end-to-end result stays exact.
+
+    Unlike :func:`bloom_semi_join` there is NO exact-verify pass: nothing
+    key-set-sized ever lands on the driver or in plasma — the only
+    broadcast object is the fixed-size packed bitmap (m_bits/8 bytes,
+    independent of right's cardinality), which makes this the 100 TB-safe
+    way to cut the big side of a repartition join before the exchange.
+    NULL left keys are dropped (they cannot match an inner join)."""
+    import ray
+
+    rk = right_on or on
+    bits_ref, mb_i = bloom_bitmap(right, col=rk, m_bits=m_bits)
+    mb = np.uint64(mb_i)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        from debezium_connector_db2_ray.functions.relational import mix64
+
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(bits_ref)
+        v = pc.fill_null(batch[on].cast(pa.int64()), 0).to_numpy(
+            zero_copy_only=False
+        )
+        null = pc.is_null(batch[on]).to_numpy(zero_copy_only=False)
+        h = mix64(v.astype(np.int64)).astype(np.uint64)
+        hit = np.ones(len(v), bool)
+        for hh in (h % mb, (h >> np.uint64(32) | h << np.uint64(32)) % mb):
+            hit &= (
+                bits[(hh >> np.uint64(3)).astype(np.int64)]
+                >> (hh & np.uint64(7)).astype(np.uint8)
+            ) & 1 == 1
+        hit &= ~null
+        return batch.filter(pa.array(hit))
+
+    return left.map_batches(filt, batch_format="pyarrow")

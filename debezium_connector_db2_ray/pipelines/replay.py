@@ -295,13 +295,19 @@ class CdcEngine:
     compact_trigger: int = 64
 
     def __post_init__(self) -> None:
-        if self.exchange not in ("shuffle", "write"):
-            raise ValueError(self.exchange)
-        if self.exchange == "write" and self.validate_pairs:
-            raise ValueError(
-                "exchange='write' skips the per-partition sort; strict "
-                "update-pair validation requires exchange='shuffle'"
-            )
+        # central pre-start validation — the reference validates every
+        # config field before the task runs (Db2Connector.java:86-89)
+        from debezium_connector_db2_ray.config import ensure_valid
+
+        ensure_valid(
+            num_partitions=self.num_partitions,
+            salt=self.salt,
+            key_columns=self.key_columns,
+            batch_size=self.batch_size,
+            exchange=self.exchange,
+            validate_pairs=self.validate_pairs,
+            compact_trigger=self.compact_trigger,
+        )
 
     @property
     def notifications(self):

@@ -205,15 +205,15 @@ def test_engine_with_custom_primary_key(ray_session, tmp_path):
     eng.compact()
     got2 = eng.state_dataset().to_pandas().sort_values("id").reset_index(drop=True)
     assert list(got2["val"]) == ["a3", "c", "d"]
-    # salting demands a composite key — single-column keys refuse
+    # salting demands a composite key — single-column keys now refuse at
+    # CONSTRUCTION (config.ensure_valid fail-fast, round-5 validation layer)
     import pytest as _pytest
 
-    eng_salted = CdcEngine(
-        out_dir=str(tmp_path / "salted"), num_partitions=4, salt=2,
-        key_columns=("id",),
-    )
-    with _pytest.raises(ValueError, match="second key column"):
-        eng_salted.snapshot(rd.from_arrow(lake), Lsn(0, 100))
+    with _pytest.raises(ValueError, match="SECOND key column"):
+        CdcEngine(
+            out_dir=str(tmp_path / "salted"), num_partitions=4, salt=2,
+            key_columns=("id",),
+        )
 
 
 def test_cli_compact_preserves_custom_key(ray_session, tmp_path):
