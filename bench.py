@@ -574,6 +574,100 @@ def run_joins_job() -> None:
     )
 
 
+def run_connector_job() -> None:
+    """Two-table connector job for the scaling harness: one shared change
+    stream carrying a ``src_table`` routing column, fanned out by
+    ``CdcConnector`` to per-table engines — the reference's single task
+    emitting to per-table topics (multi-table ITs, Db2ConnectorIT.java
+    operate on several captured tables at once). Measures the COORDINATOR
+    path the single-table headline can't: union window planning, the
+    per-window bounded materialize, and T routed applies + per-table
+    watermarks per window. Same cached input as the headline job; the lake
+    and stream are split per-table by conv_id parity (stable per-key
+    routing, so each key's whole history lands in one table)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.connector import CdcConnector
+    from debezium_connector_db2_ray.lsn import Lsn
+
+    info = ensure_bench_data()
+    warm_page_cache([info["lake"], info["changelog"]])
+    stage_root = os.environ.get("BENCH_OUT_DIR", "/dev/shm")
+    rd.range(NCPU * 4, override_num_blocks=NCPU * 4).count()
+    tables = ("TRANSCRIPTS_A", "TRANSCRIPTS_B")
+
+    def _even_conv(batch: "pa.Table") -> "pa.ChunkedArray":
+        # conv_id is fixed-width "conv_" + zfill(6); the last digit's parity
+        # is the deterministic table route
+        last = pc.utf8_slice_codeunits(
+            batch["conv_id"], start=10, stop=11
+        )
+        return pc.is_in(last, value_set=pa.array(["0", "2", "4", "6", "8"]))
+
+    def add_route(batch: "pa.Table") -> "pa.Table":
+        route = pc.if_else(_even_conv(batch), "TRANSCRIPTS_A", "TRANSCRIPTS_B")
+        return batch.append_column("src_table", route)
+
+    def lake_for(table: str):
+        def fn(batch: "pa.Table") -> "pa.Table":
+            even = _even_conv(batch)
+            return batch.filter(
+                even if table == "TRANSCRIPTS_A" else pc.invert(even)
+            )
+
+        return rd.read_parquet(
+            info["lake"], override_num_blocks=N_PARTITIONS
+        ).map_batches(fn, batch_format="pyarrow")
+
+    timings: dict = {}
+    root = tempfile.mkdtemp(prefix="cdc_bench_conn_", dir=stage_root)
+    try:
+        snap = Lsn.from_int(info["snapshot_lsn"])
+        hi = Lsn.from_int(info["max_lsn"])
+        conn = CdcConnector(
+            root_dir=root,
+            num_partitions=N_PARTITIONS,
+            validate_pairs=False,
+            exchange=os.environ.get("BENCH_EXCHANGE", "write"),
+        )
+        t0 = time.perf_counter()
+        conn.snapshot_all({t: lake_for(t) for t in tables}, snap)
+        timings["snapshot_sec"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        stream = rd.read_parquet(
+            info["changelog"], override_num_blocks=N_PARTITIONS
+        ).map_batches(add_route, batch_format="pyarrow")
+        conn.replay(stream, snap, hi, N_WINDOWS, tables=list(tables))
+        replay_sec = time.perf_counter() - t0
+        timings["replay_sec"] = round(replay_sec, 3)
+
+        t0 = time.perf_counter()
+        state_rows = sum(conn.state(t).count() for t in tables)
+        timings["state_read_sec"] = round(time.perf_counter() - t0, 3)
+        # inserts for new (conv, turn) keys grow the state past the lake
+        assert state_rows >= info["lake_rows"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "metric": "2-table connector replay wall time "
+                          f"({info['n_events']} shared-stream events, "
+                          f"snapshot + {N_WINDOWS} windows, routed fan-out)",
+                "value": round(replay_sec, 3),
+                "unit": "sec",
+                "queries": timings,
+                "events_per_sec": round(info["n_events"] / replay_sec),
+                "state_rows": state_rows,
+                "num_cpus": NCPU,
+            }
+        )
+    )
+
+
 def main() -> None:
     import ray
 
@@ -596,6 +690,10 @@ def main() -> None:
         return
     if os.environ.get("BENCH_DEDUP_ONLY") == "1":
         run_dedup_job()
+        ray.shutdown()
+        return
+    if os.environ.get("BENCH_CONNECTOR_ONLY") == "1":
+        run_connector_job()
         ray.shutdown()
         return
 
@@ -774,6 +872,19 @@ def scaling() -> None:
                 str(n): jres[n].get("queries", {}) for n in levels
             },
             "all_runs_sec": jruns,
+        }
+    if os.environ.get("SCALE_CONNECTOR") == "1":
+        # opt-in: the 2-table connector coordinator path (union window
+        # planning, bounded per-window materialize, routed per-table apply)
+        cres, cruns = measure({"BENCH_CONNECTOR_ONLY": "1"})
+        cpairs = pairs_of(cres)
+        report["connector"] = {
+            "levels": levels_of(cres),
+            "scaling_efficiency_pairs": cpairs,
+            "per_query_sec_best": {
+                str(n): cres[n].get("queries", {}) for n in levels
+            },
+            "all_runs_sec": cruns,
         }
     if os.environ.get("SCALE_DEDUP") == "1":
         # opt-in third job: the dedup-family exchanges (exact + MinHash-LSH
