@@ -43,6 +43,7 @@ _KNOWN = {
     "column_exclude", "key_columns", "num_partitions", "salt",
     "n_windows", "batch_size", "exchange", "validate_pairs",
     "compact_trigger", "stop_lsns", "z_stop_lsn_ignore",
+    "snapshot_isolation_mode", "snapshot_locking_mode",
 }
 
 
@@ -78,6 +79,28 @@ def validate_config(**knobs: Any) -> dict[str, list[str]]:
                 resolve_snapshotter(mode)
             except ValueError as e:
                 err("snapshot_mode", str(e))
+
+    # -- snapshot.isolation.mode / snapshot.locking.mode enums ----------------
+    # (Db2ConnectorConfig.java:160-300; documented no-ops over an immutable
+    # parquet lake, SURVEY.md §3.2 — validated + echoed for config parity)
+    if "snapshot_isolation_mode" in knobs:
+        from debezium_connector_db2_ray.snapshotter import (
+            resolve_isolation_mode,
+        )
+
+        try:
+            resolve_isolation_mode(knobs["snapshot_isolation_mode"])
+        except ValueError as e:
+            err("snapshot_isolation_mode", str(e))
+    if "snapshot_locking_mode" in knobs:
+        from debezium_connector_db2_ray.snapshotter import (
+            resolve_locking_mode,
+        )
+
+        try:
+            resolve_locking_mode(knobs["snapshot_locking_mode"])
+        except ValueError as e:
+            err("snapshot_locking_mode", str(e))
 
     # -- include/exclude mutual exclusion (relational base config) ----------
     inc, exc = knobs.get("table_include"), knobs.get("table_exclude")

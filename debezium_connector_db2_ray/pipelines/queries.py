@@ -641,6 +641,59 @@ def q_source_struct(sf_dir: str):
     return _events(sf_dir).map_batches(env_batch, batch_format="pyarrow")
 
 
+SQL_EVENT_METADATA = f"""
+WITH {SQL_CHANGELOG.strip()}
+SELECT lsn,
+       CASE WHEN op = 1 THEN 'd' WHEN op = 2 THEN 'c' ELSE 'u' END AS op_char,
+       conv_id, turn_idx,
+       epoch_ms(ts) AS event_ts_ms,
+       '00000000:00000000:' || printf('%016x', lsn) AS commit_lsn,
+       '00000000:00000000:' ||
+         printf('%016x', CASE WHEN op = 5 THEN 1 ELSE 0 END) AS change_lsn,
+       '00000000:00000000:' || printf('%016x', lsn) AS transaction_id
+FROM changelog
+"""
+
+
+def q_event_metadata(sf_dir: str):
+    """EventMetadataProvider parity (Db2EventMetadataProvider.java:19-59):
+    per-event timestamp, {commit_lsn, change_lsn} source position, and the
+    transaction id (== commit LSN for this connector) as columns over the
+    envelope feed — a zero-shuffle map projection via
+    stages/metadata.with_event_metadata."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        to_envelopes,
+        with_source_info,
+    )
+    from debezium_connector_db2_ray.stages.metadata import (
+        append_event_metadata,
+    )
+
+    def env_batch(batch: pa.Table) -> pa.Table:
+        t = to_envelopes(
+            expand_update_pairs(batch), image_columns=("text", "ts")
+        )
+        t = with_source_info(
+            t, name=SOURCE_NAME, db=SOURCE_DB, schema=SOURCE_SCHEMA,
+            table=SOURCE_TABLE,
+        )
+        t = append_event_metadata(t)
+        return pa.table(
+            {
+                "lsn": t["commit_lsn_lo"].cast(pa.int64()),
+                "op_char": t["op_char"],
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "event_ts_ms": t["event_ts_ms"],
+                "commit_lsn": t["commit_lsn"],
+                "change_lsn": t["change_lsn"],
+                "transaction_id": t["transaction_id"],
+            }
+        )
+
+    return _events(sf_dir).map_batches(env_batch, batch_format="pyarrow")
+
+
 SQL_TOMBSTONES = f"""
 WITH {SQL_CHANGELOG.strip()},
 feed AS (
@@ -1084,6 +1137,7 @@ CDC_QUERIES: dict[str, Callable[[str], Any]] = {
     "cdc_transaction_feed": q_transaction_feed,
     "cdc_partial_update_coalesce": q_partial_update_coalesce,
     "cdc_source_struct": q_source_struct,
+    "cdc_event_metadata": q_event_metadata,
     "cdc_decimal_converter": q_decimal_converter,
     "cdc_skipped_operations": q_skipped_operations,
 }
@@ -1108,6 +1162,7 @@ CDC_ORACLES: dict[str, str] = {
     "cdc_transaction_feed": SQL_TRANSACTION_FEED,
     "cdc_partial_update_coalesce": SQL_PARTIAL_COALESCE,
     "cdc_source_struct": SQL_SOURCE_STRUCT,
+    "cdc_event_metadata": SQL_EVENT_METADATA,
     "cdc_decimal_converter": SQL_DECIMAL_CONVERTER,
     "cdc_skipped_operations": SQL_SKIPPED_OPS,
 }

@@ -372,6 +372,8 @@ class CdcEngine:
         snapshot_lsn: Lsn,
         *,
         replace: bool = False,
+        isolation_mode: str | None = None,
+        locking_mode: str | None = None,
     ) -> WindowManifest:
         """Initial-snapshot phase (reference:
         Db2SnapshotChangeEventSource.java:125-175): materialize the lake as
@@ -380,7 +382,21 @@ class CdcEngine:
 
         ``replace=True`` is snapshot mode ALWAYS: the new snapshot supersedes
         all previously committed state (offsets are NOT used; the lake is
-        re-read as-is — Db2ConnectorIT.java:912-970)."""
+        re-read as-is — Db2ConnectorIT.java:912-970).
+
+        ``isolation_mode`` / ``locking_mode`` accept the reference's
+        snapshot.isolation.mode / snapshot.locking.mode enums
+        (Db2ConnectorConfig.java:160-300) — validated and echoed into the
+        STARTED notification; over an immutable parquet lake every level
+        reads identical bytes, so no lock/isolation statement is issued
+        (documented no-op, SURVEY.md §3.2 / snapshotter.py)."""
+        from debezium_connector_db2_ray.snapshotter import (
+            resolve_isolation_mode,
+            resolve_locking_mode,
+        )
+
+        isolation = resolve_isolation_mode(isolation_mode)
+        locking = resolve_locking_mode(locking_mode)
         if not replace:
             self._check_partitioning()
         wid = next_window_id(self.out_dir)
@@ -389,7 +405,8 @@ class CdcEngine:
         self.notifications.emit(
             "Initial Snapshot", "STARTED",
             {"table": self.table_name, "snapshot_lsn": snapshot_lsn.hex(),
-             "replace": replace},
+             "replace": replace, "isolation_mode": isolation,
+             "locking_mode": locking},
         )
 
         tagger = tag_partitions(self.num_partitions, self.salt, self.key_columns)

@@ -147,3 +147,56 @@ def resolve_snapshotter(mode) -> Snapshotter:
             f"unknown snapshot mode {mode!r}; expected one of "
             f"{sorted(_MODES)} or a Snapshotter instance"
         ) from None
+
+
+# -- snapshot isolation / locking modes --------------------------------------
+#
+# The reference offers snapshot.isolation.mode (SnapshotIsolationMode:
+# exclusive | repeatable_read [default] | read_committed | read_uncommitted,
+# Db2ConnectorConfig.java:226-300) and snapshot.locking.mode
+# (SnapshotLockingMode: exclusive | none | custom, :160-215), applied by
+# Db2SnapshotChangeEventSource.java:61-103 as JDBC transaction-isolation +
+# TABLOCKX statements around the snapshot SELECTs.
+#
+# Over an immutable Parquet lake every isolation level reads the SAME bytes
+# — there are no concurrent writers inside the snapshot source, so the knobs
+# are semantically no-ops here BY DESIGN (SURVEY.md §3.2). They are still
+# accepted, validated against the reference's enums and echoed into the
+# snapshot-STARTED notification so config parity is observable, a config
+# typo still fails fast, and an operator reading the notification stream
+# sees the same fields a Debezium deployment logs.
+
+SNAPSHOT_ISOLATION_MODES = (
+    "exclusive", "repeatable_read", "read_committed", "read_uncommitted",
+)
+DEFAULT_ISOLATION_MODE = "repeatable_read"
+
+SNAPSHOT_LOCKING_MODES = ("exclusive", "none", "custom")
+DEFAULT_LOCKING_MODE = "exclusive"
+
+
+def resolve_isolation_mode(mode=None) -> str:
+    """Validate/default a snapshot.isolation.mode value (parse semantics of
+    SnapshotIsolationMode.parse: None -> default, unknown -> error)."""
+    if mode is None:
+        return DEFAULT_ISOLATION_MODE
+    m = str(mode).strip().lower()
+    if m not in SNAPSHOT_ISOLATION_MODES:
+        raise ValueError(
+            f"unknown snapshot isolation mode {mode!r}; expected one of "
+            f"{list(SNAPSHOT_ISOLATION_MODES)}"
+        )
+    return m
+
+
+def resolve_locking_mode(mode=None) -> str:
+    """Validate/default a snapshot.locking.mode value."""
+    if mode is None:
+        return DEFAULT_LOCKING_MODE
+    m = str(mode).strip().lower()
+    if m not in SNAPSHOT_LOCKING_MODES:
+        raise ValueError(
+            f"unknown snapshot locking mode {mode!r}; expected one of "
+            f"{list(SNAPSHOT_LOCKING_MODES)}"
+        )
+    return m
