@@ -134,7 +134,7 @@ def run_headline(timings: dict) -> dict:
     the engine. Each attempt is a full fresh snapshot+replay into its own
     staging dir; the fastest attempt is the least-contended measurement.
     All attempts' replay walls are reported under ``replay_runs_sec``."""
-    k = int(os.environ.get("BENCH_HEADLINE_REPEATS", "2"))
+    k = int(os.environ.get("BENCH_HEADLINE_REPEATS", "3"))
     best, runs = None, []
     for _ in range(max(1, k)):
         t: dict = {}
