@@ -14767,3 +14767,122 @@ def q_length_qa(sf_dir: str):
 
 DATA_QUERIES["docs_length_qa"] = q_length_qa
 DATA_ORACLES["docs_length_qa"] = SQL_LENGTH_QA
+
+
+# ---------------------------------------------------------------------------
+# Per-user running-max drawdown (peak-to-trough) over the value series.
+# ---------------------------------------------------------------------------
+
+SQL_VALUE_DRAWDOWN = """
+WITH v AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT user_id, cents,
+         max(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS runmax
+  FROM v
+)
+SELECT user_id,
+       CAST(max(runmax) AS BIGINT) AS peak,
+       CAST(max(runmax - cents) AS BIGINT) AS max_drawdown,
+       CAST(count(*) AS BIGINT) AS n
+FROM r GROUP BY user_id
+"""
+
+
+def q_value_drawdown(sf_dir: str):
+    """Per-user peak and maximum drawdown of the event-value series —
+    the running-max window (`max() OVER ... ROWS UNBOUNDED PRECEDING`)
+    folded to one row per user. One hash exchange, then the grouped
+    running max comes from a Hillis-Steele prefix-max doubling sweep
+    over the whole partition (relational.grouped_drawdown) — log2 of the
+    longest group fully-vectorized passes, never a per-group loop. Money
+    in scaled integers so the subtraction is cross-engine exact."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_drawdown,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pc.round(
+                pc.multiply(batch["value"], 100.0)
+            ).cast(pa.int64()),
+        })
+
+    return grouped_drawdown(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="cents",
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("cents", pa.int64()),
+        ]),
+    )
+
+
+DATA_QUERIES["user_value_drawdown"] = q_value_drawdown
+DATA_ORACLES["user_value_drawdown"] = SQL_VALUE_DRAWDOWN
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality score (integer-exact surprisal proxy) per document.
+# ---------------------------------------------------------------------------
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             lower(coalesce(text, '')), '[\t\n\f\r ]+'), x -> x <> '') AS ts
+  FROM documents
+), pairs AS (
+  SELECT doc_id, unnest(ts) AS term FROM tok
+), cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM pairs
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum((SELECT n FROM tot) // c.c) // count(*) AS BIGINT)
+         AS mean_inv_freq
+FROM pairs p JOIN cnt c USING (term)
+GROUP BY p.doc_id
+"""
+
+
+def q_unigram_surprisal(sf_dir: str):
+    """CCNet/KenLM-style unigram LM quality score per document, in
+    integer-exact form: a token's inverse frequency is
+    N_total // count(term) (monotone in -log p), and the doc score is
+    the integer mean — rare-token-heavy docs (OCR garbage, hex spew)
+    score high, fluent prose low. One vocabulary combiner exchange for
+    the counts, a bounded broadcast (count >= 2; absence means count==1
+    exactly), then a map-only scoring pass (text.unigram_surprisal) —
+    the tfidf_topk exchange/broadcast shape."""
+    from debezium_connector_db2_ray.functions.text import (
+        unigram_surprisal,
+    )
+
+    return unigram_surprisal(
+        _docs(sf_dir, columns=["doc_id", "text"]), min_count=2
+    )
+
+
+DATA_QUERIES["docs_unigram_surprisal"] = q_unigram_surprisal
+DATA_ORACLES["docs_unigram_surprisal"] = SQL_UNIGRAM_SURPRISAL

@@ -3238,3 +3238,78 @@ def grouped_nth_value(ds, *, keys: list[str],
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def grouped_drawdown(ds, *, keys: list[str],
+                     order_by: list[tuple[str, str]], col: str,
+                     num_partitions: int | None = None,
+                     schema: "pa.Schema | None" = None):
+    """Per-group peak and maximum drawdown of an ordered integer series:
+    SQL ``max(col) OVER (PARTITION BY keys ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` (the running max) folded to one row per group —
+    ``peak = max(runmax)`` and ``max_drawdown = max(runmax - col)``, the
+    standard peak-to-trough health metric for a monitored value series.
+
+    ONE hash exchange on part(keys), then a partition-local kernel: Arrow
+    sort by (keys..., order_by...), segment boundaries, and the grouped
+    running max from a Hillis-Steele prefix-max doubling sweep —
+    ``m[i] = max(m[i], m[i - 2^k])`` guarded by the row's segment start,
+    so ceil(log2(longest group)) fully-vectorized numpy passes replace
+    any per-group loop (numpy fancy assignment evaluates the RHS before
+    writing, making each step a clean synchronous parallel-prefix step).
+    Per-group folds then come from np.maximum.reduceat at the segment
+    starts. ``col`` must be int64-castable and non-null (pre-scale money
+    to cents); output is one row per group: keys..., peak, max_drawdown,
+    n — a combiner-sized result, so the exchange is the only data
+    movement."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(dict.fromkeys(
+        keys + [c for c, _ in order_by] + [col]
+    ))
+    out_schema = pa.schema(
+        [(k, sch.field(k).type) for k in keys]
+        + [("peak", pa.int64()), ("max_drawdown", pa.int64()),
+           ("n", pa.int64())]
+    )
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, t.num_rows))
+        seg_start = np.repeat(starts, sizes)
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = x.copy()
+        idx = np.arange(t.num_rows, dtype=np.int64)
+        s = 1
+        max_size = int(sizes.max())
+        while s < max_size:
+            ok = idx - s >= seg_start
+            m[ok] = np.maximum(m[ok], m[idx[ok] - s])
+            s <<= 1
+        dd = m - x
+        out = {k: t[k].take(pa.array(starts, pa.int64()))
+               for k in keys}
+        out["peak"] = pa.array(
+            np.maximum.reduceat(x, starts), pa.int64())
+        out["max_drawdown"] = pa.array(
+            np.maximum.reduceat(dd, starts), pa.int64())
+        out["n"] = pa.array(sizes.astype(np.int64), pa.int64())
+        return pa.table(out, schema=out_schema)
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

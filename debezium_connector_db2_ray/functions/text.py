@@ -815,3 +815,135 @@ def compression_ratio_batch(batch: pa.Table, *, level: int = 6,
         "compressed_ratio": pa.array(ratios, pa.float64()),
         "too_repetitive": pa.array(ratios < flag_below),
     })
+
+
+def unigram_surprisal(ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", min_count: int = 2):
+    """Per-document unigram language-model quality score — the
+    CCNet/KenLM-style signal curation stacks rank documents with, in
+    integer-exact form. A token's inverse frequency is
+    ``N_total // count(term)`` (monotone in the true unigram surprisal
+    -log p(term); integer floor-division keeps both engines
+    bit-identical, no float log), and the document score is the mean
+    inverse frequency ``sum // n_tokens``: rare-token-heavy documents
+    (OCR garbage, boilerplate hashes) score high, fluent prose scores
+    low. Token class is TOKEN_PATTERN (RE2 \\S+, shared with every text
+    oracle). Two corpus passes:
+
+    1. Counts: per-batch token value_counts partials (plus a sentinel
+       ``''`` row carrying the batch's token total — the empty string
+       can never be a token) -> ONE combiner exchange over the
+       vocabulary (relational.grouped_aggregate).
+    2. Broadcast the ``count >= min_count`` slice once (``ray.put``).
+       With min_count=2, absence from the broadcast means count == 1
+       EXACTLY, so ``N // 1 == N`` keeps the score exact while the
+       broadcast drops the singleton-dominated vocabulary heavy tail.
+       Then one map-only scoring pass: explode tokens (polars, C
+       speed), vectorized count lookup, integer mean.
+
+    Token-less documents (empty/whitespace text) produce no token rows
+    and drop out — the same shape as the SQL unnest. At 100 TB swap the
+    string-keyed broadcast for the 64-bit term-hash variant, exactly as
+    tfidf_topk documents."""
+    import pandas as pd
+    import polars as pl
+    import pyarrow.compute as pc
+    import ray
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+
+    def _tok(col) -> "pl.Series":
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(pc.coalesce(col, pa.scalar("", pa.string())))
+        return s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks = _tok(batch[text_col])
+        flat = toks.explode(empty_as_null=True).drop_nulls()
+        vc = flat.value_counts()
+        cols = vc.columns  # [term, 'count']
+        terms = vc[cols[0]].to_arrow().cast(pa.string())
+        cnts = vc["count"].to_arrow().cast(pa.int64())
+        # sentinel '' row: this batch's token total (tokens are \S+
+        # matches, so '' never collides with a real term)
+        return pa.table({
+            "term": pa.concat_arrays(
+                [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                 else terms, pa.array([""], pa.string())]
+            ),
+            "cnt": pa.concat_arrays(
+                [cnts.combine_chunks() if isinstance(cnts, pa.ChunkedArray)
+                 else cnts, pa.array([len(flat)], pa.int64())]
+            ),
+        })
+
+    rows = grouped_aggregate(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["term"], aggs={"cnt": ("cnt", "sum")},
+        schema=pa.schema([("term", pa.string()), ("cnt", pa.int64())]),
+    ).map_batches(
+        lambda t: t.filter(pa.array(
+            np.logical_or(
+                pc.greater_equal(t["cnt"], min_count).to_numpy(
+                    zero_copy_only=False),
+                pc.equal(t["term"], "").to_numpy(zero_copy_only=False),
+            )
+        )),
+        batch_format="pyarrow",
+    ).take_all()
+    n_total = 0
+    terms, cnts = [], []
+    for r in rows:
+        if r["term"] == "":
+            n_total = int(r["cnt"])
+        else:
+            terms.append(r["term"])
+            cnts.append(r["cnt"])
+    cnt_map = pd.Series(
+        np.array(cnts, np.int64),
+        index=pd.Index(terms, dtype=object),
+    )
+    ref = ray.put((n_total, cnt_map))
+
+    out_schema = pa.schema([
+        (id_col, pa.int64()), ("n_tokens", pa.int64()),
+        ("mean_inv_freq", pa.int64()),
+    ])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_tot, cm = ray.get(ref)
+        toks = _tok(batch[text_col])
+        flat = pl.DataFrame({
+            "i": pl.Series(np.arange(batch.num_rows, dtype=np.int64)),
+            "t": toks,
+        }).explode("t", empty_as_null=True).drop_nulls()
+        if flat.height == 0:
+            return out_schema.empty_table()
+        cv = (
+            pd.Series(flat["t"].to_numpy(), dtype=object).map(cm)
+            .fillna(1).astype(np.int64).to_numpy()
+        )
+        inv = np.int64(n_tot) // cv
+        agg = (
+            pl.DataFrame({"i": flat["i"], "inv": pl.Series(inv)})
+            .group_by("i").agg(
+                pl.col("inv").sum().alias("s"),
+                pl.len().alias("n"),
+            ).sort("i")
+        )
+        i = agg["i"].to_numpy().astype(np.int64)
+        s = agg["s"].to_numpy().astype(np.int64)
+        n = agg["n"].to_numpy().astype(np.int64)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(i, pa.int64())),
+            "n_tokens": pa.array(n, pa.int64()),
+            "mean_inv_freq": pa.array(s // n, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Unit tests for the round-5 continuation batch: grouped running-max
+drawdown (prefix-max doubling kernel) and the integer-exact unigram
+surprisal LM-quality score."""
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_drawdown(vals):
+    """Reference peak / max drawdown over one ordered series."""
+    peak = -1 << 62
+    dd = -1 << 62
+    run = -1 << 62
+    for v in vals:
+        run = max(run, v)
+        peak = max(peak, run)
+        dd = max(dd, run - v)
+    return peak, dd
+
+
+def test_grouped_drawdown_matches_bruteforce(ray_session):
+    """Prefix-max doubling == sequential running max on every group,
+    including single-row groups and a group long enough to need several
+    doubling steps (length 37 > 2^5)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_drawdown,
+    )
+
+    rng = np.random.default_rng(7)
+    groups, orders, vals = [], [], []
+    for g, size in enumerate([1, 2, 37, 5, 16]):
+        v = rng.integers(-1000, 1000, size=size)
+        groups += [g] * size
+        orders += list(range(size))
+        vals += list(v)
+    t = pa.table({
+        "g": pa.array(groups, pa.int64()),
+        "o": pa.array(orders, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    })
+    out = grouped_drawdown(
+        rd.from_arrow(t), keys=["g"], order_by=[("o", "ascending")],
+        col="v", schema=t.schema,
+    ).to_pandas().set_index("g").sort_index()
+
+    i = 0
+    for g, size in enumerate([1, 2, 37, 5, 16]):
+        peak, dd = _brute_drawdown(vals[i:i + size])
+        assert out.loc[g, "peak"] == peak
+        assert out.loc[g, "max_drawdown"] == dd
+        assert out.loc[g, "n"] == size
+        i += size
+
+
+def test_grouped_drawdown_partition_invariance(ray_session):
+    """The result is identical at 1 and 5 partitions — the hash exchange
+    co-locates each group, so partition count can't change any group's
+    ordered scan."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_drawdown,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 500
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 23, n), pa.int64()),
+        "o": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(-10**6, 10**6, n), pa.int64()),
+    })
+    outs = []
+    for parts in (1, 5):
+        df = grouped_drawdown(
+            rd.from_arrow(t), keys=["g"], order_by=[("o", "ascending")],
+            col="v", num_partitions=parts, schema=t.schema,
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+
+
+def test_grouped_drawdown_monotone_series_has_zero_drawdown(ray_session):
+    """A non-decreasing series never drops below its running max."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_drawdown,
+    )
+
+    t = pa.table({
+        "g": pa.array([0] * 6, pa.int64()),
+        "o": pa.array(range(6), pa.int64()),
+        "v": pa.array([1, 1, 3, 5, 5, 9], pa.int64()),
+    })
+    out = grouped_drawdown(
+        rd.from_arrow(t), keys=["g"], order_by=[("o", "ascending")],
+        col="v", schema=t.schema,
+    ).take_all()
+    assert out == [{"g": 0, "peak": 9, "max_drawdown": 0, "n": 6}]
+
+
+def test_unigram_surprisal_bruteforce_and_dropout(ray_session):
+    """Engine score == brute-force N//cnt mean per doc; token-less docs
+    drop out exactly like the SQL unnest; the min_count=2 broadcast trim
+    is invisible (absent means count==1 exactly)."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.text import (
+        unigram_surprisal,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog\tsat",
+        "   ",               # whitespace-only: no tokens -> dropped
+        "Zephyr quartz the",  # singletons + one common term
+        "",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = unigram_surprisal(
+        rd.from_arrow(t), min_count=2
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    # brute force over lowercased \S+ tokens
+    toks = [tx.lower().split() for tx in texts]
+    allt = [w for ws in toks for w in ws]
+    n_total = len(allt)
+    cnt = {}
+    for w in allt:
+        cnt[w] = cnt.get(w, 0) + 1
+    expect = {}
+    for i, ws in enumerate(toks):
+        if not ws:
+            continue
+        s = sum(n_total // cnt[w] for w in ws)
+        expect[i] = (len(ws), s // len(ws))
+    assert set(out.index) == set(expect)
+    for i, (n_tok, score) in expect.items():
+        assert out.loc[i, "n_tokens"] == n_tok
+        assert out.loc[i, "mean_inv_freq"] == score
