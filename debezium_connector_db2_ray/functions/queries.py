@@ -14886,3 +14886,94 @@ def q_unigram_surprisal(sf_dir: str):
 
 DATA_QUERIES["docs_unigram_surprisal"] = q_unigram_surprisal
 DATA_ORACLES["docs_unigram_surprisal"] = SQL_UNIGRAM_SURPRISAL
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+# ---------------------------------------------------------------------------
+
+SQL_LONGEST_STREAK = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), r AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), isl AS (
+  SELECT user_id, day - CAST(rn AS INTEGER) AS anchor FROM r
+), runs AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM runs GROUP BY user_id
+"""
+
+
+def q_longest_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands window pattern (SQL: day minus row_number as the
+    island anchor). Per-batch distinct (user, day) partials shrink the
+    exchange to at most one row per user-day, then ONE hash exchange and
+    a partition-local run-length kernel: sort, adjacent dedupe, island
+    breaks where day != prev_day + 1, reduceat folds per island and per
+    user — integer day arithmetic, exact on both engines."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _window_exchange,
+    )
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("longest_streak", pa.int64()),
+        ("active_days", pa.int64()),
+    ])
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "day": pc.cast(batch["ts"], pa.date32()),
+        })
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by([("user_id", "ascending"), ("day", "ascending")])
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["day"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[D]").astype(np.int64)
+        # adjacent dedupe (cross-batch duplicates survive the partials)
+        keep = np.ones(len(u), bool)
+        keep[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1])
+        u, d = u[keep], d[keep]
+        new_isl = np.ones(len(u), bool)
+        new_isl[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl_start = np.flatnonzero(new_isl)
+        isl_len = np.diff(np.append(isl_start, len(u)))
+        isl_user = u[isl_start]
+        ustart = np.ones(len(isl_user), bool)
+        ustart[1:] = isl_user[1:] != isl_user[:-1]
+        ui = np.flatnonzero(ustart)
+        return pa.table({
+            "user_id": pa.array(isl_user[ui], pa.int64()),
+            "longest_streak": pa.array(
+                np.maximum.reduceat(isl_len, ui), pa.int64()),
+            "active_days": pa.array(
+                np.add.reduceat(isl_len, ui), pa.int64()),
+        }, schema=out_schema)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ).map_batches(day_partial, batch_format="pyarrow")
+    return _window_exchange(
+        ds, keys=["user_id"], cols=["user_id", "day"],
+        num_partitions=None, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["user_longest_streak"] = q_longest_streak
+DATA_ORACLES["user_longest_streak"] = SQL_LONGEST_STREAK

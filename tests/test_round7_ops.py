@@ -149,3 +149,67 @@ def test_unigram_surprisal_bruteforce_and_dropout(ray_session):
     for i, (n_tok, score) in expect.items():
         assert out.loc[i, "n_tokens"] == n_tok
         assert out.loc[i, "mean_inv_freq"] == score
+
+
+def test_insert_and_cast_fields():
+    """InsertField appends typed constants and column aliases; Cast
+    rewrites columns in place (position and name preserved)."""
+    from debezium_connector_db2_ray.stages.envelope import (
+        cast_fields,
+        insert_field,
+    )
+
+    t = pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "op": pa.array([1, 5], pa.int8()),
+    })
+    out = insert_field(
+        t, static={"tag": "x", "empty": None}, from_cols={"k2": "k"}
+    )
+    assert out["tag"].to_pylist() == ["x", "x"]
+    assert out["empty"].to_pylist() == [None, None]
+    assert out["k2"].to_pylist() == [1, 2]
+    cast = cast_fields(out, spec={"k": pa.string(), "op": pa.int64()})
+    # in place: same column order, new types
+    assert cast.column_names == out.column_names
+    assert cast["k"].to_pylist() == ["1", "2"]
+    assert cast.schema.field("op").type == pa.int64()
+
+
+def test_longest_streak_islands(ray_session):
+    """Gaps-and-islands: multi-event days collapse, a one-day gap breaks
+    the streak, and active_days counts distinct days."""
+    import ray.data as rd
+
+    import __ray_entry__ as e
+
+    # fabricate a tiny events parquet: user 1 active on days 1,2,3,5;
+    # user 2 active twice on one day only
+    import os
+    import tempfile
+
+    days = [1, 1, 2, 3, 5]
+    ts = pa.array(
+        [np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+         for d in days + [10, 10]]
+    )
+    t = pa.table({
+        "user_id": pa.array([1] * 5 + [2, 2], pa.int64()),
+        "ts": ts,
+        "event_id": pa.array(range(7), pa.int64()),
+        "event_type": pa.array(["click"] * 7),
+        "value": pa.array([1.0] * 7),
+        "props": pa.array(["{}"] * 7),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = (
+            e.queries()["user_longest_streak"](d)
+            .to_pandas().set_index("user_id").sort_index()
+        )
+    assert out.loc[1, "longest_streak"] == 3   # days 1-2-3
+    assert out.loc[1, "active_days"] == 4      # {1,2,3,5}
+    assert out.loc[2, "longest_streak"] == 1
+    assert out.loc[2, "active_days"] == 1
