@@ -14977,3 +14977,71 @@ def q_longest_streak(sf_dir: str):
 
 DATA_QUERIES["user_longest_streak"] = q_longest_streak
 DATA_ORACLES["user_longest_streak"] = SQL_LONGEST_STREAK
+
+
+# ---------------------------------------------------------------------------
+# Rolling window extrema (ROWS-frame max/min — no cumulative-sum shortcut).
+# ---------------------------------------------------------------------------
+
+SQL_ROLLING_EXTREMA = """
+SELECT event_id, user_id,
+       CAST(max(cents) OVER w AS BIGINT) AS roll_max,
+       CAST(min(cents) OVER w AS BIGINT) AS roll_min
+FROM (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_rolling_extrema(sf_dir: str):
+    """Per-user rolling 4-event max AND min — the order-statistic window
+    frame, which cumulative sums cannot express. One hash exchange, then
+    the fixed-window block decomposition (relational.
+    grouped_rolling_minmax): per-block prefix/suffix extrema sweeps, any
+    frame spans at most one block boundary, so every frame is
+    combine(suffix[lo], prefix[i]) — exact, no per-row loop. Money in
+    scaled integers for cross-engine equality."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_minmax,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pc.round(
+                pc.multiply(batch["value"], 100.0)
+            ).cast(pa.int64()),
+        })
+
+    out = grouped_rolling_minmax(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        keys=["user_id"],
+        order_by=[("ts", "ascending"), ("event_id", "ascending")],
+        col="cents", window_rows=4,
+        schema=pa.schema([
+            ("event_id", pa.int64()), ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")), ("cents", pa.int64()),
+        ]),
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "roll_max",
+                            "roll_min"]),
+        batch_format="pyarrow",
+    )
+
+
+DATA_QUERIES["events_rolling_extrema"] = q_rolling_extrema
+DATA_ORACLES["events_rolling_extrema"] = SQL_ROLLING_EXTREMA

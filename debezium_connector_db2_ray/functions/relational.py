@@ -3313,3 +3313,111 @@ def grouped_drawdown(ds, *, keys: list[str],
         ds, keys=keys, cols=cols, num_partitions=num_partitions,
         kernel=kernel, out_schema=out_schema,
     )
+
+
+def grouped_rolling_minmax(ds, *, keys: list[str],
+                           order_by: list[tuple[str, str]], col: str,
+                           window_rows: int,
+                           out_max: str = "roll_max",
+                           out_min: str = "roll_min",
+                           num_partitions: int | None = None,
+                           schema: "pa.Schema | None" = None):
+    """SQL ``max(col) OVER (PARTITION BY keys ORDER BY ... ROWS BETWEEN
+    window_rows-1 PRECEDING AND CURRENT ROW)`` (and the matching min) —
+    the order-statistic window frame, which has no cumulative-sum
+    shortcut. Exact and fully vectorized via the fixed-window block
+    decomposition: split the sorted partition into blocks of
+    ``window_rows``, precompute prefix extrema (reset at block starts
+    AND at segment starts) and suffix extrema (reset at block ends and
+    segment ends); any frame [lo, i] of length <= window_rows spans at
+    most one block boundary, so its extremum is
+    ``combine(suffix[lo], prefix[i])`` — two O(n) sweeps built from
+    np.maximum.accumulate over reshaped views, no per-row loop. Frames
+    clamp at their segment head exactly like grouped_rolling_sum's.
+    ``col`` must be int64-castable and non-null; all input columns pass
+    through plus ``out_max``/``out_min`` (int64)."""
+    if schema is not None:
+        sch = schema
+    else:
+        sch = (ds.schema(fetch_if_missing=False)
+              or ds.schema())
+        if hasattr(sch, "base_schema"):
+            sch = sch.base_schema
+    cols = list(sch.names)
+    out_schema = pa.schema(
+        [(c, sch.field(c).type) for c in cols]
+        + [(out_max, pa.int64()), (out_min, pa.int64())]
+    )
+    w = int(window_rows)
+    if w < 1:
+        raise ValueError("window_rows must be >= 1")
+
+    def _sweeps(x: np.ndarray, starts: np.ndarray, ufunc) -> tuple:
+        """Prefix extrema reset at block starts AND segment starts, and
+        suffix extrema reset at block boundaries only. The suffix needs
+        no segment resets: it is only ever read at a frame's lo when lo
+        and i sit in different blocks, and then [lo, block_end(lo)] lies
+        strictly inside lo's segment (the frame is clamped to the
+        segment and ends at i > block_end(lo)). The prefix DOES need
+        segment resets for the same-block clamped case (frame head ==
+        segment head inside i's block)."""
+        n = len(x)
+        nb = -(-n // w)
+        ident = (np.iinfo(np.int64).min if ufunc is np.maximum
+                 else np.iinfo(np.int64).max)
+        pad = np.full(nb * w, ident, np.int64)
+        pad[:n] = x
+        # suffix: plain per-block reversed accumulate (pad rows carry the
+        # identity, so short last blocks are unaffected)
+        suf = ufunc.accumulate(
+            pad.reshape(nb, w)[:, ::-1], axis=1
+        )[:, ::-1].reshape(-1)[:n]
+        # prefix with run starts at max(block start, last segment start):
+        # positions in one run share run_start, so the grouped_drawdown
+        # doubling sweep computes run-local prefix extrema in log2(w)
+        # vectorized passes
+        flat_idx = np.arange(nb * w, dtype=np.int64)
+        is_start = np.zeros(nb * w, bool)
+        is_start[starts] = True
+        last_seg = np.maximum.accumulate(
+            np.where(is_start, flat_idx, -1)
+        )
+        run_start = np.maximum(last_seg, (flat_idx // w) * w)
+        acc = pad.copy()
+        s = 1
+        while s < w:
+            ok = flat_idx - s >= run_start
+            acc[ok] = ufunc(acc[ok], acc[flat_idx[ok] - s])
+            s <<= 1
+        return acc[:n], suf
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by(
+            [(k, "ascending") for k in keys] + list(order_by)
+        )
+        n = t.num_rows
+        starts = _segment_starts(t, keys)
+        sizes = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, sizes)
+        v = t[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = np.arange(n, dtype=np.int64)
+        lo = np.maximum(i - (w - 1), seg_start)
+        res = {}
+        for name, uf in ((out_max, np.maximum), (out_min, np.minimum)):
+            pref, suf = _sweeps(x, starts, uf)
+            same_block = (lo // w) == (i // w)
+            res[name] = np.where(same_block, pref[i], uf(suf[lo], pref[i]))
+        out = t
+        out = out.append_column(out_max, pa.array(res[out_max], pa.int64()))
+        out = out.append_column(out_min, pa.array(res[out_min], pa.int64()))
+        return out
+
+    return _window_exchange(
+        ds, keys=keys, cols=cols, num_partitions=num_partitions,
+        kernel=kernel, out_schema=out_schema,
+    )

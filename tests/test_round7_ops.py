@@ -213,3 +213,42 @@ def test_longest_streak_islands(ray_session):
     assert out.loc[1, "active_days"] == 4      # {1,2,3,5}
     assert out.loc[2, "longest_streak"] == 1
     assert out.loc[2, "active_days"] == 1
+
+
+def test_rolling_minmax_matches_bruteforce(ray_session):
+    """Block-decomposition sliding extrema == per-row brute force across
+    window sizes incl. w=1 (identity) and w >= group length (running
+    extrema), at multiple partition counts."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_rolling_minmax,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 120
+    g = rng.integers(0, 4, n)
+    o = rng.permutation(n)
+    v = rng.integers(-1000, 1000, n)
+    t = pa.table({
+        "g": pa.array(g, pa.int64()), "o": pa.array(o, pa.int64()),
+        "v": pa.array(v, pa.int64()),
+    })
+    import pandas as pd
+
+    df = pd.DataFrame({"g": g, "o": o, "v": v}).sort_values(
+        ["g", "o"]).reset_index(drop=True)
+    for w in (1, 4, 7, 200):
+        out = grouped_rolling_minmax(
+            rd.from_arrow(t), keys=["g"], order_by=[("o", "ascending")],
+            col="v", window_rows=w, schema=t.schema, num_partitions=3,
+        ).to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+        exp_max, exp_min = [], []
+        for _, sub in df.groupby("g"):
+            vv = sub["v"].to_numpy()
+            for i in range(len(vv)):
+                lo = max(0, i - w + 1)
+                exp_max.append(vv[lo:i + 1].max())
+                exp_min.append(vv[lo:i + 1].min())
+        assert (out["roll_max"].to_numpy() == np.array(exp_max)).all()
+        assert (out["roll_min"].to_numpy() == np.array(exp_min)).all()
