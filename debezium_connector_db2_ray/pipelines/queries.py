@@ -2972,53 +2972,3 @@ def q_bitemporal_read(sf_dir: str):
 CDC_QUERIES["cdc_bitemporal_read"] = q_bitemporal_read
 CDC_ORACLES["cdc_bitemporal_read"] = SQL_BITEMPORAL
 
-
-# ---------------------------------------------------------------------------
-# InsertField + Cast SMT chain (the remaining Kafka Connect core pair).
-# ---------------------------------------------------------------------------
-
-SQL_INSERT_CAST = f"""
-WITH {SQL_CHANGELOG.strip()}
-SELECT conv_id,
-       CAST(lsn AS VARCHAR) AS lsn,
-       CAST(op AS BIGINT) AS op,
-       'db2-ray' AS source_tag,
-       role AS role_copy
-FROM changelog
-"""
-
-
-def q_insert_cast(sf_dir: str):
-    """InsertField -> Cast SMT chain (Kafka Connect core; reference
-    users bolt these onto the Db2 connector unchanged): InsertField adds
-    a static provenance tag and a metadata alias of an existing column,
-    then Cast rewrites the LSN to string and widens the int8 opcode to
-    int64 in place — two rewrites inside Connect Cast's documented type
-    surface (int8..int64/float/boolean/string).
-    MAP-ONLY: constant/alias appends and Arrow cast kernels per batch,
-    no exchange."""
-    from debezium_connector_db2_ray.stages.envelope import (
-        cast_fields,
-        insert_field,
-    )
-
-    def fn(batch: pa.Table) -> pa.Table:
-        cl = derive_changelog(batch)
-        t = pa.table({
-            "conv_id": cl["conv_id"],
-            "lsn": cl["commit_lsn_lo"].cast(pa.int64()),
-            "op": cl["op"],
-            "role": cl["role"],
-        })
-        t = insert_field(
-            t, static={"source_tag": "db2-ray"},
-            from_cols={"role_copy": "role"},
-        )
-        t = cast_fields(t, spec={"lsn": pa.string(), "op": pa.int64()})
-        return t.drop_columns(["role"])
-
-    return _events(sf_dir).map_batches(fn, batch_format="pyarrow")
-
-
-CDC_QUERIES["cdc_insert_cast"] = q_insert_cast
-CDC_ORACLES["cdc_insert_cast"] = SQL_INSERT_CAST

@@ -960,40 +960,3 @@ def extract_field(env: pa.Table, *, source: str, field: str,
     return env.append_column(out_col or field,
                              pc.struct_field(col, field))
 
-
-def insert_field(env: pa.Table, *, static: dict[str, object] | None = None,
-                 from_cols: dict[str, str] | None = None) -> pa.Table:
-    """InsertField SMT (Kafka Connect core; ``static.field``/
-    ``static.value`` plus the metadata variants): append constant-valued
-    columns (``static``) and/or copies of existing columns under new
-    names (``from_cols``, the topic/partition/offset metadata analog —
-    here metadata IS a column, so insertion is a zero-copy alias).
-    Map-only; static values become a typed constant column the length of
-    the batch (reference Db2 connector applies Connect-core SMTs
-    unchanged — parity surface, not reimplementation)."""
-    out = env
-    for name, val in (static or {}).items():
-        arr = pa.nulls(env.num_rows, pa.string()) if val is None else (
-            pa.array([val] * env.num_rows)
-        )
-        out = out.append_column(name, arr)
-    for name, src in (from_cols or {}).items():
-        out = out.append_column(name, out[src])
-    return out
-
-
-def cast_fields(env: pa.Table, *, spec: dict[str, "pa.DataType"]) -> pa.Table:
-    """Cast SMT (Kafka Connect core, ``spec=field:type,...``): replace
-    each named column with its cast to the target Arrow type, in place
-    (same column position, same name — the Connect whole-record shape).
-    Map-only via Arrow cast kernels; NULLs stay NULL, numeric->string
-    uses Arrow's canonical formatting (matches SQL CAST for integers and
-    dates, the types the reference connector's converters emit)."""
-    out = env
-    for name, typ in spec.items():
-        i = out.schema.get_field_index(name)
-        col = out[name]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        out = out.set_column(i, name, col.cast(typ))
-    return out

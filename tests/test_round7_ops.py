@@ -152,28 +152,43 @@ def test_unigram_surprisal_bruteforce_and_dropout(ray_session):
 
 
 def test_insert_and_cast_fields():
-    """InsertField appends typed constants and column aliases; Cast
-    rewrites columns in place (position and name preserved)."""
+    """The Connect-core SMT trio keeps its contract: InsertField appends
+    constants and metadata copies, Cast rewrites in place with Java
+    float->int truncation-toward-zero, and envelope exports exactly ONE
+    cast_fields (a duplicate definition once shadowed the string-spec
+    original and broke cdc_smt_chain)."""
+    from debezium_connector_db2_ray.stages import envelope
     from debezium_connector_db2_ray.stages.envelope import (
         cast_fields,
-        insert_field,
+        insert_fields,
     )
+
+    # the string-typed Connect config grammar is the one true signature
+    import inspect
+
+    sig = inspect.signature(cast_fields)
+    assert sig.parameters["spec"].annotation == "dict[str, str]"
+    assert envelope.cast_fields is cast_fields
 
     t = pa.table({
         "k": pa.array([1, 2], pa.int64()),
         "op": pa.array([1, 5], pa.int8()),
+        "f": pa.array([-1.7, 2.9], pa.float64()),
     })
-    out = insert_field(
-        t, static={"tag": "x", "empty": None}, from_cols={"k2": "k"}
+    out = insert_fields(
+        t, static={"tag": "x"}, copies={"k2": "k"}
     )
     assert out["tag"].to_pylist() == ["x", "x"]
-    assert out["empty"].to_pylist() == [None, None]
     assert out["k2"].to_pylist() == [1, 2]
-    cast = cast_fields(out, spec={"k": pa.string(), "op": pa.int64()})
+    cast = cast_fields(
+        out, spec={"k": "string", "op": "int64", "f": "int32"}
+    )
     # in place: same column order, new types
     assert cast.column_names == out.column_names
     assert cast["k"].to_pylist() == ["1", "2"]
     assert cast.schema.field("op").type == pa.int64()
+    # Java (int) cast: truncation toward zero, not rounding
+    assert cast["f"].to_pylist() == [-1, 2]
 
 
 def test_longest_streak_islands(ray_session):
