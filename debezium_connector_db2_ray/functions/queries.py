@@ -15045,3 +15045,121 @@ def q_rolling_extrema(sf_dir: str):
 
 DATA_QUERIES["events_rolling_extrema"] = q_rolling_extrema
 DATA_ORACLES["events_rolling_extrema"] = SQL_ROLLING_EXTREMA
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed weighted median (quantity-weighted price per flag).
+# ---------------------------------------------------------------------------
+
+SQL_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+), g AS (
+  SELECT flag, price_cents, CAST(sum(wt) AS BIGINT) AS wt
+  FROM w GROUP BY 1, 2
+), c AS (
+  SELECT flag, price_cents,
+         sum(wt) OVER (PARTITION BY flag ORDER BY price_cents) AS cum,
+         sum(wt) OVER (PARTITION BY flag) AS tot
+  FROM g
+)
+SELECT flag,
+       CAST(min(price_cents) AS BIGINT) AS weighted_median_cents
+FROM c WHERE cum * 2 >= tot GROUP BY flag
+"""
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact distributed weighted median: the quantity-weighted median
+    price per return flag — the robust-aggregation primitive plain
+    median/percentile kernels can't express (each row counts with its
+    weight). Per-batch combiner collapses to (flag, price)->weight
+    partials BEFORE the exchange, so the exchange ships at most one row
+    per distinct (group, value) pair regardless of input size (the
+    3-value flag key is skewed, but the combiner makes each partition
+    |distinct prices|-bounded); the partition kernel sorts by value,
+    one cumulative weight sum, and picks the first value where
+    2*cum >= total — the same tie-free rule the oracle's window states.
+    Integer cents/weights keep both engines bit-identical."""
+    import ray.data as rd
+
+    from debezium_connector_db2_ray.functions.relational import (
+        _segment_starts,
+        _window_exchange,
+        grouped_aggregate,
+    )
+
+    out_schema = pa.schema([
+        ("flag", pa.string()), ("weighted_median_cents", pa.int64()),
+    ])
+    part_schema = pa.schema([
+        ("flag", pa.string()), ("price_cents", pa.int64()),
+        ("wt", pa.int64()),
+    ])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return part_schema.empty_table()
+        p = np.floor(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        w = np.floor(
+            batch["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        g = pa.table({
+            "flag": batch["l_returnflag"],
+            "price_cents": pa.array(p, pa.int64()),
+            "wt": pa.array(w, pa.int64()),
+        }).group_by(["flag", "price_cents"]).aggregate([("wt", "sum")])
+        return pa.table({
+            "flag": g["flag"], "price_cents": g["price_cents"],
+            "wt": g["wt_sum"].cast(pa.int64()),
+        })
+
+    def kernel(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        t = part.sort_by([
+            ("flag", "ascending"), ("price_cents", "ascending"),
+        ])
+        starts = _segment_starts(t, ["flag"])
+        sizes = np.diff(np.append(starts, t.num_rows))
+        w = t["wt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = t["price_cents"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(w)
+        seg_prev = np.repeat(
+            np.concatenate(([0], cum[starts[1:] - 1])), sizes
+        )
+        cum_in = cum - seg_prev  # per-segment cumulative weight
+        tot = np.repeat(np.add.reduceat(w, starts), sizes)
+        ok = 2 * cum_in >= tot
+        # first qualifying row per segment: minimum index with ok set
+        idx = np.arange(t.num_rows, dtype=np.int64)
+        pick = np.minimum.reduceat(np.where(ok, idx, t.num_rows), starts)
+        return pa.table({
+            "flag": t["flag"].take(pa.array(starts, pa.int64())),
+            "weighted_median_cents": pa.array(p[pick], pa.int64()),
+        }, schema=out_schema)
+
+    # pre-aggregate (combiner exchange over the (flag, price) vocabulary)
+    # so duplicate prices from different batches fold before the median
+    folded = grouped_aggregate(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        ).map_batches(partial, batch_format="pyarrow"),
+        keys=["flag", "price_cents"], aggs={"wt": ("wt", "sum")},
+        schema=part_schema,
+    )
+    return _window_exchange(
+        folded, keys=["flag"], cols=["flag", "price_cents", "wt"],
+        num_partitions=2, kernel=kernel, out_schema=out_schema,
+    )
+
+
+DATA_QUERIES["lineitem_weighted_median"] = q_weighted_median
+DATA_ORACLES["lineitem_weighted_median"] = SQL_WEIGHTED_MEDIAN

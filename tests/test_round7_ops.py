@@ -267,3 +267,42 @@ def test_rolling_minmax_matches_bruteforce(ray_session):
                 exp_min.append(vv[lo:i + 1].min())
         assert (out["roll_max"].to_numpy() == np.array(exp_max)).all()
         assert (out["roll_min"].to_numpy() == np.array(exp_min)).all()
+
+
+def test_weighted_median_equals_repeat_expansion(ray_session):
+    """A weight-w row behaves exactly like w copies: the weighted median
+    from the distributed kernel equals numpy's median-by-expansion rule
+    (first value whose cumulative weight reaches half the total)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(5)
+    n = 300
+    flags = rng.choice(["A", "N", "R"], n)
+    price = rng.integers(100, 10_000, n) / 100.0
+    qty = rng.integers(1, 9, n).astype(np.float64)
+    t = pa.table({
+        "l_returnflag": pa.array(flags),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "lineitem.parquet"))
+        out = (
+            e.queries()["lineitem_weighted_median"](d)
+            .to_pandas().set_index("flag").sort_index()
+        )
+    cents = np.round(price * 100).astype(np.int64)
+    w = np.round(qty).astype(np.int64)
+    for f in ("A", "N", "R"):
+        m = flags == f
+        expanded = np.sort(np.repeat(cents[m], w[m]))
+        tot = len(expanded)
+        # first value whose cumulative count doubles past the total ==
+        # element at ceil(tot/2) - 1 of the expansion
+        exp = expanded[(tot + 1) // 2 - 1]
+        assert out.loc[f, "weighted_median_cents"] == exp
