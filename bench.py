@@ -787,6 +787,45 @@ def _burn(_):
     return x
 
 
+def host_membw_probe() -> dict:
+    """Memory-BANDWIDTH strong-scaling ceiling of THIS single box: N
+    processes each stream ~256MB numpy buffers; reports per-process
+    slowdown at 2 vs 8 concurrent streams. The single box shares ONE
+    memory bus across all cores, so any exchange-heavy (bandwidth-bound)
+    stage — the join family's union + sort shuffle above all — is capped
+    well below linear 2->8 here even when the pure-CPU probe reads ~1.0.
+    Measured on this host: per-proc stream time DOUBLES 2->8 (aggregate
+    ~11.6 -> ~18.7 GB/s = 0.40 efficiency ceiling for a 100%%-bandwidth
+    workload). A real N -> 4N *node* cluster multiplies memory buses with
+    the nodes, so single-box numbers understate cluster scaling for these
+    stages."""
+    import multiprocessing as mp
+
+    def _res(n):
+        with mp.Pool(n) as p:
+            times = p.map(_stream, range(n))
+        return sum(times) / n
+
+    t2, t8 = _res(2), _res(8)
+    return {
+        "per_proc_sec_2": round(t2, 2),
+        "per_proc_sec_8": round(t8, 2),
+        "bandwidth_bound_2to8_ceiling": round(t2 / t8, 3),
+    }
+
+
+def _stream(_):
+    import numpy as np
+
+    a = np.ones(32 * 1024 * 1024, np.float64)  # 256 MB
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.copyto(b, a)
+        a += 1.0
+    return time.perf_counter() - t0
+
+
 def scaling() -> None:
     """Same job, same input, parallelism levels in fresh processes;
     efficiency(lo->hi) = (eps_hi / eps_lo) / (cpus_hi / cpus_lo).
@@ -850,6 +889,7 @@ def scaling() -> None:
     report = {
         "metric": "scaling efficiency (fresh ray.init per level, identical input)",
         "host_pure_cpu_efficiency": host_capacity_probe(),
+        "host_membw": host_membw_probe(),
     }
     if os.environ.get("SCALE_SKIP_REPLAY") != "1":
         results, all_runs = measure({"BENCH_SKIP_QUERIES": "1"})
