@@ -2972,3 +2972,225 @@ def q_bitemporal_read(sf_dir: str):
 CDC_QUERIES["cdc_bitemporal_read"] = q_bitemporal_read
 CDC_ORACLES["cdc_bitemporal_read"] = SQL_BITEMPORAL
 
+
+
+# ---------------------------------------------------------------------------
+# Transcript analytics: per-conversation folds over the APPLIED lake state.
+#
+# The input_hint payload is multi-turn conversation transcripts keyed by
+# (conv_id, turn_idx); once the CDC replay materializes the lake, the next
+# thing a training-data pipeline does is conversation-LEVEL curation (length
+# QA, role-structure checks, tool-usage stats). These ride apply_dataset's
+# post_kernel hook: the apply shuffle already hash-partitions on conv_id, so
+# every conversation is fully co-located and the folds below add ZERO extra
+# exchange at any corpus size — one vectorized numpy pass per partition.
+# ---------------------------------------------------------------------------
+
+SQL_CONV_TURN_STATS = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text, tool
+  FROM ranked WHERE rn = 1 AND op <> 1
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(count(tool) AS BIGINT) AS n_tool_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx
+FROM state GROUP BY conv_id
+"""
+
+_CONV_STATS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_turns", pa.int64()),
+    ("n_roles", pa.int64()), ("n_tool_turns", pa.int64()),
+    ("total_chars", pa.int64()), ("max_turn_idx", pa.int64()),
+])
+
+
+def _conv_segments(state: pa.Table):
+    """Sort a partition's applied state by (conv_id, turn_idx) and return
+    (sorted table, conv start offsets, per-row conv index) — the shared
+    front half of every per-conversation fold."""
+    t = state.sort_by([
+        ("conv_id", "ascending"), ("turn_idx", "ascending"),
+    ])
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    new = np.ones(n, bool)
+    if n:
+        new[1:] = conv[1:] != conv[:-1]
+    return t, np.flatnonzero(new), np.cumsum(new) - 1
+
+
+def conv_turn_stats_kernel(state: pa.Table) -> pa.Table:
+    """Per-conversation profile: turn count, distinct roles, tool turns,
+    total text chars, max turn index. One numpy pass over the sorted
+    partition (reduceat folds), mirroring SQL_CONV_TURN_STATS."""
+    if state.num_rows == 0:
+        return _CONV_STATS_SCHEMA.empty_table()
+    t, starts, conv_idx = _conv_segments(state)
+    n = t.num_rows
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_turns = np.diff(np.append(starts, n))
+    max_turn = np.maximum.reduceat(turn, starts)
+    tool_cnt = np.add.reduceat(
+        pc.is_valid(t["tool"]).to_numpy(zero_copy_only=False)
+        .astype(np.int64), starts)
+    chars = pc.fill_null(pc.utf8_length(t["text"]), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    total_chars = np.add.reduceat(chars, starts)
+    # distinct roles per conv: dedupe (conv index, role code) pairs, then
+    # count pairs per conv — no per-group Python
+    codes = pc.dictionary_encode(t["role"]).combine_chunks()
+    rc = (codes.indices if hasattr(codes, "indices")
+          else codes.chunk(0).indices).to_numpy(zero_copy_only=False)
+    k = int(rc.max()) + 1 if n else 1
+    pairs = np.unique(conv_idx.astype(np.int64) * k + rc.astype(np.int64))
+    n_roles = np.bincount(pairs // k, minlength=len(starts))
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "n_turns": pa.array(n_turns.astype(np.int64)),
+        "n_roles": pa.array(n_roles.astype(np.int64)),
+        "n_tool_turns": pa.array(tool_cnt.astype(np.int64)),
+        "total_chars": pa.array(total_chars.astype(np.int64)),
+        "max_turn_idx": pa.array(max_turn.astype(np.int64)),
+    })
+
+
+def q_conv_turn_stats(sf_dir: str):
+    """Conversation-level profile over the replayed lake — the post-apply
+    curation fold (reference analog: the final-state assertions the
+    SnapshotIT/StreamingIT suites run per table; here folded per
+    conversation inside the apply task itself)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_turn_stats_kernel
+    )
+
+
+CDC_QUERIES["conv_turn_stats"] = q_conv_turn_stats
+CDC_ORACLES["conv_turn_stats"] = SQL_CONV_TURN_STATS
+
+
+SQL_CONV_ROLE_ALTERNATION = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 1
+),
+adj AS (
+  SELECT conv_id,
+         CASE WHEN role = lag(role) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) THEN 1 ELSE 0 END AS same
+  FROM state
+)
+SELECT conv_id, sum(same) = 0 AS alternates
+FROM adj GROUP BY conv_id
+"""
+
+_CONV_ALT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("alternates", pa.bool_()),
+])
+
+
+def conv_role_alternation_kernel(state: pa.Table) -> pa.Table:
+    """Role-structure QA: a conversation 'alternates' iff no two
+    consecutive turns (by turn_idx) share a role — adjacency compare on
+    the sorted partition, one reduceat per conv."""
+    if state.num_rows == 0:
+        return _CONV_ALT_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    role = np.asarray(t["role"].to_numpy(zero_copy_only=False))
+    same = np.zeros(n, np.int64)
+    if n > 1:
+        same[1:] = (conv[1:] == conv[:-1]) & (role[1:] == role[:-1])
+    viol = np.add.reduceat(same, starts)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "alternates": pa.array(viol == 0),
+    })
+
+
+def q_conv_role_alternation(sf_dir: str):
+    """Per-conversation role-alternation flag over the replayed lake."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_role_alternation_kernel
+    )
+
+
+CDC_QUERIES["conv_role_alternation"] = q_conv_role_alternation
+CDC_ORACLES["conv_role_alternation"] = SQL_CONV_ROLE_ALTERNATION
+
+
+SQL_CONV_LENGTH_HISTOGRAM = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id FROM ranked WHERE rn = 1 AND op <> 1
+),
+per_conv AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+  FROM state GROUP BY conv_id
+)
+SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
+FROM per_conv GROUP BY n_turns
+"""
+
+
+def q_conv_length_histogram(sf_dir: str):
+    """Corpus-shape report: how many conversations have k turns. The
+    per-conv count folds inside the apply task (zero extra exchange);
+    the final histogram is a combiner-style exchange of at most
+    TURN_MOD rows per partition — O(partitions x 20), never O(convs)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    hist_schema = pa.schema([
+        ("n_turns", pa.int64()), ("n_convs", pa.int64()),
+    ])
+
+    def partial_hist(state: pa.Table) -> pa.Table:
+        if state.num_rows == 0:
+            return hist_schema.empty_table()
+        _, starts, _ = _conv_segments(state)
+        n_turns = np.diff(np.append(starts, state.num_rows))
+        vals, cnts = np.unique(n_turns, return_counts=True)
+        return pa.table({
+            "n_turns": pa.array(vals.astype(np.int64)),
+            "n_convs": pa.array(cnts.astype(np.int64)),
+        })
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    partials = apply_dataset(cl, num_partitions=NP, post_kernel=partial_hist)
+    return grouped_aggregate(
+        partials, keys=["n_turns"], aggs={"n_convs": ("n_convs", "sum")},
+        schema=hist_schema,
+    )
+
+
+CDC_QUERIES["conv_length_histogram"] = q_conv_length_histogram
+CDC_ORACLES["conv_length_histogram"] = SQL_CONV_LENGTH_HISTOGRAM

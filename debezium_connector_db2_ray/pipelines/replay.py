@@ -1074,12 +1074,21 @@ def apply_dataset(
     keep_meta: bool = False,
     key_columns: tuple[str, ...] | None = None,
     batch_size: int = 400_000,
+    post_kernel=None,
 ) -> "ray.data.Dataset":
     """One-shot in-memory replay (no sink/manifest): decode -> hash shuffle ->
     per-partition LWW apply -> final state Dataset. The building block for
     ad-hoc queries; the durable path is CdcEngine. ``combiner`` adds the
     per-batch partial collapse before the shuffle (requires
-    validate_pairs=False)."""
+    validate_pairs=False).
+
+    ``post_kernel`` (optional, ``pa.Table -> pa.Table``) runs on each
+    partition's APPLIED state inside the same map_groups task — the hook
+    for per-conversation analytics that need every row of a key
+    co-located: because the shuffle hash-partitions on the key prefix
+    (conv_id), a conversation is always entirely inside one kernel call,
+    so conversation-level folds ride the apply exchange with ZERO
+    additional shuffle at any corpus size."""
     from debezium_connector_db2_ray.stages.apply import fence_filter
 
     fence = snapshot_lsn
@@ -1140,7 +1149,10 @@ def apply_dataset(
             validate_pairs=validate_pairs,
             key_columns=keys,
         )
-        return final_state(collapsed, keep_meta=keep_meta)
+        state = final_state(collapsed, keep_meta=keep_meta)
+        if post_kernel is not None:
+            return post_kernel(state)
+        return state
 
     return ds.groupby(PART_COL).map_groups(apply_group, batch_format="pyarrow")
 
