@@ -3194,3 +3194,80 @@ def q_conv_length_histogram(sf_dir: str):
 
 CDC_QUERIES["conv_length_histogram"] = q_conv_length_histogram
 CDC_ORACLES["conv_length_histogram"] = SQL_CONV_LENGTH_HISTOGRAM
+
+
+SQL_CONV_DEDUP_FP = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, text FROM ranked WHERE rn = 1 AND op <> 1
+),
+firstk AS (
+  SELECT conv_id, turn_idx, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS k
+  FROM state
+),
+pref AS (
+  SELECT conv_id,
+         string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx) AS prefix
+  FROM firstk WHERE k <= 3 GROUP BY conv_id
+)
+SELECT prefix, CAST(count(*) AS BIGINT) AS n_convs
+FROM pref GROUP BY prefix
+"""
+
+
+def conv_prefix_kernel(state: pa.Table) -> pa.Table:
+    """First-3-turns fingerprint per conversation: the texts of the three
+    lowest turn_idx rows joined with US (0x1f). Arrow-native gather +
+    binary_join_element_wise (null_handling='skip' drops missing turns;
+    present-but-null text coalesces to '' first, like the oracle)."""
+    out_schema = pa.schema([("prefix", pa.string())])
+    if state.num_rows == 0:
+        return out_schema.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    nxt = np.append(starts[1:], n)
+    texts = pc.fill_null(
+        t["text"].combine_chunks()
+        if isinstance(t["text"], pa.ChunkedArray) else t["text"], "")
+
+    def nth(j: int):
+        has = starts + j < nxt
+        idx = np.where(has, starts + j, 0)
+        vals = texts.take(pa.array(idx.astype(np.int64)))
+        return pc.if_else(pa.array(has), vals, pa.scalar(None, pa.string()))
+
+    prefix = pc.binary_join_element_wise(
+        nth(0), nth(1), nth(2), pa.scalar("\x1f"), null_handling="skip"
+    )
+    return pa.table({"prefix": prefix})
+
+
+def q_conv_dedup_fingerprint(sf_dir: str):
+    """Near-dup conversation report: conversations sharing the same
+    first-3-turns text fingerprint (the cheap prefix blocking step of
+    transcript dedup). The per-conv fingerprint folds inside the apply
+    task (zero extra exchange); only the tiny (prefix, 1) rows exchange
+    for the count — never the transcripts themselves."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    prefixes = apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_prefix_kernel
+    )
+    return grouped_aggregate(
+        prefixes, keys=["prefix"], aggs={"n_convs": ("prefix", "count_all")},
+        schema=pa.schema([("prefix", pa.string())]),
+    )
+
+
+CDC_QUERIES["conv_dedup_fingerprint"] = q_conv_dedup_fingerprint
+CDC_ORACLES["conv_dedup_fingerprint"] = SQL_CONV_DEDUP_FP

@@ -87,6 +87,23 @@ def test_alternation_empty():
     assert empty.schema.equals(_CONV_ALT_SCHEMA)
 
 
+def test_prefix_fingerprint_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        conv_prefix_kernel,
+    )
+
+    out = conv_prefix_kernel(_state([
+        ("a", 0, "user", "x", None),
+        ("a", 1, "assistant", None, None),   # null text -> '' slot
+        ("a", 2, "user", "z", None),
+        ("a", 3, "user", "beyond-prefix", None),  # 4th turn ignored
+        ("b", 7, "user", "only", None),      # short conv: 1 slot, no seps
+    ])).to_pydict()
+    assert out["prefix"] == ["x\x1f\x1fz", "only"]
+    empty = conv_prefix_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.column_names == ["prefix"]
+
+
 def test_post_kernel_rides_apply_exchange(ray_session):
     """post_kernel sees each conversation whole: LWW collapse applies
     first (duplicate turn rewritten, delete removed), then the fold."""
