@@ -852,7 +852,7 @@ def benchmark_shingle_ref(bench_ds, *, k: int = 3, text_col: str = "text"):
 
 
 def decontaminate(docs_ds, bench, *, k: int = 3, text_col: str = "text",
-                  id_col: str = "doc_id"):
+                  id_col: str = "doc_id", with_fraction: bool = False):
     """Benchmark decontamination: per document, how many of its DISTINCT
     k-token shingles appear anywhere in the benchmark set (`n_hits`) and the
     derived `contaminated` flag — the standard guard against eval-set
@@ -885,13 +885,21 @@ def decontaminate(docs_ds, bench, *, k: int = 3, text_col: str = "text",
         cs = np.concatenate(([0], np.cumsum(hit)))
         offs = np.concatenate(([0], np.cumsum(uc)))
         n_hits = cs[offs[1:]] - cs[offs[:-1]]
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_hits": pa.array(n_hits, pa.int64()),
-                "contaminated": pa.array(n_hits > 0),
-            }
-        )
+        cols = {
+            id_col: batch[id_col],
+            "n_hits": pa.array(n_hits, pa.int64()),
+            "contaminated": pa.array(n_hits > 0),
+        }
+        if with_fraction:
+            # overlap fraction = hits / distinct shingles — ONE float64
+            # division of exact integer counts (0 for shingle-less docs),
+            # the same operation order as the SQL oracle's n::DOUBLE / c
+            ng = np.asarray(uc, np.int64)
+            cols["n_grams"] = pa.array(ng, pa.int64())
+            cols["score"] = pa.array(
+                np.where(ng > 0, n_hits / np.maximum(ng, 1), 0.0)
+            )
+        return pa.table(cols)
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
 

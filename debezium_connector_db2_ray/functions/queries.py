@@ -15163,3 +15163,75 @@ def q_weighted_median(sf_dir: str):
 
 DATA_QUERIES["lineitem_weighted_median"] = q_weighted_median
 DATA_ORACLES["lineitem_weighted_median"] = SQL_WEIGHTED_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# Contamination SCORE: per-doc shingle-overlap fraction vs the benchmark.
+# The graded variant of docs_decontaminate — training pipelines threshold
+# on the fraction (e.g. drop > 0.8, downweight > 0.2), not the boolean.
+# Same broadcast-shingle-set map-only shape: no shuffle at any corpus size.
+# ---------------------------------------------------------------------------
+
+SQL_CONTAMINATION_SCORE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) = 0 THEN []
+              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' '))
+         END AS g
+  FROM toks
+),
+gr AS (SELECT DISTINCT doc_id, unnest(g) AS gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 20 = 0),
+cnt AS (
+  SELECT doc_id, count(*) AS n_grams
+  FROM gr WHERE doc_id % 20 <> 0 GROUP BY doc_id
+),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n
+  FROM gr JOIN bench USING (gram)
+  WHERE gr.doc_id % 20 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated,
+       CASE WHEN coalesce(c.n_grams, 0) = 0 THEN 0.0
+            ELSE CAST(coalesce(h.n, 0) AS DOUBLE) / c.n_grams END AS score
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 20 <> 0
+"""
+
+
+def q_contamination_score(sf_dir: str):
+    """Graded decontamination: per-document overlap FRACTION of distinct
+    3-token shingles against the benchmark split (doc_id % 20 = 0), via
+    decontaminate(with_fraction=True)."""
+    from debezium_connector_db2_ray.functions.dedup import decontaminate
+
+    def is_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 0))
+
+    def is_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 != 0))
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    corpus = docs.map_batches(is_corpus, batch_format="pyarrow")
+    return decontaminate(corpus, bench, k=3, with_fraction=True)
+
+
+DATA_QUERIES["docs_contamination_score"] = q_contamination_score
+DATA_ORACLES["docs_contamination_score"] = SQL_CONTAMINATION_SCORE

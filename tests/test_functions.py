@@ -728,6 +728,22 @@ def test_decontaminate_flags_benchmark_overlap(ray_session):
     }
     assert again == {k: v[0] for k, v in got.items()}
 
+    # graded variant: score = n_hits / distinct shingles; 0-shingle docs
+    # (empty/None text) score 0.0, exact copies score 1.0
+    frac = {
+        r["doc_id"]: (r["n_grams"], r["score"])
+        for r in decontaminate(
+            corpus, ref, k=3, with_fraction=True
+        ).take_all()
+    }
+    assert frac[1] == (full, 1.0)
+    assert frac[2] == (
+        len(shingle_hashes(partial_txt, 3)),
+        shared / len(shingle_hashes(partial_txt, 3)),
+    )
+    assert frac[3][1] == 0.0
+    assert frac[4] == (0, 0.0)
+
 
 def test_exact_percentiles_match_duckdb_quantile_disc(ray_session):
     """Distributed kth-element selection == DuckDB quantile_disc: float and
