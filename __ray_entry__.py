@@ -95,6 +95,18 @@ DRIVER_GATE_REFRONT = [
     "emb_near_dup_parity",
 ]
 
+# Round-5 transcripts-axis flagships: registered last (so the plain
+# unchecked rotation would never reach them) but they ARE the tier's
+# theme — front them ahead of the generic unchecked backlog.
+DRIVER_GATE_THEME = [
+    "conv_first_last_role",
+    "conv_turn_gaps",
+    "conv_time_span",
+    "conv_sessionize",
+    "conv_role_char_share",
+    "conv_shared_turns",
+]
+
 
 def _driver_checked() -> set:
     """Union of query names across all driver CORRECTNESS artifacts that
@@ -145,7 +157,7 @@ def _ordered(merged: dict) -> dict:
     with_oracle = _oracle_keys()
     out = {k: merged[k] for k in DRIVER_GATE_PINNED if k in merged}
     out.update(
-        (k, merged[k]) for k in DRIVER_GATE_REFRONT
+        (k, merged[k]) for k in DRIVER_GATE_REFRONT + DRIVER_GATE_THEME
         if k in merged and k not in out
     )
     out.update(

@@ -3271,3 +3271,384 @@ def q_conv_dedup_fingerprint(sf_dir: str):
 
 CDC_QUERIES["conv_dedup_fingerprint"] = q_conv_dedup_fingerprint
 CDC_ORACLES["conv_dedup_fingerprint"] = SQL_CONV_DEDUP_FP
+
+
+SQL_CONV_FIRST_LAST_ROLE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 1
+)
+SELECT conv_id,
+       arg_min(role, turn_idx) AS first_role,
+       arg_max(role, turn_idx) AS last_role
+FROM state GROUP BY conv_id
+"""
+
+_CONV_FL_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("first_role", pa.string()),
+    ("last_role", pa.string()),
+])
+
+
+def conv_first_last_role_kernel(state: pa.Table) -> pa.Table:
+    """Opening/closing-role QA (does the transcript start with the expected
+    role and end with a reply?): roles at the min and max turn_idx of each
+    conversation — pure gather on the sorted partition, no reduction."""
+    if state.num_rows == 0:
+        return _CONV_FL_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    ends = np.append(starts[1:], n) - 1
+    role = (t["role"].combine_chunks()
+            if isinstance(t["role"], pa.ChunkedArray) else t["role"])
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "first_role": role.take(pa.array(starts.astype(np.int64))),
+        "last_role": role.take(pa.array(ends.astype(np.int64))),
+    })
+
+
+def q_conv_first_last_role(sf_dir: str):
+    """First/last role per conversation over the replayed lake (rides the
+    apply exchange via post_kernel — zero extra shuffle)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_first_last_role_kernel
+    )
+
+
+CDC_QUERIES["conv_first_last_role"] = q_conv_first_last_role
+CDC_ORACLES["conv_first_last_role"] = SQL_CONV_FIRST_LAST_ROLE
+
+
+SQL_CONV_TURN_GAPS = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx
+  FROM ranked WHERE rn = 1 AND op <> 1
+),
+adj AS (
+  SELECT conv_id, turn_idx,
+         coalesce(turn_idx - lag(turn_idx) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), 0) AS gap
+  FROM state
+)
+SELECT conv_id,
+       CAST(max(gap) AS BIGINT) AS max_gap,
+       CAST(max(turn_idx) - min(turn_idx) + 1 - count(*) AS BIGINT)
+         AS n_missing
+FROM adj GROUP BY conv_id
+"""
+
+_CONV_GAPS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("max_gap", pa.int64()),
+    ("n_missing", pa.int64()),
+])
+
+
+def conv_turn_gaps_kernel(state: pa.Table) -> pa.Table:
+    """Deleted-turn detector: after replay, a DELETE leaves a hole in the
+    turn_idx sequence. max_gap is the largest jump between consecutive
+    surviving turns (0 for a single-turn conversation); n_missing is the
+    total hole count (span minus survivors). One diff + three reduceats."""
+    if state.num_rows == 0:
+        return _CONV_GAPS_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    turn = t["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gap = np.zeros(n, np.int64)
+    if n > 1:
+        gap[1:] = turn[1:] - turn[:-1]
+    gap[starts] = 0
+    max_gap = np.maximum.reduceat(gap, starts)
+    lo = np.minimum.reduceat(turn, starts)
+    hi = np.maximum.reduceat(turn, starts)
+    cnt = np.diff(np.append(starts, n))
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "max_gap": pa.array(max_gap),
+        "n_missing": pa.array(hi - lo + 1 - cnt),
+    })
+
+
+def q_conv_turn_gaps(sf_dir: str):
+    """Per-conversation turn-hole report over the replayed lake."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_turn_gaps_kernel
+    )
+
+
+CDC_QUERIES["conv_turn_gaps"] = q_conv_turn_gaps
+CDC_ORACLES["conv_turn_gaps"] = SQL_CONV_TURN_GAPS
+
+
+SQL_CONV_TIME_SPAN = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, ts FROM ranked WHERE rn = 1 AND op <> 1
+)
+SELECT conv_id,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM state GROUP BY conv_id
+"""
+
+_CONV_SPAN_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("span_us", pa.int64()),
+    ("n_turns", pa.int64()),
+])
+
+
+def conv_time_span_kernel(state: pa.Table) -> pa.Table:
+    """Wall-clock extent of each conversation (max ts - min ts, in us) —
+    the recording-duration QA column. Two reduceats on the int64 view."""
+    if state.num_rows == 0:
+        return _CONV_SPAN_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "span_us": pa.array(
+            np.maximum.reduceat(ts, starts)
+            - np.minimum.reduceat(ts, starts)),
+        "n_turns": pa.array(
+            np.diff(np.append(starts, t.num_rows)).astype(np.int64)),
+    })
+
+
+def q_conv_time_span(sf_dir: str):
+    """Per-conversation wall-clock span over the replayed lake."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_time_span_kernel
+    )
+
+
+CDC_QUERIES["conv_time_span"] = q_conv_time_span
+CDC_ORACLES["conv_time_span"] = SQL_CONV_TIME_SPAN
+
+
+SESSION_GAP_US = 3_600_000_000  # 1 h — the classic web-session cutoff
+
+
+SQL_CONV_SESSIONIZE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, ts FROM ranked WHERE rn = 1 AND op <> 1
+),
+adj AS (
+  SELECT conv_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS brk
+  FROM state
+)
+SELECT conv_id, CAST(1 + sum(brk) AS BIGINT) AS n_sessions
+FROM adj GROUP BY conv_id
+"""
+
+_CONV_SESS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("n_sessions", pa.int64()),
+])
+
+
+def conv_sessionize_kernel(state: pa.Table) -> pa.Table:
+    """Sessionization: walking the conversation in turn order, a new
+    session starts when the wall-clock jump to the previous turn exceeds
+    SESSION_GAP_US (the standard inactivity-timeout session split). One
+    diff + compare + reduceat per partition."""
+    if state.num_rows == 0:
+        return _CONV_SESS_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    ts = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    brk = np.zeros(n, np.int64)
+    if n > 1:
+        brk[1:] = (ts[1:] - ts[:-1]) > SESSION_GAP_US
+    brk[starts] = 0
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "n_sessions": pa.array(1 + np.add.reduceat(brk, starts)),
+    })
+
+
+def q_conv_sessionize(sf_dir: str):
+    """Per-conversation session count (1 h inactivity cutoff) over the
+    replayed lake — rides the apply exchange via post_kernel."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_sessionize_kernel
+    )
+
+
+CDC_QUERIES["conv_sessionize"] = q_conv_sessionize
+CDC_ORACLES["conv_sessionize"] = SQL_CONV_SESSIONIZE
+
+
+SQL_CONV_ROLE_CHAR_SHARE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, role, coalesce(length(text), 0) AS chars
+  FROM ranked WHERE rn = 1 AND op <> 1
+),
+per_role AS (
+  SELECT conv_id, role, CAST(sum(chars) AS BIGINT) AS chars
+  FROM state GROUP BY conv_id, role
+)
+SELECT conv_id, role, chars,
+       CAST(chars AS DOUBLE)
+         / CAST(sum(chars) OVER (PARTITION BY conv_id) AS DOUBLE) AS frac
+FROM per_role
+"""
+
+_CONV_SHARE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("role", pa.string()),
+    ("chars", pa.int64()), ("frac", pa.float64()),
+])
+
+
+def conv_role_char_share_kernel(state: pa.Table) -> pa.Table:
+    """Speaker balance: per (conversation, role) total text chars and that
+    role's fraction of the conversation — the prompt/response length-ratio
+    signal chat-data curation filters on. Sorted (conv, role) segment
+    fold, then a conv-level second fold for the denominator; NaN when a
+    conversation's text is entirely empty (0/0), matching the oracle."""
+    if state.num_rows == 0:
+        return _CONV_SHARE_SCHEMA.empty_table()
+    t = state.sort_by([
+        ("conv_id", "ascending"), ("role", "ascending"),
+    ])
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    role = np.asarray(t["role"].to_numpy(zero_copy_only=False))
+    new = np.ones(n, bool)
+    new[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+    starts = np.flatnonzero(new)
+    chars = pc.fill_null(pc.utf8_length(t["text"]), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    pr = np.add.reduceat(chars, starts)
+    # conversation totals over the per-role rows
+    cnew = np.ones(len(starts), bool)
+    cnew[1:] = conv[starts][1:] != conv[starts][:-1]
+    cstarts = np.flatnonzero(cnew)
+    totals = np.add.reduceat(pr, cstarts)
+    cidx = np.cumsum(cnew) - 1
+    with np.errstate(invalid="ignore"):
+        frac = pr.astype(np.float64) / totals[cidx].astype(np.float64)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "role": pa.array(role[starts], pa.string()),
+        "chars": pa.array(pr),
+        "frac": pa.array(frac),
+    })
+
+
+def q_conv_role_char_share(sf_dir: str):
+    """Per-(conversation, role) char share over the replayed lake."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_role_char_share_kernel
+    )
+
+
+CDC_QUERIES["conv_role_char_share"] = q_conv_role_char_share
+CDC_ORACLES["conv_role_char_share"] = SQL_CONV_ROLE_CHAR_SHARE
+
+
+SQL_CONV_SHARED_TURNS = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, text FROM ranked
+  WHERE rn = 1 AND op <> 1 AND text IS NOT NULL
+)
+SELECT text, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM state GROUP BY text
+HAVING count(DISTINCT conv_id) >= 2
+"""
+
+
+def q_conv_shared_turns(sf_dir: str):
+    """Cross-conversation turn-level dedup report: turn texts that appear
+    in >= 2 distinct conversations (boilerplate / template detection).
+    The per-partition post_kernel pre-collapses to DISTINCT (text,
+    conv_id) pairs — globally distinct already, because the apply
+    exchange confines each conv_id to one partition — so the only extra
+    exchange ships one row per distinct pair, never the corpus, and the
+    final count per text is a plain grouped_aggregate."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    pair_schema = pa.schema([
+        ("text", pa.string()), ("conv_id", pa.string()),
+    ])
+
+    def distinct_pairs(state: pa.Table) -> pa.Table:
+        if state.num_rows == 0:
+            return pair_schema.empty_table()
+        t = state.filter(pc.is_valid(state["text"]))
+        return t.select(["text", "conv_id"]).group_by(
+            ["text", "conv_id"]).aggregate([])
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    pairs = apply_dataset(cl, num_partitions=NP, post_kernel=distinct_pairs)
+    counts = grouped_aggregate(
+        pairs, keys=["text"], aggs={"n_convs": ("conv_id", "count")},
+        schema=pair_schema,
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_convs"], 2)),
+        batch_format="pyarrow",
+    )
+
+
+CDC_QUERIES["conv_shared_turns"] = q_conv_shared_turns
+CDC_ORACLES["conv_shared_turns"] = SQL_CONV_SHARED_TURNS

@@ -140,3 +140,119 @@ def test_post_kernel_rides_apply_exchange(ray_session):
     assert r["conv_id"] == "a" and r["n_turns"] == 2
     assert r["total_chars"] == len("v2 wins") + len("kept")
     assert r["max_turn_idx"] == 1
+
+
+def _state_ts(rows):
+    """rows: (conv_id, turn_idx, role, text, ts_us)."""
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array(
+            np.array([r[4] for r in rows], "datetime64[us]")
+            if rows else np.array([], "datetime64[us]"),
+            pa.timestamp("us"),
+        ),
+    })
+
+
+def test_first_last_role_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_FL_SCHEMA,
+        conv_first_last_role_kernel,
+    )
+
+    out = conv_first_last_role_kernel(_state([
+        ("a", 2, "assistant", "x", None),  # shuffled: kernel must sort
+        ("a", 0, "user", "x", None),
+        ("a", 1, "assistant", "x", None),
+        ("b", 7, "system", "x", None),     # single turn: first == last
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["first_role"] == ["user", "system"]
+    assert out["last_role"] == ["assistant", "system"]
+    empty = conv_first_last_role_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_FL_SCHEMA)
+
+
+def test_turn_gaps_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_GAPS_SCHEMA,
+        conv_turn_gaps_kernel,
+    )
+
+    out = conv_turn_gaps_kernel(_state([
+        ("a", 0, "u", "x", None),
+        ("a", 1, "u", "x", None),
+        ("a", 5, "u", "x", None),   # hole of 3 turns (2,3,4), gap 4
+        ("b", 9, "u", "x", None),   # single turn: gap 0, missing 0
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["max_gap"] == [4, 0]
+    assert out["n_missing"] == [3, 0]
+    empty = conv_turn_gaps_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_GAPS_SCHEMA)
+
+
+def test_time_span_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_SPAN_SCHEMA,
+        conv_time_span_kernel,
+    )
+
+    out = conv_time_span_kernel(_state_ts([
+        ("a", 0, "u", "x", 100),
+        ("a", 1, "u", "x", 50),    # ts NOT monotonic in turn order
+        ("a", 2, "u", "x", 400),
+        ("b", 0, "u", "x", 7),
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["span_us"] == [350, 0]
+    assert out["n_turns"] == [3, 1]
+    empty = conv_time_span_kernel(_state_ts([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_SPAN_SCHEMA)
+
+
+def test_sessionize_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_SESS_SCHEMA,
+        SESSION_GAP_US,
+        conv_sessionize_kernel,
+    )
+
+    g = SESSION_GAP_US
+    out = conv_sessionize_kernel(_state_ts([
+        ("a", 0, "u", "x", 0),
+        ("a", 1, "u", "x", g),          # delta == gap: NOT a break
+        ("a", 2, "u", "x", 2 * g + 1),  # delta g+1: break
+        ("a", 3, "u", "x", 1),          # negative delta: not a break
+        ("b", 0, "u", "x", 0),
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["n_sessions"] == [2, 1]
+    empty = conv_sessionize_kernel(_state_ts([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_SESS_SCHEMA)
+
+
+def test_role_char_share_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_SHARE_SCHEMA,
+        conv_role_char_share_kernel,
+    )
+
+    out = conv_role_char_share_kernel(_state([
+        ("a", 0, "user", "xx", None),       # user: 2+4=6 of 8
+        ("a", 1, "assistant", "yy", None),  # assistant: 2 of 8
+        ("a", 2, "user", "zzzz", None),
+        ("b", 0, "user", None, None),       # all-null conv: 0/0 -> NaN
+    ]))
+    d = out.to_pydict()
+    assert d["conv_id"] == ["a", "a", "b"]
+    assert d["role"] == ["assistant", "user", "user"]
+    assert d["chars"] == [2, 6, 0]
+    assert d["frac"][0] == 0.25 and d["frac"][1] == 0.75
+    assert np.isnan(d["frac"][2])
+    empty = conv_role_char_share_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_SHARE_SCHEMA)
