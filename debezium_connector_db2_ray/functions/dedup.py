@@ -49,7 +49,8 @@ def _token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
 
     One vectorized regex extraction + one vectorized xxhash pass (polars) per
     batch — the replacement for the per-word hashlib.md5 loops."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -264,7 +265,8 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
         num_partitions = _default_partitions(ds)
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
@@ -934,7 +936,8 @@ DEDUP_STATE_SEED = 3  # same xxhash seed as exact_dedup's router
 
 
 def _text_hash_buckets(texts, num_buckets: int) -> np.ndarray:
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -1212,7 +1215,8 @@ def paragraph_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     removal semantics as doc-level dedup, and exactly what the SQL
     ``GROUP BY doc_id`` over kept rows produces. Returns a Dataset of
     (id_col, out_col)."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.relational import (
         grouped_string_agg,
@@ -1335,7 +1339,8 @@ def edit_distance_pairs(ds, *, col: str = "c_name",
 
     Reference analog: none — the reference matches table names exactly;
     this is the approximate-matching member of the dedup family."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.relational import (
         _partition_codes,

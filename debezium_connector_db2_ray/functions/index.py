@@ -26,7 +26,8 @@ import pyarrow.compute as pc
 def _term_bucket(terms, num_buckets: int) -> np.ndarray:
     """Vectorized polars xxhash of a string Series/array -> bucket ids
     (the same seeded hash family the dedup exchanges use)."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
@@ -42,7 +43,8 @@ def build_inverted_index(ds, index_dir: str, *, text_col: str = "text",
     row per (term, doc); vectorized polars extract_all + list.unique +
     zipped explode), bucket by hash(term) % num_buckets, one partitioned
     parquet write. Streaming end to end; nothing materializes."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
 

@@ -84,7 +84,8 @@ def q_dedup_prefix(sf_dir: str):
     P = derive_num_partitions(ds)
 
     def add_key(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         col = batch["text"]
         if isinstance(col, pa.ChunkedArray):
@@ -1832,7 +1833,8 @@ def q_rep_tokens(sf_dir: str):
     """Repetition quality score (Gopher-style duplicate-token fraction):
     one vectorized polars pass — lowercase, RE2-pinned tokenize,
     list-length minus distinct-length; empty docs score NULL."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
 
@@ -3963,7 +3965,8 @@ def q_heavy_terms(sf_dir: str):
     tokens) via the two-pass Misra-Gries + recount scheme
     (sketch.heavy_hitters_exact): bounded memory at any corpus size, no
     full-vocabulary shuffle — vs the oracle's unnest GROUP BY HAVING."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.sketch import (
         heavy_hitters_exact,
@@ -4183,7 +4186,8 @@ def q_paragraph_dedup(sf_dir: str):
     """Corpus-wide paragraph dedup: keep the first global occurrence of
     each distinct paragraph, reassemble docs in order (dedup.paragraph_dedup
     — two bounded exchanges, no Python row loops, '' never a hot key)."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     from debezium_connector_db2_ray.functions.dedup import paragraph_dedup
 
@@ -10175,7 +10179,8 @@ def q_terms_per_lang(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return cnt_schema.empty_table()
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
 
@@ -12267,7 +12272,8 @@ def q_length_buckets(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return b_schema.empty_table()
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         df = pl.from_arrow(pa.table({"text": batch["text"]}))
         n = (
@@ -12779,7 +12785,8 @@ def q_span_plan(sf_dir: str):
                 ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
                 ("n_corrupted", pa.int64()), ("n_spans", pa.int64()),
             ]).empty_table()
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         df = pl.from_arrow(pa.table({"text": batch["text"]}))
         n = (

@@ -299,7 +299,8 @@ def _partition_codes(batch: pa.Table, keys: list[str], num_partitions: int,
             )
             v = (f + 0.0).view(np.uint64)
         else:
-            import polars as pl
+            from debezium_connector_db2_ray.polars_compat import import_polars
+            pl = import_polars()
 
             v = pl.from_arrow(col).hash(seed=0).to_numpy()
         h = mix64(h ^ mix64(v))
@@ -1621,7 +1622,8 @@ def topk_terms(ds, *, text_col: str = "text", k: int = 20):
     deterministic (count desc, term asc) tiebreak."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         from debezium_connector_db2_ray.functions.text import TOKEN_PATTERN
 

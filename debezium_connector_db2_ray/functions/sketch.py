@@ -51,7 +51,8 @@ def _hash_u64(col) -> np.ndarray:
         # (measured: top-12-bit occupancy 839 vs expected 887 on 1k
         # sequential ints single-mixed, 891 double-mixed)
         return mix64(mix64(v))
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
 
@@ -147,7 +148,8 @@ def heavy_hitters_exact(ds, *, list_tokens, phi: float, m: int = 4096,
 
     ``list_tokens(batch) -> polars Series[list[str]]`` supplies
     tokenization (shared with the text oracles)."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
     import ray
 
     from debezium_connector_db2_ray.functions.relational import (

@@ -135,7 +135,8 @@ def fingerprint_batch(batch: pa.Table, *, algo: str = "xxhash64") -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": fp})
     if algo != "xxhash64":
         raise ValueError(f"fingerprint_batch: unknown algo {algo!r}")
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     col = batch["text"]
     if isinstance(col, pa.ChunkedArray):
@@ -191,7 +192,8 @@ def tfidf_topk(ds, *, text_col: str = "text", id_col: str = "doc_id",
     At 100 TB swap the string-keyed broadcast for the 64-bit term-hash
     variant (collision odds ~n^2/2^65) — the lookup is the only change."""
     import pandas as pd
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
     import pyarrow.compute as pc
     import ray
 
@@ -290,7 +292,8 @@ def chunk_documents_batch(window: int, stride: int,
     plain map stage (no exchange) and let downstream ops repartition."""
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     def fn(batch: pa.Table) -> pa.Table:
         df = pl.from_arrow(batch.select([id_col, text_col]))
@@ -342,7 +345,8 @@ def vocab_coverage(ds, *, vocab_k: int = 200, text_col: str = "text",
     the shared RE2-pinned lowercase \\S+ so the SQL oracle reproduces the
     identical vocabulary and counts; coverage is one division of exact
     ints -> bit-identical doubles."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
     import ray
 
     from debezium_connector_db2_ray.functions.relational import topk_terms
@@ -399,7 +403,8 @@ def gopher_repetition_batch(batch: pa.Table, *, text_col: str = "text",
 
     ``keep`` is the composed filter bit (enough words, no single dominant
     word, low 2-gram repetition) — integer comparisons only."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
@@ -480,7 +485,8 @@ def dup_span_grams(batch: pa.Table, *, n: int = 8, text_col: str = "text",
     (and so one batch), the pairs are globally distinct — a downstream
     grouped_aggregate count per gram IS the distinct-document count, with
     no count-distinct machinery."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
@@ -768,7 +774,8 @@ def json_extract_int(ds, *, col: str, path: str, out_col: str,
     Reference analog: the reference ships payloads as opaque structured
     values for Kafka Connect converters to unpack (SURVEY §2.6); here the
     unpack is a first-class map-only operator."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     def extract(batch: pa.Table) -> pa.Table:
         s = batch[col]
@@ -846,7 +853,8 @@ def unigram_surprisal(ds, *, text_col: str = "text",
     string-keyed broadcast for the 64-bit term-hash variant, exactly as
     tfidf_topk documents."""
     import pandas as pd
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
     import pyarrow.compute as pc
     import ray
 

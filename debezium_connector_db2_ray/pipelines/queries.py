@@ -3652,3 +3652,162 @@ def q_conv_shared_turns(sf_dir: str):
 
 CDC_QUERIES["conv_shared_turns"] = q_conv_shared_turns
 CDC_ORACLES["conv_shared_turns"] = SQL_CONV_SHARED_TURNS
+
+
+SQL_CONV_ROLE_BIGRAMS = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 1
+),
+adj AS (
+  SELECT lag(role) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         role
+  FROM state
+)
+SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+FROM adj WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
+def conv_role_bigrams_kernel(state: pa.Table) -> pa.Table:
+    """Partition-local role-transition counts (prev_role -> role over
+    consecutive turns of each conversation): dictionary-encode roles, fold
+    the pair codes with one bincount. Emits at most |roles|^2 rows per
+    partition, so the downstream exchange is O(role-vocab^2), never
+    O(turns) — the corpus-level Markov structure report."""
+    out_schema = pa.schema([
+        ("prev_role", pa.string()), ("role", pa.string()),
+        ("n", pa.int64()),
+    ])
+    if state.num_rows == 0:
+        return out_schema.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    codes = pc.dictionary_encode(t["role"]).combine_chunks()
+    dictionary = codes.dictionary
+    rc = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(dictionary)
+    valid = np.ones(n, bool)
+    valid[starts] = False          # first turn of a conv has no prev
+    prev = rc[np.flatnonzero(valid) - 1]
+    cur = rc[valid]
+    cnt = np.bincount(prev * k + cur, minlength=k * k)
+    nz = np.flatnonzero(cnt)
+    if len(nz) == 0:
+        return out_schema.empty_table()
+    return pa.table({
+        "prev_role": dictionary.take(pa.array(nz // k)),
+        "role": dictionary.take(pa.array(nz % k)),
+        "n": pa.array(cnt[nz].astype(np.int64)),
+    })
+
+
+def q_conv_role_bigrams(sf_dir: str):
+    """Corpus-wide role-transition matrix: per-partition bigram fold inside
+    the apply task, then a combiner-style exchange of at most
+    |role-vocab|^2 rows per partition."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    schema = pa.schema([
+        ("prev_role", pa.string()), ("role", pa.string()),
+        ("n", pa.int64()),
+    ])
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    partials = apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_role_bigrams_kernel
+    )
+    return grouped_aggregate(
+        partials, keys=["prev_role", "role"], aggs={"n": ("n", "sum")},
+        schema=schema,
+    )
+
+
+CDC_QUERIES["conv_role_bigrams"] = q_conv_role_bigrams
+CDC_ORACLES["conv_role_bigrams"] = SQL_CONV_ROLE_BIGRAMS
+
+
+SQL_CONV_LONGEST_MONOLOGUE = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role FROM ranked WHERE rn = 1 AND op <> 1
+),
+marked AS (
+  SELECT conv_id, turn_idx, role,
+         CASE WHEN role = lag(role) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) THEN 0 ELSE 1 END AS brk
+  FROM state
+),
+islands AS (
+  SELECT conv_id, role,
+         sum(brk) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) AS island
+  FROM marked
+),
+runs AS (
+  SELECT conv_id, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY conv_id, island
+)
+SELECT conv_id, max(run_len) AS longest_run
+FROM runs GROUP BY conv_id
+"""
+
+_CONV_MONO_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("longest_run", pa.int64()),
+])
+
+
+def conv_longest_monologue_kernel(state: pa.Table) -> pa.Table:
+    """Monologue QA: longest run of consecutive same-role turns per
+    conversation (the 'one speaker rambles' curation filter) —
+    gaps-and-islands on the sorted partition: run starts where conv or
+    role changes, run lengths by diff, per-conv max by reduceat over runs."""
+    if state.num_rows == 0:
+        return _CONV_MONO_SCHEMA.empty_table()
+    t, starts, conv_idx = _conv_segments(state)
+    n = t.num_rows
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    role = np.asarray(t["role"].to_numpy(zero_copy_only=False))
+    rstart = np.ones(n, bool)
+    if n > 1:
+        rstart[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+    rs = np.flatnonzero(rstart)
+    run_len = np.diff(np.append(rs, n))
+    # runs are emitted in order, so per-conv max = reduceat over run_len at
+    # each conv's first run (conv starts are a subset of run starts)
+    conv_of_run = conv_idx[rs]
+    first_run_of_conv = np.flatnonzero(
+        np.diff(np.append(-1, conv_of_run)) > 0)
+    longest = np.maximum.reduceat(run_len, first_run_of_conv)
+    return pa.table({
+        "conv_id": pa.array(conv[starts], pa.string()),
+        "longest_run": pa.array(longest.astype(np.int64)),
+    })
+
+
+def q_conv_longest_monologue(sf_dir: str):
+    """Per-conversation longest same-role run over the replayed lake."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_longest_monologue_kernel
+    )
+
+
+CDC_QUERIES["conv_longest_monologue"] = q_conv_longest_monologue
+CDC_ORACLES["conv_longest_monologue"] = SQL_CONV_LONGEST_MONOLOGUE

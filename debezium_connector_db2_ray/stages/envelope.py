@@ -530,7 +530,8 @@ def partition_route(
     if isinstance(joined, pa.ChunkedArray):
         joined = joined.combine_chunks()
     if hash_impl == "xx":
-        import polars as pl
+        from debezium_connector_db2_ray.polars_compat import import_polars
+        pl = import_polars()
 
         h = pl.from_arrow(joined).hash(seed=7).to_numpy().astype(np.uint64)
         pid = ((h >> np.uint64(4)).astype(np.int64)) % num_partitions
@@ -715,7 +716,8 @@ def binary_encode(
     emitted as raw ``bytes``, ``hex`` strings, or ``base64`` strings.
     Vectorized via polars' binary encode kernels — one pass, no Python
     per-row loop, map-only."""
-    import polars as pl
+    from debezium_connector_db2_ray.polars_compat import import_polars
+    pl = import_polars()
 
     col = env[column]
     if isinstance(col, pa.ChunkedArray):

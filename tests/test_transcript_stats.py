@@ -256,3 +256,49 @@ def test_role_char_share_kernel():
     assert np.isnan(d["frac"][2])
     empty = conv_role_char_share_kernel(_state([]))
     assert empty.num_rows == 0 and empty.schema.equals(_CONV_SHARE_SCHEMA)
+
+
+def test_role_bigrams_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        conv_role_bigrams_kernel,
+    )
+
+    out = conv_role_bigrams_kernel(_state([
+        ("a", 0, "user", "x", None),
+        ("a", 1, "assistant", "x", None),
+        ("a", 2, "user", "x", None),
+        ("b", 0, "user", "x", None),       # conv boundary: no (user,user)
+        ("b", 1, "user", "x", None),       # same-role transition counts
+    ])).to_pydict()
+    pairs = dict(zip(zip(out["prev_role"], out["role"]), out["n"]))
+    assert pairs == {
+        ("user", "assistant"): 1,
+        ("assistant", "user"): 1,
+        ("user", "user"): 1,
+    }
+    empty = conv_role_bigrams_kernel(_state([]))
+    assert empty.num_rows == 0
+    single = conv_role_bigrams_kernel(_state([("a", 0, "u", "x", None)]))
+    assert single.num_rows == 0
+
+
+def test_longest_monologue_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_MONO_SCHEMA,
+        conv_longest_monologue_kernel,
+    )
+
+    out = conv_longest_monologue_kernel(_state([
+        ("a", 0, "user", "x", None),
+        ("a", 1, "assistant", "x", None),
+        ("a", 2, "assistant", "x", None),
+        ("a", 3, "assistant", "x", None),
+        ("a", 4, "user", "x", None),
+        ("b", 0, "user", "x", None),
+        # same role as conv a's tail but different conv: run must reset
+        ("b", 1, "user", "x", None),
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["longest_run"] == [3, 2]
+    empty = conv_longest_monologue_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_MONO_SCHEMA)
