@@ -306,3 +306,35 @@ def test_weighted_median_equals_repeat_expansion(ray_session):
         # element at ceil(tot/2) - 1 of the expansion
         exp = expanded[(tot + 1) // 2 - 1]
         assert out.loc[f, "weighted_median_cents"] == exp
+
+
+def test_import_polars_race_safe_fresh_process():
+    """polars_compat.import_polars must yield a fully-bound module even
+    when many threads race the FIRST polars import (the Ray-worker race
+    that produced `polars._reexport has no attribute 'Series'`). Run in a
+    fresh subprocess so polars is genuinely unimported, hammer it from 8
+    threads, and exercise the exact call that died (pl.from_arrow)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import threading, sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "from debezium_connector_db2_ray.polars_compat import import_polars\n"
+        "import pyarrow as pa\n"
+        "errs = []\n"
+        "def go():\n"
+        "    try:\n"
+        "        pl = import_polars()\n"
+        "        s = pl.from_arrow(pa.array(['a', 'b']))\n"
+        "        assert s.to_list() == ['a', 'b']\n"
+        "    except Exception as e:\n"
+        "        errs.append(repr(e))\n"
+        "ts = [threading.Thread(target=go) for _ in range(8)]\n"
+        "[t.start() for t in ts]; [t.join() for t in ts]\n"
+        "assert not errs, errs\n"
+        "print('OK')\n"
+    )
+    p = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert p.returncode == 0 and "OK" in p.stdout, p.stderr[-500:]
