@@ -105,6 +105,9 @@ DRIVER_GATE_THEME = [
     "conv_sessionize",
     "conv_role_char_share",
     "conv_shared_turns",
+    "conv_role_bigrams",
+    "conv_longest_monologue",
+    "conv_render",
 ]
 
 

@@ -3811,3 +3811,63 @@ def q_conv_longest_monologue(sf_dir: str):
 
 CDC_QUERIES["conv_longest_monologue"] = q_conv_longest_monologue
 CDC_ORACLES["conv_longest_monologue"] = SQL_CONV_LONGEST_MONOLOGUE
+
+
+SQL_CONV_RENDER = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 1
+)
+SELECT conv_id,
+       string_agg(role || ': ' || coalesce(text, ''), chr(10)
+                  ORDER BY turn_idx) AS transcript
+FROM state GROUP BY conv_id
+"""
+
+_CONV_RENDER_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("transcript", pa.string()),
+])
+
+
+def conv_render_kernel(state: pa.Table) -> pa.Table:
+    """Training-sample materialization: the full ordered transcript per
+    conversation ('role: text' lines joined with newlines) — the step
+    that turns the replayed turn table into model-ready samples. All
+    Arrow: vectorized per-row line build, then a hash group list-agg
+    (encounter order = sorted turn order) + binary_join."""
+    if state.num_rows == 0:
+        return _CONV_RENDER_SCHEMA.empty_table()
+    t, _, _ = _conv_segments(state)
+    lines = pc.binary_join_element_wise(
+        t["role"], pc.fill_null(t["text"], ""), ": ",
+    )
+    g = pa.table({
+        "conv_id": t["conv_id"], "line": lines,
+    }).group_by("conv_id", use_threads=False).aggregate([("line", "list")])
+    return pa.table({
+        "conv_id": g["conv_id"],
+        "transcript": pc.binary_join(
+            g["line_list"], pa.scalar("\n", pa.string())),
+    })
+
+
+def q_conv_render(sf_dir: str):
+    """Per-conversation transcript render over the replayed lake — rides
+    the apply exchange via post_kernel (a conversation is whole inside
+    one partition, so the render needs no extra shuffle and streams
+    straight to a sink at any corpus size)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_render_kernel
+    )
+
+
+CDC_QUERIES["conv_render"] = q_conv_render
+CDC_ORACLES["conv_render"] = SQL_CONV_RENDER

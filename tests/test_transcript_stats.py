@@ -302,3 +302,22 @@ def test_longest_monologue_kernel():
     assert out["longest_run"] == [3, 2]
     empty = conv_longest_monologue_kernel(_state([]))
     assert empty.num_rows == 0 and empty.schema.equals(_CONV_MONO_SCHEMA)
+
+
+def test_render_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_RENDER_SCHEMA,
+        conv_render_kernel,
+    )
+
+    out = conv_render_kernel(_state([
+        ("a", 1, "assistant", "hi there", None),  # shuffled: sorts first
+        ("a", 0, "user", None, None),             # null text -> ''
+        ("b", 0, "user", "solo", None),
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["transcript"] == [
+        "user: \nassistant: hi there", "user: solo",
+    ]
+    empty = conv_render_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_RENDER_SCHEMA)
