@@ -3316,7 +3316,11 @@ def conv_first_last_role_kernel(state: pa.Table) -> pa.Table:
 
 def q_conv_first_last_role(sf_dir: str):
     """First/last role per conversation over the replayed lake (rides the
-    apply exchange via post_kernel — zero extra shuffle)."""
+    apply exchange via post_kernel — zero extra shuffle).
+
+    Reference analog: the per-table final-state assertions of the
+    reference IT suites (Db2ConnectorIT.java) extended to
+    conversation-level QA — same basis as conv_turn_stats."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
@@ -3386,7 +3390,11 @@ def conv_turn_gaps_kernel(state: pa.Table) -> pa.Table:
 
 
 def q_conv_turn_gaps(sf_dir: str):
-    """Per-conversation turn-hole report over the replayed lake."""
+    """Per-conversation turn-hole report over the replayed lake.
+
+    Reference analog: none as an operator — the downstream audit a
+    consumer of Debezium DELETE envelopes runs to confirm tombstone
+    application (SURVEY §2 M10)."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
@@ -3441,7 +3449,10 @@ def conv_time_span_kernel(state: pa.Table) -> pa.Table:
 
 
 def q_conv_time_span(sf_dir: str):
-    """Per-conversation wall-clock span over the replayed lake."""
+    """Per-conversation wall-clock span over the replayed lake.
+
+    Reference analog: none — transcript-curation fold over the applied
+    state (source.ts_ms is the only time surface the reference has)."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
@@ -3507,7 +3518,10 @@ def conv_sessionize_kernel(state: pa.Table) -> pa.Table:
 
 def q_conv_sessionize(sf_dir: str):
     """Per-conversation session count (1 h inactivity cutoff) over the
-    replayed lake — rides the apply exchange via post_kernel."""
+    replayed lake — rides the apply exchange via post_kernel.
+
+    Reference analog: none — classic sessionization, here fused into
+    the CDC apply task (SURVEY §2 beyond-reference family)."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
@@ -3584,7 +3598,10 @@ def conv_role_char_share_kernel(state: pa.Table) -> pa.Table:
 
 
 def q_conv_role_char_share(sf_dir: str):
-    """Per-(conversation, role) char share over the replayed lake."""
+    """Per-(conversation, role) char share over the replayed lake.
+
+    Reference analog: none — the speaker-balance curation signal
+    (prompt/response length ratio) over the applied state."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
@@ -3800,7 +3817,10 @@ def conv_longest_monologue_kernel(state: pa.Table) -> pa.Table:
 
 
 def q_conv_longest_monologue(sf_dir: str):
-    """Per-conversation longest same-role run over the replayed lake."""
+    """Per-conversation longest same-role run over the replayed lake.
+
+    Reference analog: none — monologue QA filter (gaps-and-islands)
+    over the applied state."""
     from debezium_connector_db2_ray.pipelines.replay import apply_dataset
 
     cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
