@@ -108,6 +108,8 @@ DRIVER_GATE_THEME = [
     "conv_role_bigrams",
     "conv_longest_monologue",
     "conv_render",
+    "conv_sft_pairs",
+    "conv_turn_length_hist",
 ]
 
 

@@ -3891,3 +3891,148 @@ def q_conv_render(sf_dir: str):
 
 CDC_QUERIES["conv_render"] = q_conv_render
 CDC_ORACLES["conv_render"] = SQL_CONV_RENDER
+
+
+SQL_CONV_SFT_PAIRS = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text FROM ranked WHERE rn = 1 AND op <> 1
+),
+adj AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM state WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx, prev_text AS prompt, text AS response
+FROM adj WHERE prev_role = 'click' AND role = 'purchase'
+"""
+
+_CONV_SFT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+    ("prompt", pa.string()), ("response", pa.string()),
+])
+
+
+def conv_sft_pairs_kernel(
+    state: pa.Table, prompt_role: str = "click", response_role: str = "purchase"
+) -> pa.Table:
+    """SFT-pair extraction: adjacent turn pairs where the role transitions
+    prompt_role -> response_role (the prompt/response mining step of
+    chat-data curation; roles here are the derived event-type vocabulary).
+    Adjacency masks on the sorted partition — one shifted compare, two
+    gathers, no reduction.
+
+    Reference analog: none — beyond-reference transcripts family; the
+    adjacency semantics mirror the update-pair zipper discipline of
+    stages/apply.py (D,I adjacent rows, LuwPlatform-style) applied to
+    conversation turns."""
+    if state.num_rows == 0:
+        return _CONV_SFT_SCHEMA.empty_table()
+    t, starts, _ = _conv_segments(state)
+    n = t.num_rows
+    role = np.asarray(t["role"].to_numpy(zero_copy_only=False))
+    ok = np.zeros(n, bool)
+    if n > 1:
+        ok[1:] = (role[:-1] == prompt_role) & (role[1:] == response_role)
+    ok[starts] = False          # a pair never crosses a conv boundary
+    idx = np.flatnonzero(ok)
+    text = (t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+    conv = np.asarray(t["conv_id"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "conv_id": pa.array(conv[idx], pa.string()),
+        "turn_idx": pa.array(
+            t["turn_idx"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)[idx]),
+        "prompt": text.take(pa.array((idx - 1).astype(np.int64))),
+        "response": text.take(pa.array(idx.astype(np.int64))),
+    })
+
+
+def q_conv_sft_pairs(sf_dir: str):
+    """Prompt/response pair mining over the replayed lake — rides the
+    apply exchange via post_kernel (zero extra shuffle; pairs stream
+    straight to a sink at any corpus size)."""
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    return apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_sft_pairs_kernel
+    )
+
+
+CDC_QUERIES["conv_sft_pairs"] = q_conv_sft_pairs
+CDC_ORACLES["conv_sft_pairs"] = SQL_CONV_SFT_PAIRS
+
+
+SQL_CONV_LENGTH_HIST = f"""
+WITH {SQL_CHANGELOG.strip()},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM changelog
+),
+state AS (
+  SELECT length(coalesce(text, '')) AS n_chars
+  FROM ranked WHERE rn = 1 AND op <> 1
+)
+SELECT CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM state GROUP BY 1
+"""
+
+
+def conv_length_hist_kernel(state: pa.Table) -> pa.Table:
+    """Per-turn text-length histogram partial: one vectorized
+    utf8_length + one np.unique fold per partition. The exchange
+    downstream carries O(distinct lengths) rows per partition, bounded
+    by the max turn length — never O(turns)."""
+    out_schema = pa.schema([
+        ("n_chars", pa.int64()), ("n_turns", pa.int64()),
+    ])
+    if state.num_rows == 0:
+        return out_schema.empty_table()
+    n_chars = pc.utf8_length(
+        pc.coalesce(state["text"], pa.scalar("", pa.string()))
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, cnts = np.unique(n_chars, return_counts=True)
+    return pa.table({
+        "n_chars": pa.array(vals.astype(np.int64)),
+        "n_turns": pa.array(cnts.astype(np.int64)),
+    })
+
+
+def q_conv_turn_length_hist(sf_dir: str):
+    """Corpus length-shape report: turns per exact text length. The
+    length + count fold rides the apply exchange; only
+    O(partitions x distinct-lengths) partial rows exchange for the
+    final sum.
+
+    Reference analog: none — beyond-reference transcripts family
+    (sample-length telemetry for context-window planning)."""
+    from debezium_connector_db2_ray.functions.relational import (
+        grouped_aggregate,
+    )
+    from debezium_connector_db2_ray.pipelines.replay import apply_dataset
+
+    schema = pa.schema([
+        ("n_chars", pa.int64()), ("n_turns", pa.int64()),
+    ])
+    cl = _events(sf_dir).map_batches(derive_changelog, batch_format="pyarrow")
+    partials = apply_dataset(
+        cl, num_partitions=NP, post_kernel=conv_length_hist_kernel
+    )
+    return grouped_aggregate(
+        partials, keys=["n_chars"], aggs={"n_turns": ("n_turns", "sum")},
+        schema=schema,
+    )
+
+
+CDC_QUERIES["conv_turn_length_hist"] = q_conv_turn_length_hist
+CDC_ORACLES["conv_turn_length_hist"] = SQL_CONV_LENGTH_HIST

@@ -321,3 +321,56 @@ def test_render_kernel():
     ]
     empty = conv_render_kernel(_state([]))
     assert empty.num_rows == 0 and empty.schema.equals(_CONV_RENDER_SCHEMA)
+
+
+def test_sft_pairs_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        _CONV_SFT_SCHEMA,
+        conv_sft_pairs_kernel,
+    )
+
+    out = conv_sft_pairs_kernel(_state([
+        ("a", 0, "click", "q1", None),
+        ("a", 1, "purchase", "a1", None),     # pair
+        ("a", 2, "click", "q2", None),
+        ("a", 3, "view", "skip", None),       # wrong response role
+        ("b", 0, "purchase", "orphan", None),  # conv boundary: no pair
+        ("b", 1, "click", "q3", None),
+        ("b", 2, "purchase", "a3", None),     # pair
+    ])).to_pydict()
+    assert out["conv_id"] == ["a", "b"]
+    assert out["turn_idx"] == [1, 2]
+    assert out["prompt"] == ["q1", "q3"]
+    assert out["response"] == ["a1", "a3"]
+    empty = conv_sft_pairs_kernel(_state([]))
+    assert empty.num_rows == 0 and empty.schema.equals(_CONV_SFT_SCHEMA)
+
+
+def test_sft_pairs_never_cross_conv_boundary():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        conv_sft_pairs_kernel,
+    )
+
+    out = conv_sft_pairs_kernel(_state([
+        ("a", 9, "click", "tail", None),
+        ("b", 0, "purchase", "head", None),
+    ]))
+    assert out.num_rows == 0
+
+
+def test_turn_length_hist_kernel():
+    from debezium_connector_db2_ray.pipelines.queries import (
+        conv_length_hist_kernel,
+    )
+
+    out = conv_length_hist_kernel(_state([
+        ("a", 0, "u", "one", None),       # 3 chars
+        ("a", 1, "u", "abc", None),       # 3 chars
+        ("a", 2, "u", "ab", None),        # 2 chars
+        ("b", 0, "u", "", None),          # 0 chars
+        ("b", 1, "u", None, None),        # null -> 0 chars
+    ])).to_pydict()
+    hist = dict(zip(out["n_chars"], out["n_turns"]))
+    assert hist == {0: 2, 2: 1, 3: 2}
+    empty = conv_length_hist_kernel(_state([]))
+    assert empty.num_rows == 0
